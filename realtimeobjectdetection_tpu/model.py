@@ -1,0 +1,216 @@
+"""GraphSpec -> one traced/jitted TPU computation (NHWC, fp32/bf16).
+
+Unlike the reference's per-layer Python interpreter that walks an
+``nn.ModuleList`` on every call (/root/reference/src/darknet.py:199-303),
+the whole network is traced once into a single XLA program: route concats,
+shortcut adds, pooling and upsampling are ordinary lax ops that XLA fuses
+and tiles onto the MXU/VPU.
+
+BatchNorm modes
+---------------
+``fold``     BN folded into conv weights at load time — the fast inference
+             path (identical numerics to ``running`` up to fp rounding).
+``running``  eval-style BN with stored running statistics.
+``batch``    per-batch statistics *even at inference* — this reproduces the
+             reference detector, which never calls ``model.eval()``
+             (detect.py:62-63 runs the module in training mode), so the
+             golden ``det/metrics.json`` was produced with batch stats.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .cfg_parser import (ConvSpec, GraphSpec, MaxPoolSpec, RouteSpec,
+                         ShortcutSpec, UpsampleSpec, YoloSpec)
+
+__all__ = ["fold_batchnorm", "make_forward", "head_shapes", "Darknet"]
+
+BN_EPS = 1e-5  # torch.nn.BatchNorm2d default (src/darknet.py:494)
+
+
+def fold_batchnorm(spec: GraphSpec, params: Dict) -> Dict:
+    """Fold BN affine+stats into conv kernel/bias (inference fast path)."""
+    out = {}
+    for node in spec.conv_nodes:
+        key = f"node_{node.index}"
+        entry = params[key]
+        if node.batch_normalize:
+            w = jnp.asarray(entry["w"])
+            gamma = jnp.asarray(entry["bn_gamma"])
+            beta = jnp.asarray(entry["bn_beta"])
+            mean = jnp.asarray(entry["bn_mean"])
+            var = jnp.asarray(entry["bn_var"])
+            scale = gamma * lax.rsqrt(var + BN_EPS)
+            out[key] = {
+                "w": w * scale[None, None, None, :],
+                "b": beta - mean * scale,
+            }
+        else:
+            out[key] = {"w": jnp.asarray(entry["w"]),
+                        "b": jnp.asarray(entry["b"])}
+    return out
+
+
+def _conv(x, w, stride: int, pad: int, compute_dtype, precision=None):
+    return lax.conv_general_dilated(
+        x.astype(compute_dtype), w.astype(compute_dtype),
+        window_strides=(stride, stride),
+        padding=[(pad, pad), (pad, pad)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+
+
+def _batch_stats_bn(y, gamma, beta):
+    # biased variance over (N, H, W), matching torch train-mode BN
+    mean = jnp.mean(y, axis=(0, 1, 2))
+    var = jnp.mean(jnp.square(y - mean[None, None, None, :]), axis=(0, 1, 2))
+    inv = lax.rsqrt(var + BN_EPS)
+    return (y - mean) * (gamma * inv) + beta, mean, var
+
+
+def _maxpool(x, node: MaxPoolSpec):
+    k, s = node.kernel_size, node.stride
+    if s != 1:
+        return lax.reduce_window(x, -jnp.inf, lax.max,
+                                 (1, k, k, 1), (1, s, s, 1), "VALID")
+    # stride-1 cfg variant: replicate-pad right/bottom by k-1, pool with
+    # stride k-1 (reference MaxPoolStride1, src/darknet.py:17-46 — note it
+    # constructs MaxPool2d(kernel, stride=k-1)).
+    p = k - 1
+    x = jnp.pad(x, ((0, 0), (0, p), (0, p), (0, 0)), mode="edge")
+    return lax.reduce_window(x, -jnp.inf, lax.max,
+                             (1, k, k, 1), (1, p, p, 1), "VALID")
+
+
+def _upsample_bilinear(x, stride: int):
+    b, h, w, c = x.shape
+    # half-pixel-centres bilinear == nn.Upsample(align_corners=False)
+    # (src/darknet.py:591-592)
+    return jax.image.resize(x, (b, h * stride, w * stride, c), "bilinear")
+
+
+def head_shapes(spec: GraphSpec, batch: int, height: Optional[int] = None,
+                width: Optional[int] = None) -> List[Tuple[int, int, int, int]]:
+    """Static output shape of each yolo head for a given input size."""
+    h = height or spec.net.height
+    w = width or spec.net.width
+    shapes = []
+    cur_h, cur_w = h, w
+    sizes: List[Tuple[int, int]] = []
+    for node in spec.nodes:
+        if isinstance(node, ConvSpec):
+            cur_h = (cur_h + 2 * node.pad - node.kernel_size) // node.stride + 1
+            cur_w = (cur_w + 2 * node.pad - node.kernel_size) // node.stride + 1
+        elif isinstance(node, MaxPoolSpec):
+            if node.stride != 1:
+                cur_h = (cur_h - node.kernel_size) // node.stride + 1
+                cur_w = (cur_w - node.kernel_size) // node.stride + 1
+        elif isinstance(node, UpsampleSpec):
+            cur_h *= node.stride
+            cur_w *= node.stride
+        elif isinstance(node, RouteSpec):
+            cur_h, cur_w = sizes[node.sources[0]]
+        elif isinstance(node, YoloSpec):
+            a = len(node.anchors)
+            shapes.append((batch, cur_h, cur_w, a * (5 + node.num_classes)))
+        sizes.append((cur_h, cur_w))
+    return shapes
+
+
+def make_forward(spec: GraphSpec, bn_mode: str = "fold",
+                 compute_dtype=jnp.float32, return_stats: bool = False,
+                 precision=None):
+    """Build ``forward(params, x) -> [head0, head1, ...]`` (raw heads, NHWC).
+
+    ``return_stats`` additionally returns per-conv batch statistics
+    ``{node_i: (mean, var)}`` so a training loop can maintain torch-style
+    running averages.
+
+    ``precision``: lax precision for convs.  On TPU the default uses bf16
+    MXU passes (the fast path); parity tests use ``Precision.HIGHEST``.
+    """
+    assert bn_mode in ("fold", "running", "batch")
+    live = spec.live_after()
+
+    def forward(params, x):
+        outputs: Dict[int, jnp.ndarray] = {}
+        heads: List[jnp.ndarray] = []
+        stats: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]] = {}
+        prev = x
+        for node in spec.nodes:
+            i = node.index
+            if isinstance(node, ConvSpec):
+                entry = params[f"node_{i}"]
+                y = _conv(prev, entry["w"], node.stride, node.pad,
+                          compute_dtype, precision)
+                if node.batch_normalize and bn_mode != "fold":
+                    if bn_mode == "batch":
+                        y, m, v = _batch_stats_bn(
+                            y, entry["bn_gamma"], entry["bn_beta"])
+                        if return_stats:
+                            stats[f"node_{i}"] = (m, v)
+                    else:
+                        inv = lax.rsqrt(entry["bn_var"] + BN_EPS)
+                        y = (y - entry["bn_mean"]) * (entry["bn_gamma"] * inv) \
+                            + entry["bn_beta"]
+                else:
+                    y = y + entry["b"][None, None, None, :]
+                if node.activation == "leaky":
+                    y = jnp.where(y > 0, y, 0.1 * y)
+                out = y
+            elif isinstance(node, MaxPoolSpec):
+                out = _maxpool(prev, node)
+            elif isinstance(node, UpsampleSpec):
+                out = _upsample_bilinear(prev, node.stride)
+            elif isinstance(node, RouteSpec):
+                out = (outputs[node.sources[0]] if len(node.sources) == 1
+                       else jnp.concatenate(
+                           [outputs[s] for s in node.sources], axis=-1))
+            elif isinstance(node, ShortcutSpec):
+                out = prev + outputs[node.source]
+            elif isinstance(node, YoloSpec):
+                heads.append(prev)
+                out = prev  # reference: outputs[i] = outputs[i-1]
+            else:  # pragma: no cover
+                raise TypeError(node)
+            outputs[i] = out
+            prev = out
+            # free dead activations so the traced graph stays lean
+            for j in list(outputs):
+                if live[j] <= i:
+                    del outputs[j]
+        if return_stats:
+            return heads, stats
+        return heads
+
+    return forward
+
+
+class Darknet:
+    """Convenience wrapper: spec + params + jitted heads-forward.
+
+    The detection pipeline composes this with :mod:`.ops.decode` and
+    :mod:`.ops.nms` into a single jit; this class only owns the backbone.
+    """
+
+    def __init__(self, spec: GraphSpec, params: Dict, bn_mode: str = "fold",
+                 compute_dtype=jnp.float32):
+        self.spec = spec
+        self.bn_mode = bn_mode
+        self.compute_dtype = compute_dtype
+        if bn_mode == "fold":
+            params = fold_batchnorm(spec, params)
+        self.params = jax.tree_util.tree_map(jnp.asarray, params)
+        self.forward = jax.jit(make_forward(spec, bn_mode, compute_dtype))
+
+    def __call__(self, x):
+        return self.forward(self.params, x)

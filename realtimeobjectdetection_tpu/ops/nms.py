@@ -1,0 +1,114 @@
+"""Fixed-shape, class-aware NMS — the TPU rebuild of ``write_results``.
+
+The reference (/root/reference/src/util.py:242-346) is a per-image,
+per-class Python loop with dynamic shapes: confidence-mask, center->corner,
+max class conf/id, then greedy O(n^2) suppression over boxes sorted by
+objectness, keeping ``iou < nms_conf`` (strict), with the "+1" IoU
+convention.  Output rows are grouped by class id ascending (torch.unique
+sorts), within a class by objectness descending, as
+``[x1, y1, x2, y2, objectness, class_conf, class_id]``.
+
+This rebuild is fully static-shape and in-graph:
+
+1. top-K candidates by objectness (valid = obj > confidence, strict);
+2. dense K x K IoU matrix (+1 convention) + same-class matrix;
+3. greedy suppression as a masked ``fori_loop`` — identical survivors to
+   the reference: restricting a global objectness-descending order to one
+   class gives exactly the reference's per-class order, and suppression
+   only acts within a class and only from boxes that themselves survived;
+4. survivors re-ordered by (class asc, objectness desc) to reproduce the
+   reference's row order, with a validity mask replacing the ``return 0``
+   sentinel (src/util.py:343-346).
+
+The host layer converts ``(boxes, valid)`` back into the reference's exact
+observable JSON/tensor protocol.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .boxes import iou_matrix
+
+__all__ = ["nms_image", "nms_batch"]
+
+
+def nms_image(pred: jnp.ndarray, num_classes: int, confidence: float,
+              nms_thresh: float, top_k: int = 256,
+              plus_one_iou: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """NMS for one image.
+
+    Args:
+      pred: ``[N, 5+C]`` decoded boxes (cx, cy, w, h, obj, C class scores).
+      num_classes: C.
+      confidence: objectness threshold (strict ``>``, like confidence_mask
+        at src/util.py:106-117).
+      nms_thresh: suppress when ``iou >= nms_thresh`` (the reference keeps
+        ``iou < nms_conf``, src/util.py:324).
+      top_k: static candidate budget (also the max number of outputs).
+
+    Returns:
+      boxes: ``[top_k, 7]`` rows ``[x1,y1,x2,y2,obj,cls_conf,cls_id]``,
+        valid rows first in reference order, garbage after.
+      valid: ``[top_k]`` bool mask.
+    """
+    n = pred.shape[0]
+    k = min(top_k, n)
+
+    obj = pred[:, 4]
+    valid = obj > confidence
+
+    # top-k by objectness among valid rows (invalid rows sink below zero;
+    # sigmoid objectness is always > 0 so -1 can never win a slot that a
+    # valid row wants)
+    score = jnp.where(valid, obj, -1.0)
+    top_scores, top_idx = jax.lax.top_k(score, k)
+    cand = pred[top_idx]  # [k, 5+C]
+    cand_valid = top_scores > confidence
+
+    # corner transform (src/util.py:263-268)
+    cx, cy, w, h = cand[:, 0], cand[:, 1], cand[:, 2], cand[:, 3]
+    corners = jnp.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2],
+                        axis=-1)
+
+    cls_scores = cand[:, 5:5 + num_classes]
+    cls_conf = jnp.max(cls_scores, axis=-1)
+    cls_id = jnp.argmax(cls_scores, axis=-1)
+
+    ious = iou_matrix(corners, corners, plus_one=plus_one_iou)
+    same_class = cls_id[:, None] == cls_id[None, :]
+    later = jnp.arange(k)[:, None] < jnp.arange(k)[None, :]
+    # suppress[i, j]: box i (earlier, higher obj) kills box j
+    suppress = (ious >= nms_thresh) & same_class & later
+
+    def body(i, keep):
+        kill = suppress[i] & keep[i]
+        return keep & ~kill
+
+    keep = jax.lax.fori_loop(0, k, body, cand_valid)
+
+    # reference row order: class ascending, objectness descending within
+    # class.  rows are already obj-descending from top_k, and jnp.argsort
+    # is stable, so sorting by (kept-last, class) reproduces it.
+    sort_key = jnp.where(keep, cls_id, num_classes + 1)
+    order = jnp.argsort(sort_key, stable=True)
+
+    out = jnp.concatenate([
+        corners, cand[:, 4:5], cls_conf[:, None],
+        cls_id.astype(pred.dtype)[:, None],
+    ], axis=-1)
+    return out[order], keep[order]
+
+
+def nms_batch(pred: jnp.ndarray, num_classes: int, confidence: float,
+              nms_thresh: float, top_k: int = 256,
+              plus_one_iou: bool = True):
+    """Batched NMS: ``[B, N, 5+C] -> ([B, top_k, 7], [B, top_k])``."""
+    fn = functools.partial(nms_image, num_classes=num_classes,
+                           confidence=confidence, nms_thresh=nms_thresh,
+                           top_k=top_k, plus_one_iou=plus_one_iou)
+    return jax.vmap(fn)(pred)

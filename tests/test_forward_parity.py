@@ -1,0 +1,83 @@
+"""End-to-end numerical parity vs golden tensors recorded from the
+PyTorch reference (scripts/gen_reference_goldens.py).
+
+Goldens were produced with synthetic weights (regenerated bit-identically
+here) on the letterboxed dog.jpg input that ships inside the fixture, in
+the three BN modes the reference exercises:
+  * pred       — detect-path forward (train-mode BN => batch statistics)
+  * pred_train — TRAIN=True decode-lite (train.py loss path)
+  * pred_eval  — .eval() running-stats forward (tiny only)
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from realtimeobjectdetection_tpu.model import make_forward, fold_batchnorm
+from realtimeobjectdetection_tpu.models import yolov3_spec, yolov3_tiny_spec
+from realtimeobjectdetection_tpu.ops.decode import decode_heads
+from realtimeobjectdetection_tpu.testing import synthetic_darknet_weights
+from realtimeobjectdetection_tpu.weights import load_darknet_weights
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+
+SPECS = {"yolov3-tiny": yolov3_tiny_spec, "yolov3": yolov3_spec}
+
+
+def load_case(name):
+    d = np.load(os.path.join(GOLDEN, f"{name}_dog.npz"))
+    spec = SPECS[name]()
+    params, _ = load_darknet_weights(spec, synthetic_darknet_weights(spec, 0))
+    x = jnp.asarray(d["input_nchw"].transpose(0, 2, 3, 1))  # NCHW -> NHWC
+    return d, spec, params, x
+
+
+@pytest.mark.parametrize("name", ["yolov3-tiny", "yolov3"])
+def test_detect_forward_batch_bn(name):
+    d, spec, params, x = load_case(name)
+    fwd = jax.jit(make_forward(spec, bn_mode="batch"))
+    pred = np.asarray(decode_heads(fwd(params, x), spec, 416))
+    ref = d["pred"]
+    assert pred.shape == ref.shape
+    # coords are in input pixels (scale ~416, exp-amplified); probs in [0,1]
+    np.testing.assert_allclose(pred[..., :4], ref[..., :4], atol=0.35)
+    np.testing.assert_allclose(pred[..., 4:], ref[..., 4:], atol=2e-4)
+
+
+@pytest.mark.parametrize("name", ["yolov3-tiny", "yolov3"])
+def test_train_mode_decode_lite(name):
+    d, spec, params, x = load_case(name)
+    fwd = jax.jit(make_forward(spec, bn_mode="batch"))
+    pred = np.asarray(decode_heads(fwd(params, x), spec, 416, train=True))
+    ref = d["pred_train"]
+    np.testing.assert_allclose(pred, ref, atol=2e-3)
+
+
+def test_eval_forward_running_bn():
+    d, spec, params, x = load_case("yolov3-tiny")
+    fwd = jax.jit(make_forward(spec, bn_mode="running"))
+    pred = np.asarray(decode_heads(fwd(params, x), spec, 416))
+    ref = d["pred_eval"]
+    np.testing.assert_allclose(pred[..., 4:], ref[..., 4:], atol=2e-4)
+    np.testing.assert_allclose(pred[..., :4], ref[..., :4],
+                               rtol=1e-3, atol=0.05)
+
+
+def test_folded_bn_equals_running_bn():
+    d, spec, params, x = load_case("yolov3-tiny")
+    run = jax.jit(make_forward(spec, bn_mode="running"))(params, x)
+    folded_params = fold_batchnorm(spec, params)
+    fold = jax.jit(make_forward(spec, bn_mode="fold"))(folded_params, x)
+    for a, b in zip(run, fold):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_anchor_detection_order_matches_reference():
+    d, spec, params, x = load_case("yolov3-tiny")
+    np.testing.assert_array_equal(
+        np.array(spec.anchors_in_detection_order, dtype=np.float32),
+        d["anchors"])
