@@ -1,0 +1,148 @@
+"""Command-line surface: ``python main.py detect|train`` parity + argparse.
+
+Reference surfaces: main.py (params.json dispatch), detect.py:288-344 and
+train.py:435-505 (argparse CLIs).  The ``rodtpu`` console script exposes
+the same commands.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from .config import fetch_parameters
+
+__all__ = ["main", "run_detect", "run_train", "detect_arg_parser",
+           "train_arg_parser"]
+
+
+def run_detect(detector_params: dict):
+    version = detector_params.pop("yolo_version", 3)
+    v5_size = detector_params.pop("yolov5_size", "L")
+    if version == 5:
+        from .pipeline.yolov5 import DetectorV5
+        detector = DetectorV5(detector_params["images"], v5_size,
+                              detector_params["destination"])
+    elif version == 3:
+        from .pipeline.detector import DetectorV3
+        detector = DetectorV3(**detector_params)
+    else:
+        raise Exception("Unknown YOLO version !!")
+    return detector()
+
+
+def run_train(trainer_params: dict, validator_params: dict,
+              train_params: dict):
+    from .train.trainer import DarknetTrainer
+    trainer = DarknetTrainer(**trainer_params)
+    if validator_params.get("annotation_dir"):
+        trainer.get_validator(**validator_params)
+    trainer.train(**train_params)
+    return trainer
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv:
+        print("usage: main.py detect|train [params.json]", file=sys.stderr)
+        return 2
+    command, rest = argv[0], argv[1:]
+    params_path = rest[0] if rest else "params.json"
+    if command == "detect":
+        detector_params, _, _, _ = fetch_parameters(params_path)
+        run_detect(detector_params)
+    elif command == "train":
+        _, trainer_params, valid_params, train_params = \
+            fetch_parameters(params_path)
+        run_train(trainer_params, valid_params, train_params)
+    else:
+        raise Exception("Unknown Command Error !!")
+    return 0
+
+
+def detect_arg_parser() -> argparse.ArgumentParser:
+    """Argparse surface parity with detect.py:288-322 (+ TPU knobs)."""
+    p = argparse.ArgumentParser(description="YOLO v3 Detection Module (TPU)")
+    p.add_argument("--images", default="imgs", type=str,
+                   help="Image / Directory containing images")
+    p.add_argument("--det", dest="det", default="det", type=str,
+                   help="Image / Directory to store detections to")
+    p.add_argument("--version", dest="yolov", default=3, type=int,
+                   help="YOLO version: 3 or 5")
+    p.add_argument("--yolov5_size", default="L", type=str,
+                   help="Size for the YOLOv5: S, M, L, X")
+    p.add_argument("--confidence", default=0.6, type=float,
+                   help="Object confidence to filter predictions")
+    p.add_argument("--nms_thresh", default=0.5, type=float,
+                   help="NMS threshold")
+    p.add_argument("--cfg", dest="cfg_file", default="yolov3-tiny", type=str,
+                   help="Config file path or zoo name")
+    p.add_argument("--weights", dest="weights_file", default=None, type=str,
+                   help="Darknet .weights file (or torch checkpoint with "
+                        "--trained)")
+    p.add_argument("--reso", default=416, type=int,
+                   help="Input resolution (multiple of 32)")
+    p.add_argument("--trained", dest="use_torch_weights", action="store_true",
+                   help="Load a torch state_dict checkpoint")
+    p.add_argument("--batch_size", default=1, type=int,
+                   help="Device batch size (TPU extension)")
+    p.add_argument("--bn_mode", default="batch",
+                   choices=["batch", "running", "fold"],
+                   help="BatchNorm mode; 'batch' reproduces the reference "
+                        "detector exactly")
+    p.add_argument("--precision", default=None,
+                   choices=["default", "high", "highest"],
+                   help="conv precision; 'highest' for exact fp32 parity")
+    p.add_argument("--top_k", default=256, type=int,
+                   help="static NMS candidate budget per image")
+    return p
+
+
+def detect_cli(argv=None):
+    a = detect_arg_parser().parse_args(argv)
+    params = {
+        "images": a.images, "destination": a.det,
+        "cfg_path": a.cfg_file, "weights_path": a.weights_file,
+        "resolution": a.reso, "confidence": a.confidence,
+        "nms_thresh": a.nms_thresh,
+        "use_torch_weights": a.use_torch_weights,
+        "batch_size": a.batch_size, "bn_mode": a.bn_mode,
+        "precision": a.precision, "top_k": a.top_k,
+        "yolo_version": a.yolov, "yolov5_size": a.yolov5_size,
+    }
+    return run_detect(params)
+
+
+def train_arg_parser() -> argparse.ArgumentParser:
+    """Argparse surface parity with train.py:435-480 (+ TPU knobs)."""
+    p = argparse.ArgumentParser(description="YOLO v3 Training Module (TPU)")
+    p.add_argument("--xml", dest="xml", type=str, required=False,
+                   default=None, help="Annotation dir (VOC xml) or COCO json")
+    p.add_argument("--images", type=str, default=None,
+                   help="Directory containing training images")
+    p.add_argument("--batch_size", dest="bs", default=16, type=int)
+    p.add_argument("--epoch", dest="epoch", default=30, type=int)
+    p.add_argument("--confidence", dest="conf", default=0.6, type=float)
+    p.add_argument("--cfg", dest="cfg_file", default="yolov3-tiny", type=str)
+    p.add_argument("--weights", dest="weights_file", default=None, type=str)
+    p.add_argument("--reso", default=416, type=int)
+    p.add_argument("--fine_tune", dest="resume", action="store_true",
+                   help="Resume from checkpoint")
+    p.add_argument("--dataset", default="COCO", choices=["COCO", "VOC"])
+    return p
+
+
+def train_cli(argv=None):
+    a = train_arg_parser().parse_args(argv)
+    trainer_params = {
+        "cfg_path": a.cfg_file, "weights_path": a.weights_file,
+        "epochs": a.epoch, "batch_size": a.bs, "resolution": a.reso,
+        "confidence": a.conf, "resume": a.resume,
+    }
+    train_params = {"annotation_dir": a.xml, "img_dir": a.images,
+                    "dataset_type": a.dataset}
+    return run_train(trainer_params, {}, train_params)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    sys.exit(main())

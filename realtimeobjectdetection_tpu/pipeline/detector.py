@@ -1,0 +1,269 @@
+"""Folder/stream detection driver — the TPU rebuild of ``Darknetv3Detector``.
+
+Pipeline (reference: /root/reference/detect.py:22-252):
+  read folder -> host letterbox (cv2 INTER_CUBIC parity path) ->
+  ONE jitted program per batch (forward + decode + fixed-shape NMS on
+  device) -> host: un-letterbox to original pixels, clamp, render,
+  ``metrics.json`` dump.
+
+Observable-protocol parity at batch_size=1 (the reference hardcodes it,
+detect.py:27):
+
+* ``metrics.json``: ``{img_name: [[batch_idx, x1,y1,x2,y2, obj, cls_conf,
+  cls_id], ...]}`` with boxes in *letterbox input space* — the reference
+  dumps the prediction tensor before rescaling (detect.py:155 runs before
+  draw_object_boxes_on_img) — and the int ``0`` sentinel when nothing is
+  detected (detect.py:164).
+* box rescale to original pixels hardcodes 416 in the scaling factor
+  (detect.py:130) regardless of ``--reso``; ``parity_scale_416`` keeps
+  that, off by default for non-416 resolutions.
+* rendered files named ``det_<cfg-stem>_<img-name>`` (detect.py:114-117).
+
+Deviations (documented): partial trailing batches are processed, not
+dropped (reference's generator ``return``s them away, detect.py:249-250 —
+invisible at bs=1); box colors are deterministic per class instead of
+``random.choice`` from a pickle.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import queue
+import threading
+import time
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+try:
+    import cv2
+except Exception:  # pragma: no cover
+    cv2 = None
+
+import jax
+import jax.numpy as jnp
+
+from ..cfg_parser import GraphSpec, load_graph_spec
+from ..data.classnames import COCO80, load_classes
+from ..model import fold_batchnorm, make_forward
+from ..models.zoo import get_spec
+from ..ops.decode import decode_heads
+from ..ops.letterbox import prep_image_host
+from ..ops.nms import nms_batch
+from ..weights import (init_params, load_darknet_weights,
+                       params_from_torch_state_dict)
+from .render import draw_detection, make_palette
+
+__all__ = ["DetectorV3"]
+
+_IMG_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".ppm", ".webp")
+
+
+def _resolve_spec(cfg_path: str) -> GraphSpec:
+    """Zoo name or .cfg file path -> GraphSpec."""
+    if os.path.isfile(cfg_path):
+        return load_graph_spec(cfg_path)
+    return get_spec(cfg_path)
+
+
+class DetectorV3:
+    """YOLOv3/v3-tiny folder detector.
+
+    Args mirror the reference constructor (detect.py:23-38) plus TPU
+    knobs: ``batch_size``, ``bn_mode``, ``compute_dtype``, ``top_k``.
+    """
+
+    def __init__(self, images: str, destination: str, cfg_path: str,
+                 weights_path: Optional[str], resolution: int = 416,
+                 confidence: float = 0.6, nms_thresh: float = 0.5,
+                 use_torch_weights: bool = False,
+                 batch_size: int = 1, bn_mode: str = "batch",
+                 compute_dtype=jnp.float32, top_k: int = 256,
+                 num_classes: int = 80,
+                 class_names: Optional[Sequence[str]] = None,
+                 names_file: Optional[str] = None,
+                 parity_scale_416: Optional[bool] = None,
+                 precision: Optional[str] = None,
+                 prefetch: int = 4):
+        assert resolution % 32 == 0 and resolution > 32  # detect.py:51-52
+        self.images = images
+        self.destination = destination
+        self.cfg_path = cfg_path
+        self.resolution = int(resolution)
+        self.confidence = float(confidence)
+        self.nms_thresh = float(nms_thresh)
+        self.batch_size = int(batch_size)
+        self.top_k = top_k
+        self.num_classes = num_classes
+        self.prefetch = prefetch
+        self.metrics: Dict[str, object] = {}
+        if class_names is not None:
+            self.classes = list(class_names)
+        elif names_file:
+            self.classes = load_classes(names_file)
+        else:
+            self.classes = COCO80
+        # reference behavior: scaling factor uses literal 416 (detect.py:130)
+        if parity_scale_416 is None:
+            parity_scale_416 = (self.resolution == 416)
+        self.parity_scale_416 = parity_scale_416
+
+        self.spec = _resolve_spec(cfg_path)
+        self.params = self._load_params(weights_path, use_torch_weights)
+        self.bn_mode = bn_mode
+        if bn_mode == "fold":
+            self.params = fold_batchnorm(self.spec, self.params)
+        self.params = jax.device_put(self.params)
+        # precision: None = device default (bf16 MXU passes on TPU — the
+        # fast path); "highest" = exact fp32 convs for bit-level parity
+        # (borderline detections can otherwise flip near the confidence
+        # threshold)
+        import jax.lax as _lax
+        prec = {None: None, "default": None,
+                "high": _lax.Precision.HIGH,
+                "highest": _lax.Precision.HIGHEST}[precision]
+        self._forward = make_forward(self.spec, bn_mode=bn_mode,
+                                     compute_dtype=compute_dtype,
+                                     precision=prec)
+        self._detect = jax.jit(self._make_detect_fn())
+
+    # ------------------------------------------------------------------
+    def _load_params(self, weights_path, use_torch_weights):
+        if weights_path is None:
+            return init_params(self.spec)
+        if use_torch_weights:
+            import torch  # offline dev dependency only (detect.py:188-191)
+            sd = torch.load(weights_path, map_location="cpu")
+            return params_from_torch_state_dict(self.spec, sd)
+        params, _ = load_darknet_weights(self.spec, weights_path)
+        return params
+
+    def _make_detect_fn(self):
+        spec, reso = self.spec, self.resolution
+        conf, nms_t, top_k = self.confidence, self.nms_thresh, self.top_k
+        num_classes = self.num_classes
+
+        def detect(params, x):
+            heads = self._forward(params, x)
+            pred = decode_heads(heads, spec, reso)
+            return nms_batch(pred, num_classes, conf, nms_t, top_k=top_k)
+
+        return detect
+
+    # ------------------------------------------------------------------
+    def _read_directory(self) -> List[str]:
+        d = self.images
+        if os.path.isdir(d):
+            names = [f for f in os.listdir(d)
+                     if f.lower().endswith(_IMG_EXTS)]
+            return names
+        if os.path.isfile(d):
+            self.images, name = os.path.split(d)
+            return [name]
+        raise FileNotFoundError(
+            "No file or directory with the name {}".format(d))
+
+    def _loader_thread(self, names: List[str], q: "queue.Queue"):
+        bs = self.batch_size
+        for start in range(0, len(names), bs):
+            chunk = names[start:start + bs]
+            imgs, dims, prepped = [], [], []
+            for n in chunk:
+                img = cv2.imread(os.path.join(self.images, n))
+                if img is None:
+                    raise FileNotFoundError(os.path.join(self.images, n))
+                imgs.append(img)
+                dims.append((img.shape[1], img.shape[0]))  # (w, h)
+                prepped.append(prep_image_host(img, self.resolution))
+            batch = np.concatenate(prepped, axis=0)
+            if len(chunk) < bs:  # pad trailing batch to the static shape
+                pad = np.zeros((bs - len(chunk),) + batch.shape[1:],
+                               batch.dtype)
+                batch = np.concatenate([batch, pad], axis=0)
+            q.put((start, chunk, imgs, dims, batch))
+        q.put(None)
+
+    # ------------------------------------------------------------------
+    def __call__(self, verbose: bool = True) -> Dict[str, object]:
+        os.makedirs(self.destination, exist_ok=True)
+        names = self._read_directory()
+        if verbose:
+            print("Number of Images= ", len(names))
+        palette = make_palette(100)
+        cfg_stem = os.path.basename(self.cfg_path)
+        if cfg_stem.endswith(".cfg"):
+            cfg_stem = cfg_stem[:-4]
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        t = threading.Thread(target=self._loader_thread, args=(names, q),
+                             daemon=True)
+        t.start()
+
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            start_idx, chunk, imgs, dims, batch = item
+            t0 = time.time()
+            boxes, valid = self._detect(self.params, jnp.asarray(batch))
+            boxes = np.asarray(jax.block_until_ready(boxes))
+            valid = np.asarray(valid)
+            t1 = time.time()
+            for j, img_name in enumerate(chunk):
+                rows = boxes[j][valid[j]]
+                self._record_and_render(
+                    start_idx + j, img_name, rows, imgs[j], dims[j],
+                    palette, cfg_stem, (t1 - t0) / len(chunk), verbose)
+
+        metrics_file = os.path.join(self.destination, "metrics.json")
+        with open(metrics_file, "w") as f:
+            json.dump(self.metrics, f)
+        return self.metrics
+
+    # ------------------------------------------------------------------
+    def _record_and_render(self, img_idx, img_name, rows, img, dims,
+                           palette, cfg_stem, dt, verbose):
+        orig_w, orig_h = dims
+        if verbose:
+            objs = [self.classes[int(r[6])] for r in rows]
+            print("{0:20s} predicted in {1:6.3f} seconds".format(
+                img_name, dt))
+            print("{0:20s} {1:s}".format("Objects Detected:", " ".join(objs)))
+            print("----------------o----------------")
+        if rows.shape[0] == 0:
+            # the reference stores the int 0 sentinel (detect.py:164)
+            self.metrics[img_name] = 0
+            return
+        # metrics rows in letterbox space, batch_idx first (detect.py:155
+        # dumps before rescale; transform_from_batch_to_imlist already
+        # bumped column 0 by the global image index, detect.py:101-102)
+        metric_rows = np.concatenate(
+            [np.full((rows.shape[0], 1), float(img_idx), rows.dtype), rows],
+            axis=1)
+        self.metrics[img_name] = metric_rows.tolist()
+
+        rescaled = self._unletterbox(rows, orig_w, orig_h)
+        for r in rescaled:
+            cls = int(r[6])
+            draw_detection(img, r[:4], self.classes[cls], float(r[5]),
+                           palette[cls % len(palette)])
+        out_path = os.path.join(self.destination,
+                                "det_{}_{}".format(cfg_stem, img_name))
+        cv2.imwrite(out_path, img)
+
+    def _unletterbox(self, rows: np.ndarray, orig_w: int, orig_h: int):
+        """Undo letterboxing -> original-image pixel coords, clamped.
+
+        Parity with detect.py:120-136 including the literal 416 in the
+        scaling factor (detect.py:130) when ``parity_scale_416`` is set.
+        """
+        base = 416.0 if self.parity_scale_416 else float(self.resolution)
+        scaling = min(base / orig_w, base / orig_h)
+        out = rows.copy()
+        out[:, [0, 2]] -= (self.resolution - scaling * orig_w) / 2
+        out[:, [1, 3]] -= (self.resolution - scaling * orig_h) / 2
+        out[:, :4] /= scaling
+        out[:, [0, 2]] = np.clip(out[:, [0, 2]], 0.0, orig_w)
+        out[:, [1, 3]] = np.clip(out[:, [1, 3]], 0.0, orig_h)
+        return out

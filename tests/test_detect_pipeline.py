@@ -1,0 +1,102 @@
+"""End-to-end detect pipeline parity: DetectorV3 vs the reference
+detect.py run (golden metrics.json captured offline with synthetic
+weights at confidence 0.75 over /root/reference/imgs).
+
+Exercises: folder read -> letterbox -> jitted forward+decode+NMS ->
+metrics protocol (letterbox-space rows, batch-idx column, int-0 sentinel)
+-> rendered det_<cfg>_<name> files.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from conftest import REFERENCE_DIR, reference_available
+
+from realtimeobjectdetection_tpu.models import get_spec
+from realtimeobjectdetection_tpu.pipeline.detector import DetectorV3
+from realtimeobjectdetection_tpu.testing import synthetic_darknet_weights
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+IMGS = os.path.join(REFERENCE_DIR, "imgs")
+
+pytestmark = pytest.mark.skipif(
+    not reference_available(), reason="reference images not mounted")
+
+
+@pytest.fixture(scope="module")
+def tiny_weights(tmp_path_factory):
+    blob = synthetic_darknet_weights(get_spec("yolov3-tiny"), 0)
+    p = tmp_path_factory.mktemp("w") / "tiny.weights"
+    p.write_bytes(blob)
+    return str(p)
+
+
+def test_folder_detect_matches_reference_metrics(tmp_path, tiny_weights):
+    dest = str(tmp_path / "det")
+    det = DetectorV3(images=IMGS, destination=dest,
+                     cfg_path="yolov3-tiny", weights_path=tiny_weights,
+                     resolution=416, confidence=0.75, nms_thresh=0.5,
+                     top_k=512, precision="highest")
+    metrics = det(verbose=False)
+
+    ref = json.load(open(os.path.join(GOLDEN,
+                                      "ref_detect_metrics_tiny.json")))
+    assert set(metrics) == set(ref)
+    for k in ref:
+        r, m = ref[k], metrics[k]
+        assert isinstance(r, int) == isinstance(m, int), k
+        if isinstance(r, int):
+            assert m == r
+            continue
+        r, m = np.array(r), np.array(m)
+        assert r.shape == m.shape, (k, r.shape, m.shape)
+        np.testing.assert_array_equal(r[:, 0], m[:, 0])   # image index
+        np.testing.assert_array_equal(r[:, 7], m[:, 7])   # class ids
+        np.testing.assert_allclose(m[:, 1:5], r[:, 1:5], atol=0.5)
+        np.testing.assert_allclose(m[:, 5:7], r[:, 5:7], atol=1e-3)
+
+    # output protocol: metrics.json written, rendered files named like the
+    # reference (det_<cfg-stem>_<img>)
+    assert os.path.exists(os.path.join(dest, "metrics.json"))
+    assert os.path.exists(os.path.join(dest, "det_yolov3-tiny_dog.jpg"))
+
+
+def test_no_detection_sentinel(tmp_path, tiny_weights):
+    dest = str(tmp_path / "det0")
+    det = DetectorV3(images=os.path.join(IMGS, "dog.jpg"), destination=dest,
+                     cfg_path="yolov3-tiny", weights_path=tiny_weights,
+                     confidence=0.9999)  # nothing passes
+    metrics = det(verbose=False)
+    assert metrics == {"dog.jpg": 0}  # the reference's int-0 protocol
+    saved = json.load(open(os.path.join(dest, "metrics.json")))
+    assert saved == {"dog.jpg": 0}
+
+
+def test_single_file_input(tmp_path, tiny_weights):
+    dest = str(tmp_path / "det1")
+    det = DetectorV3(images=os.path.join(IMGS, "dog.jpg"), destination=dest,
+                     cfg_path="yolov3-tiny", weights_path=tiny_weights,
+                     confidence=0.75, top_k=512, precision="highest")
+    metrics = det(verbose=False)
+    assert list(metrics) == ["dog.jpg"]
+    assert len(metrics["dog.jpg"]) == 35  # matches the dog golden
+
+
+def test_batched_matches_bs1(tmp_path, tiny_weights):
+    """batch_size=4 must give the same boxes as bs=1 (incl. padded tail)."""
+    d1, d4 = str(tmp_path / "b1"), str(tmp_path / "b4")
+    kw = dict(images=IMGS, cfg_path="yolov3-tiny",
+              weights_path=tiny_weights, confidence=0.75, top_k=512,
+              precision="highest", bn_mode="running")
+    m1 = DetectorV3(destination=d1, batch_size=1, **kw)(verbose=False)
+    m4 = DetectorV3(destination=d4, batch_size=4, **kw)(verbose=False)
+    assert set(m1) == set(m4)
+    for k in m1:
+        a, b = m1[k], m4[k]
+        if isinstance(a, int) or isinstance(b, int):
+            assert a == b, k
+            continue
+        np.testing.assert_allclose(np.array(a), np.array(b), atol=1e-3)
