@@ -1,0 +1,81 @@
+"""Batching + prefetch for training: padded fixed-shape device batches.
+
+The reference uses torch DataLoader worker processes with a ragged
+collate (variable-length box tuples, src/dataset.py:142-156, 320-346).
+Fixed XLA shapes need padded targets instead: every batch is
+``(images [B,D,D,3], boxes [B,M,5+C], mask [B,M])`` with a static box
+budget M.  A background thread overlaps host decode/letterbox with
+device compute (same role as DataLoader's ``num_workers=4``).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional, Sequence, Tuple
+
+import numpy as np
+
+__all__ = ["padded_batches"]
+
+
+def padded_batches(dataset, batch_size: int, max_boxes: int = 64,
+                   shuffle: bool = True, seed: int = 42,
+                   num_attrs: int = 85, drop_last: bool = False,
+                   prefetch: int = 4,
+                   epoch: int = 0) -> Iterator[Tuple[np.ndarray, np.ndarray,
+                                                     np.ndarray]]:
+    """Yield fixed-shape (images, boxes, mask) batches.
+
+    Boxes beyond ``max_boxes`` per image are dropped (logged-by-contract:
+    COCO p99 is ~40 boxes, default 64 loses <0.1% of gt).  The trailing
+    partial batch is zero-padded with an all-false mask unless
+    ``drop_last`` (images padded rows contribute only no-obj loss; pass
+    ``drop_last=True`` for strict epoch statistics).
+    """
+    n = len(dataset)
+    order = np.arange(n)
+    if shuffle:
+        np.random.RandomState(seed + epoch).shuffle(order)
+
+    q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+    stop = threading.Event()
+
+    def produce():
+        try:
+            for start in range(0, n, batch_size):
+                if stop.is_set():
+                    return
+                idxs = order[start:start + batch_size]
+                if drop_last and len(idxs) < batch_size:
+                    break
+                first = dataset[int(idxs[0])]
+                d = first[0].shape[0]
+                images = np.zeros((batch_size, d, d, 3), np.float32)
+                boxes = np.zeros((batch_size, max_boxes, num_attrs),
+                                 np.float32)
+                mask = np.zeros((batch_size, max_boxes), bool)
+                for j, di in enumerate(idxs):
+                    sample, rows = dataset[int(di)] if j else first
+                    images[j] = sample
+                    if rows is not None and len(rows):
+                        m = min(len(rows), max_boxes)
+                        boxes[j, :m] = rows[:m]
+                        mask[j, :m] = True
+                q.put((images, boxes, mask))
+            q.put(None)
+        except BaseException as e:  # surface loader errors to the consumer
+            q.put(e)
+
+    t = threading.Thread(target=produce, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()

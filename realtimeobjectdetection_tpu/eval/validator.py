@@ -1,0 +1,268 @@
+"""Validator: precision / recall / F-score on COCO-format ground truth.
+
+Rebuild of ``DarknetValidator`` (/root/reference/test.py:13-313):
+
+* COCO loader at batch 1 with image names (test.py:46-60);
+* ``target_filter``: person-class targets with w,h > min size, to xyxy
+  (test.py:62-83);
+* ``pred_filter``: predictions restricted to permitted classes, int-0
+  sentinel otherwise (test.py:85-104);
+* greedy IoU matching: dense pred x target IoU matrix (entries zeroed at
+  <= threshold), repeatedly take the global max and zero its row+column
+  (the *intent* of test.py:106-151 — the reference's staticmethods declare
+  ``self`` and crash when called; rebuilt working, vectorized);
+* TP/FP/FN bookkeeping per image and total, precision/recall/F
+  (test.py:153-208, 272-280), JSON score dumps (test.py:210-220),
+* ``validate_json`` offline re-scoring of a metrics.json-style dump
+  (test.py:282-313) and the ROC threshold sweep (test.py:330-355).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..data.coco import COCODataset
+from ..model import make_forward
+from ..models.zoo import get_spec
+from ..cfg_parser import load_graph_spec
+from ..ops.decode import decode_heads
+from ..ops.nms import nms_batch
+
+__all__ = ["DarknetValidator", "greedy_match_count"]
+
+
+def _iou_matrix_np(pred_xyxy: np.ndarray, tgt_xyxy: np.ndarray) -> np.ndarray:
+    """Dense +1-convention IoU (reference bbox_iou, src/util.py:120-153)."""
+    a, b = pred_xyxy[:, None, :], tgt_xyxy[None, :, :]
+    ix1 = np.maximum(a[..., 0], b[..., 0])
+    iy1 = np.maximum(a[..., 1], b[..., 1])
+    ix2 = np.minimum(a[..., 2], b[..., 2])
+    iy2 = np.minimum(a[..., 3], b[..., 3])
+    inter = np.clip(ix2 - ix1 + 1, 0, None) * np.clip(iy2 - iy1 + 1, 0, None)
+    aa = (a[..., 2] - a[..., 0] + 1) * (a[..., 3] - a[..., 1] + 1)
+    ab = (b[..., 2] - b[..., 0] + 1) * (b[..., 3] - b[..., 1] + 1)
+    return inter / (aa + ab - inter)
+
+
+def greedy_match_count(pred_xyxy: np.ndarray, tgt_xyxy: np.ndarray,
+                       threshold: float) -> int:
+    """Greedy bipartite matching by descending IoU; count matches."""
+    ious = _iou_matrix_np(pred_xyxy, tgt_xyxy)
+    ious = np.where(ious > threshold, ious, 0.0)
+    tp = 0
+    for _ in range(min(ious.shape)):
+        if ious.max() <= 0:
+            break
+        i, j = np.unravel_index(np.argmax(ious), ious.shape)
+        ious[i, :] = 0
+        ious[:, j] = 0
+        tp += 1
+    return tp
+
+
+class DarknetValidator:
+    def __init__(self, annotation_dir: str, img_dir: str,
+                 confidence: float = 0.6, num_classes: int = 80,
+                 nms_thresh: float = 0.5, validation_thresh: float = 0.5,
+                 resolution: int = 416, top_k: int = 256,
+                 permitted_classes: Sequence[int] = (0,),
+                 min_box_size: float = 24.0,
+                 batch_size: int = 1):
+        assert resolution % 32 == 0
+        assert 0 <= confidence <= 1 and 0 <= nms_thresh <= 1
+        self.confidence = confidence
+        self.nms_thresh = nms_thresh
+        self.validation_thresh = validation_thresh
+        self.resolution = resolution
+        self.num_classes = int(num_classes)
+        self.top_k = top_k
+        self.permitted = tuple(permitted_classes)
+        self.min_box_size = min_box_size
+        self.batch_size = batch_size
+        self.dataset = COCODataset(annotation_dir, img_dir, resolution,
+                                   keep_img_name=True)
+        self.reset_scores()
+
+    def reset_scores(self):
+        self.image_scores: Dict[str, Dict] = {}
+        self.total_scores = {"people_num": 0, "tp": 0, "fn": 0, "fp": 0}
+        self.precision = self.recall = self.f_score = float("nan")
+
+    # ------------------------------------------------------------------
+    def target_filter(self, rows: Optional[np.ndarray]) -> Optional[np.ndarray]:
+        """Permitted-class targets above min size -> xyxy (test.py:62-83)."""
+        if rows is None or len(rows) == 0:
+            return None
+        keep = (rows[:, 2] > self.min_box_size) \
+            & (rows[:, 3] > self.min_box_size) \
+            & np.isin(np.argmax(rows[:, 5:], axis=1), self.permitted)
+        rows = rows[keep]
+        if rows.shape[0] == 0:
+            return None
+        out = rows.copy()
+        out[:, 0] = rows[:, 0] - rows[:, 2] / 2
+        out[:, 1] = rows[:, 1] - rows[:, 3] / 2
+        out[:, 2] = rows[:, 0] + rows[:, 2] / 2
+        out[:, 3] = rows[:, 1] + rows[:, 3] / 2
+        return out
+
+    def pred_filter(self, rows: Optional[np.ndarray]):
+        """Permitted-class predictions or the int-0 sentinel
+        (test.py:85-104).  rows: [n, 7] NMS output (no batch column)."""
+        if rows is None or (isinstance(rows, int) and rows == 0) \
+                or len(rows) == 0:
+            return 0
+        keep = np.isin(rows[:, 6].astype(int), self.permitted)
+        rows = rows[keep]
+        return rows if len(rows) else 0
+
+    # ------------------------------------------------------------------
+    def get_img_scores(self, img_name: str, pred, target,
+                       img_scores: bool = False):
+        """Sentinel-aware TP/FP/FN bookkeeping (test.py:182-208)."""
+        tp = fp = people = 0
+        if isinstance(pred, int) and target is None:
+            return
+        if isinstance(pred, int):
+            people = len(target)
+        elif target is None:
+            fp = len(pred)
+        else:
+            people = len(target)
+            tp = greedy_match_count(pred[:, 0:4], target[:, 0:4],
+                                    self.validation_thresh)
+            fp = len(pred) - tp
+        fn = people - tp
+        if img_scores:
+            self.image_scores[img_name] = {
+                "people_num": people, "tp": tp, "fp": fp, "fn": fn}
+        self.total_scores["people_num"] += people
+        self.total_scores["tp"] += tp
+        self.total_scores["fp"] += fp
+        self.total_scores["fn"] += fn
+
+    def _finalize(self):
+        tp = float(self.total_scores["tp"])
+        fp = float(self.total_scores["fp"])
+        fn = float(self.total_scores["fn"])
+        self.precision = tp / (tp + fp) if tp + fp else float("nan")
+        self.recall = tp / (tp + fn) if tp + fn else float("nan")
+        if self.precision and self.recall and \
+                np.isfinite(self.precision) and np.isfinite(self.recall):
+            self.f_score = 2 / (1 / self.recall + 1 / self.precision)
+        else:
+            self.f_score = float("nan")
+
+    # ------------------------------------------------------------------
+    def make_detect_fn(self, spec, bn_mode: str = "batch",
+                       compute_dtype=jnp.float32, precision=None):
+        fwd = make_forward(spec, bn_mode=bn_mode,
+                           compute_dtype=compute_dtype, precision=precision)
+        reso, conf, nt, tk, nc = (self.resolution, self.confidence,
+                                  self.nms_thresh, self.top_k,
+                                  self.num_classes)
+
+        def detect(params, x):
+            pred = decode_heads(fwd(params, x), spec, reso)
+            return nms_batch(pred, nc, conf, nt, top_k=tk)
+
+        return jax.jit(detect)
+
+    def validate_model(self, spec_or_name, params, img_scores: bool = False,
+                       bn_mode: str = "batch", verbose: bool = True,
+                       precision=None):
+        """Run detection over the validation set and score it."""
+        spec = spec_or_name if not isinstance(spec_or_name, str) else (
+            load_graph_spec(spec_or_name) if os.path.isfile(spec_or_name)
+            else get_spec(spec_or_name))
+        detect = self.make_detect_fn(spec, bn_mode=bn_mode,
+                                     precision=precision)
+        params = jax.device_put(params)
+        self.reset_scores()
+        n = len(self.dataset)
+        for i in range(n):
+            img_name, sample, rows = self.dataset[i]
+            boxes, valid = detect(params, jnp.asarray(sample[None]))
+            pred = np.asarray(boxes[0])[np.asarray(valid[0])]
+            pred = self.pred_filter(pred)
+            target = self.target_filter(rows)
+            self.get_img_scores(img_name, pred, target, img_scores)
+            if verbose and (i % 50 == 0 or i == n - 1):
+                print(f"\rValidation: {i + 1}/{n}", end="", flush=True)
+        if verbose:
+            print()
+        self._finalize()
+        if verbose:
+            print("\tPrecision = ", self.precision)
+            print("\tRecall = ", self.recall)
+            print("\tF_Score = ", self.f_score)
+        return self.precision, self.recall, self.f_score
+
+    def validate_json(self, json_dir: str, img_scores: bool = False,
+                      verbose: bool = True,
+                      img_score_dir: str = "img_scores.json",
+                      total_score_dir: str = "total_scores.json"):
+        """Offline re-scoring from a metrics.json-style dump
+        (test.py:282-313).  Rows there carry a leading batch index."""
+        pred_dict = json.load(open(json_dir))
+        self.reset_scores()
+        with self.dataset.only_ground_truth():
+            for i in range(len(self.dataset)):
+                img_name, rows = self.dataset[i]
+                raw = pred_dict.get(img_name, 0)
+                if isinstance(raw, int):
+                    pred = 0
+                else:
+                    arr = np.asarray(raw, np.float32)[:, 1:]  # drop batch col
+                    pred = self.pred_filter(arr)
+                target = self.target_filter(rows)
+                self.get_img_scores(img_name, pred, target, img_scores=True)
+        self._finalize()
+        if verbose:
+            print("\tPrecision = ", self.precision)
+            print("\tRecall = ", self.recall)
+            print("\tF_Score = ", self.f_score)
+        self.save_scores(img_score_dir, total_score_dir)
+        return self.precision, self.recall, self.f_score
+
+    def save_scores(self, img_score_dir: Optional[str] = None,
+                    total_score_dir: Optional[str] = None):
+        if img_score_dir:
+            json.dump(self.image_scores, open(img_score_dir, "w"))
+        if total_score_dir:
+            json.dump(self.total_scores, open(total_score_dir, "w"))
+
+
+def roc_sweep(validator_ctor, spec_or_name, params,
+              thresholds: Optional[Sequence[float]] = None,
+              plot_path: Optional[str] = None, **validator_kw):
+    """NMS-threshold ROC sweep (reference __main__, test.py:330-355)."""
+    if thresholds is None:
+        thresholds = [0.05 * i for i in range(19, 0, -1)]
+    precision, recall, f_score = [], [], []
+    for t in thresholds:
+        v = validator_ctor(nms_thresh=t, **validator_kw)
+        p, r, f = v.validate_model(spec_or_name, params, verbose=False)
+        precision.append(p)
+        recall.append(r)
+        f_score.append(f)
+    if plot_path:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        plt.clf()
+        plt.plot(thresholds, precision, color="red")
+        plt.plot(thresholds, recall, color="blue")
+        plt.plot(thresholds, f_score, color="green")
+        plt.legend(["precision", "recall", "f score"])
+        plt.xlabel("threshold")
+        plt.ylabel("metrics")
+        plt.savefig(plot_path)
+    return thresholds, precision, recall, f_score

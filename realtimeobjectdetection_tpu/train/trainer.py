@@ -1,0 +1,236 @@
+"""Training driver — the TPU rebuild of ``DarknetTrainer``.
+
+Reference behavior (/root/reference/train.py:34-432) rebuilt around one
+pjit'd train step (see :mod:`.step`) over a device mesh:
+
+* Adam lr=1e-2 (train.py:57), seed 42 (train.py:14), resolution % 32
+  asserted (train.py:43);
+* per-epoch progress bar with batch loss + ETA printer
+  (train.py:242-283);
+* checkpoint tiers (train.py:340-341, 376-380, 403-410):
+  ``weight_epoch<N>`` per epoch, ``checkpoint`` on best metric,
+  ``training_output`` at the end — orbax pytrees of
+  {params, opt_state, step}, plus a Darknet ``.weights`` export per tier
+  so the detector can consume any checkpoint;
+* per-epoch validator hook appending precision/recall/F to history
+  (train.py:343-347, 396-401) and matplotlib loss/metric PNGs
+  (train.py:360-374);
+* resume: ``resume=True`` restores params+opt state from
+  ``training_output`` (train.py:73-77).
+
+Fixed (documented): the reference's best-checkpoint comparison keeps the
+checkpoint when ``running_loss > best_metric`` (train.py:404) — correct
+for F-score, inverted for loss; here lower-loss/higher-F wins.  The
+reference also hardcodes the COCO loader in ``train()`` (train.py:309)
+despite shipping a VOC path; ``dataset_type`` selects either.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..cfg_parser import GraphSpec, load_graph_spec
+from ..data.coco import COCODataset
+from ..data.loader import padded_batches
+from ..data.voc import VOCDataset
+from ..models.zoo import get_spec
+from ..parallel.mesh import make_mesh, shard_train_step
+from ..weights import (export_darknet_weights, init_params,
+                       load_darknet_weights)
+from .step import TrainState, init_train_state, make_train_step
+
+__all__ = ["DarknetTrainer"]
+
+
+class DarknetTrainer:
+    def __init__(self, cfg_path: str, weights_path: Optional[str] = None,
+                 epochs: int = 10, batch_size: int = 16,
+                 resolution: int = 416, confidence: float = 0.6,
+                 num_classes: int = 80, lr: float = 1e-2,
+                 resume: bool = False, out_dir: str = "weights",
+                 max_boxes: int = 64, class_filter: Optional[int] = 0,
+                 seed: int = 42, mesh=None, spatial: bool = False,
+                 compute_dtype=jnp.float32, remat: bool = False):
+        assert isinstance(epochs, int) and isinstance(batch_size, int)
+        assert resolution % 32 == 0
+        self.cfg_path = cfg_path
+        self.epochs = epochs
+        self.batch_size = batch_size
+        self.resolution = int(resolution)
+        self.confidence = confidence
+        self.num_classes = num_classes
+        self.out_dir = out_dir
+        self.max_boxes = max_boxes
+        self.seed = seed
+        self.validator = None
+        self.history: Dict[str, List[float]] = {}
+
+        self.spec = (load_graph_spec(cfg_path) if os.path.isfile(cfg_path)
+                     else get_spec(cfg_path))
+        if weights_path:
+            params, _ = load_darknet_weights(self.spec, weights_path)
+        else:
+            params = init_params(self.spec, seed)
+
+        self.optimizer = optax.adam(lr)
+        self.step_fn = make_train_step(
+            self.spec, self.optimizer, resolution=self.resolution,
+            class_filter=class_filter, compute_dtype=compute_dtype,
+            remat=remat)
+
+        # mesh: None = auto (DP over all devices when the batch divides
+        # evenly), False = force single-device, or an explicit Mesh
+        if mesh is None:
+            n = len(jax.devices())
+            self.mesh = make_mesh() if (n > 1 and batch_size % n == 0) \
+                else None
+        else:
+            self.mesh = mesh or None
+        if self.mesh is not None:
+            self.step_jit = shard_train_step(self.step_fn, self.mesh,
+                                             spatial=spatial)
+        else:
+            self.step_jit = jax.jit(self.step_fn)
+
+        self.state = init_train_state(params, self.optimizer)
+        if resume:
+            self.restore(os.path.join(self.out_dir, "training_output"))
+        print("\nTrainer is ready!!\n")
+        print(f"devices = {jax.devices()}\n")
+
+    # ------------------------------------------------------------------
+    # checkpointing (orbax pytree + darknet .weights export)
+    def save(self, name: str):
+        import orbax.checkpoint as ocp
+        path = os.path.abspath(os.path.join(self.out_dir, name))
+        ckptr = ocp.PyTreeCheckpointer()
+        ckptr.save(path, jax.device_get(self.state), force=True)
+        # interop: raw Darknet weights next to the pytree
+        params = jax.device_get(self.state.params)
+        blob = export_darknet_weights(self.spec, params,
+                                      seen=int(self.state.step))
+        with open(path + ".weights", "wb") as f:
+            f.write(blob)
+
+    def restore(self, path: str):
+        import orbax.checkpoint as ocp
+        path = os.path.abspath(path)
+        ckptr = ocp.PyTreeCheckpointer()
+        template = jax.device_get(self.state)
+        restored = ckptr.restore(path, item=template)
+        self.state = jax.device_put(TrainState(*restored))
+
+    # ------------------------------------------------------------------
+    def get_validator(self, annotation_dir: str, img_dir: str):
+        from ..eval.validator import DarknetValidator
+        self.validator = DarknetValidator(annotation_dir, img_dir,
+                                          confidence=self.confidence,
+                                          resolution=self.resolution)
+
+    @staticmethod
+    def progress_bar(epoch, batch, batch_num, loss):
+        """Reference-style bar (train.py:242-267)."""
+        bar_length = 60
+        percent = batch / batch_num * 100
+        bar = f"Epoch: {epoch:3d} Batch: {batch:3d} "
+        bar += f"Loss: {loss:<10.2f} {percent:>6.2f}% "
+        filled = int(round(percent) * bar_length / 100)
+        bar += "|" + "=" * filled + ">" + " " * (bar_length - filled) + "|"
+        end = "\n" if batch == batch_num else ""
+        print("\r" + bar, end=end, flush=True)
+
+    @staticmethod
+    def epoch_eta(t_start, t_end, remaining_epoch):
+        delta = (t_end - t_start) * remaining_epoch
+        print("\tETA: {0}:{1}:{2}\n".format(
+            int(delta // 3600), int(delta % 3600 // 60),
+            int(delta % 60)))
+
+    # ------------------------------------------------------------------
+    def _make_dataset(self, annotation_dir, img_dir, dataset_type):
+        if dataset_type.upper() == "VOC":
+            return VOCDataset(annotation_dir, img_dir, self.resolution)
+        return COCODataset(annotation_dir, img_dir, self.resolution)
+
+    def train(self, annotation_dir: str, img_dir: str,
+              dataset_type: str = "COCO", verbose: bool = True):
+        os.makedirs(self.out_dir, exist_ok=True)
+        dataset = self._make_dataset(annotation_dir, img_dir, dataset_type)
+        data_num = len(dataset)
+        batch_num = max(1, (data_num + self.batch_size - 1)
+                        // self.batch_size)
+        self.history.setdefault("train_loss", [])
+        self.history.setdefault("train_precision", [])
+        self.history.setdefault("train_recall", [])
+        self.history.setdefault("train_f_score", [])
+        best_metric = None
+
+        for epoch in range(1, self.epochs + 1):
+            t_start = time.time()
+            running_loss = 0.0
+            for b, (images, boxes, mask) in enumerate(padded_batches(
+                    dataset, self.batch_size, self.max_boxes,
+                    shuffle=True, seed=self.seed, epoch=epoch)):
+                self.state, loss = self.step_jit(
+                    self.state, jnp.asarray(images), jnp.asarray(boxes),
+                    jnp.asarray(mask))
+                loss = float(loss)
+                running_loss += loss
+                if verbose:
+                    self.progress_bar(epoch, b + 1, batch_num, loss)
+
+            self.save(f"weight_epoch{epoch}")
+            if self.validator is None:
+                metric, higher_better = running_loss, False
+            else:
+                self.validator.validate_model(self.spec, self.state.params,
+                                              verbose=verbose)
+                self.history["train_precision"].append(
+                    self.validator.precision)
+                self.history["train_recall"].append(self.validator.recall)
+                self.history["train_f_score"].append(self.validator.f_score)
+                metric, higher_better = self.validator.f_score, True
+            improved = (best_metric is None
+                        or (metric > best_metric) == higher_better)
+            if improved:
+                best_metric = metric
+                self.save("checkpoint")
+
+            self.history["train_loss"].append(running_loss / batch_num)
+            if verbose:
+                print(f"\n\tAverage Epoch Loss: {running_loss / data_num}")
+                self.epoch_eta(t_start, time.time(), self.epochs - epoch)
+
+        self.save("training_output")
+        self._plots()
+        if verbose:
+            print("Training is finished !!\n")
+        return self.history
+
+    def _plots(self):
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        epochs = list(range(1, len(self.history["train_loss"]) + 1))
+        plt.plot(epochs, self.history["train_loss"], color="red")
+        plt.xlabel("epoch number")
+        plt.ylabel("loss")
+        plt.savefig(os.path.join(self.out_dir, "loss_graph.png"))
+        plt.clf()
+        if self.validator is not None and self.history["train_precision"]:
+            plt.plot(epochs, self.history["train_precision"], color="blue")
+            plt.plot(epochs, self.history["train_recall"], color="green")
+            plt.plot(epochs, self.history["train_f_score"], color="yellow")
+            plt.legend(["precision", "recall", "f_score"])
+            plt.xlabel("epoch number")
+            plt.ylabel("metrics")
+            plt.savefig(os.path.join(self.out_dir, "metric_graph.png"))
+            plt.clf()

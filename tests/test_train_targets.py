@@ -1,0 +1,98 @@
+"""Target assignment + loss parity vs the reference trainer goldens,
+plus a full sharded train-step smoke test on the 8-device CPU mesh."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from realtimeobjectdetection_tpu.models import get_spec
+from realtimeobjectdetection_tpu.train.loss import yolo_loss
+from realtimeobjectdetection_tpu.train.targets import build_targets
+from realtimeobjectdetection_tpu.train.step import (init_train_state,
+                                                    make_train_step)
+from realtimeobjectdetection_tpu.weights import init_params
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+
+
+@pytest.mark.parametrize("name", ["yolov3-tiny", "yolov3"])
+def test_targets_match_reference(name):
+    d = np.load(os.path.join(GOLDEN, f"{name}_train_targets.npz"))
+    spec = get_spec(name)
+    np.testing.assert_array_equal(
+        np.array(spec.anchors_in_detection_order, np.float32), d["anchors"])
+    target, mask = build_targets(
+        spec, jnp.asarray(d["boxes"]), jnp.asarray(d["box_mask"]),
+        resolution=416, class_filter=0,
+        reference_bug_wh_iou=True, parity_swap_xy=True)
+    np.testing.assert_array_equal(np.asarray(mask), d["obj_mask"])
+    np.testing.assert_allclose(np.asarray(target), d["target"],
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("name", ["yolov3-tiny"])
+def test_loss_matches_reference(name):
+    d = np.load(os.path.join(GOLDEN, f"{name}_train_targets.npz"))
+    loss = yolo_loss(jnp.asarray(d["pred"]), jnp.asarray(d["target"]),
+                     jnp.asarray(d["obj_mask"]))
+    np.testing.assert_allclose(float(loss), float(d["loss"]),
+                               rtol=1e-5)
+
+
+def test_corrected_xy_orientation():
+    """Default (non-parity) targets put the x-fraction in column 0."""
+    spec = get_spec("yolov3-tiny")
+    # one box: cx=100.5*32/32... pick cx so x-frac != y-frac
+    box = np.zeros((1, 1, 85), np.float32)
+    box[0, 0, :4] = [110.0, 50.0, 100.0, 60.0]  # cx=110 cy=50
+    box[0, 0, 4] = 1.0
+    box[0, 0, 5] = 1.0
+    m = np.ones((1, 1), bool)
+    t, tm = build_targets(spec, jnp.asarray(box), jnp.asarray(m),
+                          parity_swap_xy=False)
+    rows = np.asarray(t[0][np.asarray(tm[0])])
+    # grid 13: stride 32 -> x_frac=110/32-3=0.4375, y_frac=50/32-1=0.5625
+    assert rows.shape[0] >= 1
+    r13 = rows[0]
+    np.testing.assert_allclose(r13[0], 0.4375, atol=1e-6)
+    np.testing.assert_allclose(r13[1], 0.5625, atol=1e-6)
+
+
+def test_sharded_train_step_8dev(cpu_devices):
+    """Full DP+SP train step on the emulated 8-device mesh: loss finite,
+    params update, BN running stats move."""
+    from realtimeobjectdetection_tpu.parallel.mesh import (make_mesh,
+                                                           shard_train_step)
+    spec = get_spec("yolov3-tiny", width=160, height=160)
+    params = init_params(spec, 0)
+    opt = optax.adam(1e-3)
+    step = make_train_step(spec, opt, resolution=160)
+    mesh = make_mesh(8, data=4, space=2)
+    sharded = shard_train_step(step, mesh, spatial=True)
+
+    state = init_train_state(params, opt)
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(8, 160, 160, 3), jnp.float32)
+    boxes = np.zeros((8, 4, 85), np.float32)
+    boxes[:, :, 0:4] = rng.uniform(30, 130, (8, 4, 4))
+    boxes[:, :, 4] = 1.0
+    boxes[:, :, 5] = 1.0
+    mask = np.ones((8, 4), bool)
+
+    with mesh:
+        state2, loss = sharded(state, images, jnp.asarray(boxes),
+                               jnp.asarray(mask))
+        state3, loss2 = sharded(state2, images, jnp.asarray(boxes),
+                                jnp.asarray(mask))
+    assert np.isfinite(float(loss)) and np.isfinite(float(loss2))
+    assert float(loss2) != float(loss)  # optimizer actually moved
+    w0 = np.asarray(params["node_0"]["w"])
+    w2 = np.asarray(state2.params["node_0"]["w"])
+    assert np.abs(w2 - w0).max() > 0
+    # running stats moved toward batch stats
+    assert np.abs(np.asarray(state2.params["node_0"]["bn_mean"])).max() > 0
+    assert int(state3.step) == 2
