@@ -1,0 +1,328 @@
+"""Native YOLOv5 (v6.x) graph — CSP-C3 backbone, SPPF, PANet, SiLU.
+
+The reference has no YOLOv5 implementation at all: it downloads the
+entire model through ``torch.hub.load('ultralytics/yolov5', ...)``
+(/root/reference/detect.py:258) and delegates preprocessing, forward,
+NMS, and rendering to ultralytics' AutoShape.  Owning that capability
+requires a native graph + a weight converter from the ultralytics
+checkpoint format (offline torch is only a dev-time dependency).
+
+Architecture (yolov5{n,s,m,l,x} = depth/width multiples of the same
+graph): Conv(6x6/2) stem, C3 stages [3,6,9,3], SPPF tail; PAN head with
+two top-down and two bottom-up fusions; 3-scale Detect at strides
+8/16/32 with the standard COCO anchors.
+
+Numerics notes: BatchNorm eps=1e-3 (ultralytics convention, vs 1e-5 in
+Darknet); activation SiLU; v5 decode ``xy=(2σ-0.5+grid)·stride``,
+``wh=(2σ)²·anchor``, confidence = objectness · class score.
+
+Inference-only BN (folded at load): v5 training in this framework uses
+the Darknet family; the v5 path exists for detection parity with the
+reference's hub pipeline.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+__all__ = ["YoloV5Config", "yolov5_config", "init_yolov5_params",
+           "make_yolov5_forward", "decode_v5", "params_from_ultralytics",
+           "V5_ANCHORS", "V5_STRIDES"]
+
+V5_ANCHORS = (
+    ((10, 13), (16, 30), (33, 23)),      # P3/8
+    ((30, 61), (62, 45), (59, 119)),     # P4/16
+    ((116, 90), (156, 198), (373, 326)),  # P5/32
+)
+V5_STRIDES = (8, 16, 32)
+BN_EPS_V5 = 1e-3
+
+_MULTIPLES = {
+    "n": (0.33, 0.25), "s": (0.33, 0.50), "m": (0.67, 0.75),
+    "l": (1.00, 1.00), "x": (1.33, 1.25),
+}
+
+
+def _make_divisible(x: float, div: int = 8) -> int:
+    return int(math.ceil(x / div) * div)
+
+
+class YoloV5Config:
+    """Resolved layer widths/depths for one model size."""
+
+    def __init__(self, size: str = "l", num_classes: int = 80):
+        size = size.lower()
+        depth, width = _MULTIPLES[size]
+        self.size = size
+        self.num_classes = num_classes
+        gw = lambda c: _make_divisible(c * width)
+        gd = lambda n: max(round(n * depth), 1)
+        self.ch = [gw(64), gw(128), gw(256), gw(512), gw(1024)]
+        self.depths = [gd(3), gd(6), gd(9), gd(3)]       # backbone C3 reps
+        self.head_depth = gd(3)                           # head C3 reps
+        self.no = 3 * (5 + num_classes)                   # detect channels
+
+
+def yolov5_config(size: str = "l", num_classes: int = 80) -> YoloV5Config:
+    return YoloV5Config(size, num_classes)
+
+
+# ---------------------------------------------------------------------------
+# parameter construction
+# ---------------------------------------------------------------------------
+
+def _conv_param(rng, c1, c2, k):
+    fan_in = c1 * k * k
+    w = rng.normal(0, np.sqrt(2.0 / fan_in), (k, k, c1, c2))
+    return {"w": w.astype(np.float32),
+            "b": np.zeros(c2, np.float32)}  # BN folded: bias slot
+
+
+def _bottleneck_params(rng, c1, c2, e=1.0):
+    c_ = int(c2 * e)
+    return {"cv1": _conv_param(rng, c1, c_, 1),
+            "cv2": _conv_param(rng, c_, c2, 3)}
+
+
+def _c3_params(rng, c1, c2, n, e=0.5):
+    c_ = int(c2 * e)
+    return {
+        "cv1": _conv_param(rng, c1, c_, 1),
+        "cv2": _conv_param(rng, c1, c_, 1),
+        "cv3": _conv_param(rng, 2 * c_, c2, 1),
+        "m": [_bottleneck_params(rng, c_, c_, 1.0) for _ in range(n)],
+    }
+
+
+def _sppf_params(rng, c1, c2):
+    c_ = c1 // 2
+    return {"cv1": _conv_param(rng, c1, c_, 1),
+            "cv2": _conv_param(rng, c_ * 4, c2, 1)}
+
+
+def init_yolov5_params(cfg: YoloV5Config, seed: int = 0) -> Dict:
+    """Random fold-BN parameter pytree, keys = ultralytics module index."""
+    rng = np.random.RandomState(seed)
+    ch = cfg.ch
+    d = cfg.depths
+    hd = cfg.head_depth
+    p: Dict[str, object] = {}
+    p["m0"] = _conv_param(rng, 3, ch[0], 6)                 # stem 6x6/2
+    p["m1"] = _conv_param(rng, ch[0], ch[1], 3)             # /4
+    p["m2"] = _c3_params(rng, ch[1], ch[1], d[0])
+    p["m3"] = _conv_param(rng, ch[1], ch[2], 3)             # /8
+    p["m4"] = _c3_params(rng, ch[2], ch[2], d[1])           # -> P3
+    p["m5"] = _conv_param(rng, ch[2], ch[3], 3)             # /16
+    p["m6"] = _c3_params(rng, ch[3], ch[3], d[2])           # -> P4
+    p["m7"] = _conv_param(rng, ch[3], ch[4], 3)             # /32
+    p["m8"] = _c3_params(rng, ch[4], ch[4], d[3])
+    p["m9"] = _sppf_params(rng, ch[4], ch[4])
+    # PAN head
+    p["m10"] = _conv_param(rng, ch[4], ch[3], 1)
+    p["m13"] = _c3_params(rng, ch[3] * 2, ch[3], hd)
+    p["m14"] = _conv_param(rng, ch[3], ch[2], 1)
+    p["m17"] = _c3_params(rng, ch[2] * 2, ch[2], hd)        # -> P3 out
+    p["m18"] = _conv_param(rng, ch[2], ch[2], 3)            # down
+    p["m20"] = _c3_params(rng, ch[2] * 2, ch[3], hd)        # -> P4 out
+    p["m21"] = _conv_param(rng, ch[3], ch[3], 3)            # down
+    p["m23"] = _c3_params(rng, ch[3] * 2, ch[4], hd)        # -> P5 out
+    p["m24"] = {                                             # Detect
+        "0": _conv_param(rng, ch[2], cfg.no, 1),
+        "1": _conv_param(rng, ch[3], cfg.no, 1),
+        "2": _conv_param(rng, ch[4], cfg.no, 1),
+    }
+    return p
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def _conv(x, p, stride=1, compute_dtype=jnp.bfloat16, act=True):
+    k = p["w"].shape[0]
+    pad = (k - 1) // 2 if k != 6 else 2   # stem 6x6/2 uses pad 2
+    y = lax.conv_general_dilated(
+        x.astype(compute_dtype), jnp.asarray(p["w"]).astype(compute_dtype),
+        (stride, stride), [(pad, pad), (pad, pad)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    y = y + jnp.asarray(p["b"])[None, None, None, :]
+    if act:
+        y = y * jax.nn.sigmoid(y)  # SiLU
+    return y
+
+
+def _bottleneck(x, p, shortcut, dtype):
+    y = _conv(x, p["cv1"], 1, dtype)
+    y = _conv(y, p["cv2"], 1, dtype)
+    return x + y if shortcut else y
+
+
+def _c3(x, p, shortcut, dtype):
+    y1 = _conv(x, p["cv1"], 1, dtype)
+    for bp in p["m"]:
+        y1 = _bottleneck(y1, bp, shortcut, dtype)
+    y2 = _conv(x, p["cv2"], 1, dtype)
+    return _conv(jnp.concatenate([y1, y2], -1), p["cv3"], 1, dtype)
+
+
+def _sppf(x, p, dtype, k=5):
+    y = _conv(x, p["cv1"], 1, dtype)
+    pads = [(0, 0), (k // 2, k // 2), (k // 2, k // 2), (0, 0)]
+    pool = lambda t: lax.reduce_window(t, -jnp.inf, lax.max,
+                                       (1, k, k, 1), (1, 1, 1, 1),
+                                       [(0, 0), (k // 2, k // 2),
+                                        (k // 2, k // 2), (0, 0)])
+    y1 = pool(y)
+    y2 = pool(y1)
+    y3 = pool(y2)
+    return _conv(jnp.concatenate([y, y1, y2, y3], -1), p["cv2"], 1, dtype)
+
+
+def _upsample2(x):
+    b, h, w, c = x.shape
+    # nearest x2 (ultralytics nn.Upsample(mode='nearest'))
+    x = x[:, :, None, :, None, :]
+    x = jnp.broadcast_to(x, (b, h, 2, w, 2, c))
+    return x.reshape(b, h * 2, w * 2, c)
+
+
+def make_yolov5_forward(cfg: YoloV5Config, compute_dtype=jnp.bfloat16):
+    """Build ``forward(params, x) -> [p3, p4, p5]`` raw heads (NHWC)."""
+
+    def forward(p, x):
+        dt = compute_dtype
+        x = _conv(x, p["m0"], 2, dt)
+        x = _conv(x, p["m1"], 2, dt)
+        x = _c3(x, p["m2"], True, dt)
+        x = _conv(x, p["m3"], 2, dt)
+        p3 = _c3(x, p["m4"], True, dt)
+        x = _conv(p3, p["m5"], 2, dt)
+        p4 = _c3(x, p["m6"], True, dt)
+        x = _conv(p4, p["m7"], 2, dt)
+        x = _c3(x, p["m8"], True, dt)
+        p5 = _sppf(x, p["m9"], dt)
+
+        t5 = _conv(p5, p["m10"], 1, dt)                       # 512
+        x = jnp.concatenate([_upsample2(t5), p4], -1)
+        f4 = _c3(x, p["m13"], False, dt)
+        t4 = _conv(f4, p["m14"], 1, dt)                       # 256
+        x = jnp.concatenate([_upsample2(t4), p3], -1)
+        out3 = _c3(x, p["m17"], False, dt)                    # P3/8
+        x = jnp.concatenate([_conv(out3, p["m18"], 2, dt), t4], -1)
+        out4 = _c3(x, p["m20"], False, dt)                    # P4/16
+        x = jnp.concatenate([_conv(out4, p["m21"], 2, dt), t5], -1)
+        out5 = _c3(x, p["m23"], False, dt)                    # P5/32
+
+        h3 = _conv(out3, p["m24"]["0"], 1, dt, act=False)
+        h4 = _conv(out4, p["m24"]["1"], 1, dt, act=False)
+        h5 = _conv(out5, p["m24"]["2"], 1, dt, act=False)
+        return [h3, h4, h5]
+
+    return forward
+
+
+def decode_v5(heads: List[jnp.ndarray], num_classes: int,
+              anchors=V5_ANCHORS, strides=V5_STRIDES) -> jnp.ndarray:
+    """v5 decode: xy=(2σ-0.5+grid)·stride, wh=(2σ)²·anchor.
+
+    Returns ``[B, N, 5+C]`` with sigmoided obj/cls, boxes in pixels.
+    """
+    parts = []
+    for head, anc, stride in zip(heads, anchors, strides):
+        b, h, w, _ = head.shape
+        a = len(anc)
+        c = 5 + num_classes
+        p = jax.nn.sigmoid(head.reshape(b, h * w, a, c))
+        cols = jnp.arange(w, dtype=head.dtype)
+        rows = jnp.arange(h, dtype=head.dtype)
+        gx, gy = jnp.meshgrid(cols, rows)
+        offs = jnp.stack([gx, gy], -1).reshape(1, h * w, 1, 2)
+        anc_a = jnp.asarray(anc, head.dtype).reshape(1, 1, a, 2)
+        xy = (p[..., 0:2] * 2.0 - 0.5 + offs) * stride
+        wh = jnp.square(p[..., 2:4] * 2.0) * anc_a
+        out = jnp.concatenate([xy, wh, p[..., 4:]], -1)
+        parts.append(out.reshape(b, h * w * a, c))
+    return jnp.concatenate(parts, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# ultralytics checkpoint conversion (offline dev path)
+# ---------------------------------------------------------------------------
+
+def _fold_conv_bn(sd, prefix: str) -> Dict[str, np.ndarray]:
+    """ultralytics Conv(conv+bn) -> folded HWIO kernel + bias."""
+    def g(name):
+        v = sd[prefix + name]
+        if hasattr(v, "detach"):
+            v = v.detach().cpu().numpy()
+        return np.asarray(v, np.float32)
+
+    w = g(".conv.weight").transpose(2, 3, 1, 0)  # OIHW -> HWIO
+    if prefix + ".bn.weight" in sd:
+        gamma, beta = g(".bn.weight"), g(".bn.bias")
+        mean, var = g(".bn.running_mean"), g(".bn.running_var")
+        scale = gamma / np.sqrt(var + BN_EPS_V5)
+        return {"w": (w * scale[None, None, None, :]).astype(np.float32),
+                "b": (beta - mean * scale).astype(np.float32)}
+    b = g(".conv.bias") if prefix + ".conv.bias" in sd \
+        else np.zeros(w.shape[-1], np.float32)
+    return {"w": np.ascontiguousarray(w), "b": b}
+
+
+def _detect_conv(sd, prefix: str) -> Dict[str, np.ndarray]:
+    def g(name):
+        v = sd[prefix + name]
+        if hasattr(v, "detach"):
+            v = v.detach().cpu().numpy()
+        return np.asarray(v, np.float32)
+    return {"w": np.ascontiguousarray(g(".weight").transpose(2, 3, 1, 0)),
+            "b": g(".bias")}
+
+
+def params_from_ultralytics(cfg: YoloV5Config, state_dict) -> Dict:
+    """Map an ultralytics yolov5 ``model.state_dict()`` into our pytree.
+
+    Keys follow ``model.<idx>.<module>`` (e.g. ``model.2.cv1.conv.weight``,
+    detect head ``model.24.m.<scale>.weight``).  BN is folded at load.
+    """
+    sd = {}
+    for k, v in state_dict.items():
+        if k.startswith("model.model."):
+            k = k[len("model."):]
+        sd[k] = v
+
+    def conv(i):
+        return _fold_conv_bn(sd, f"model.{i}")
+
+    def c3(i, n):
+        out = {"cv1": _fold_conv_bn(sd, f"model.{i}.cv1"),
+               "cv2": _fold_conv_bn(sd, f"model.{i}.cv2"),
+               "cv3": _fold_conv_bn(sd, f"model.{i}.cv3"),
+               "m": []}
+        for j in range(n):
+            out["m"].append({
+                "cv1": _fold_conv_bn(sd, f"model.{i}.m.{j}.cv1"),
+                "cv2": _fold_conv_bn(sd, f"model.{i}.m.{j}.cv2")})
+        return out
+
+    d, hd = cfg.depths, cfg.head_depth
+    p = {
+        "m0": conv(0), "m1": conv(1), "m2": c3(2, d[0]), "m3": conv(3),
+        "m4": c3(4, d[1]), "m5": conv(5), "m6": c3(6, d[2]),
+        "m7": conv(7), "m8": c3(8, d[3]),
+        "m9": {"cv1": _fold_conv_bn(sd, "model.9.cv1"),
+               "cv2": _fold_conv_bn(sd, "model.9.cv2")},
+        "m10": conv(10), "m13": c3(13, hd), "m14": conv(14),
+        "m17": c3(17, hd), "m18": conv(18), "m20": c3(20, hd),
+        "m21": conv(21), "m23": c3(23, hd),
+        "m24": {str(s): _detect_conv(sd, f"model.24.m.{s}")
+                for s in range(3)},
+    }
+    return p

@@ -112,3 +112,60 @@ def nms_batch(pred: jnp.ndarray, num_classes: int, confidence: float,
                            confidence=confidence, nms_thresh=nms_thresh,
                            top_k=top_k, plus_one_iou=plus_one_iou)
     return jax.vmap(fn)(pred)
+
+
+def nms_image_v5(pred: jnp.ndarray, num_classes: int, conf_thresh: float,
+                 iou_thresh: float, top_k: int = 512,
+                 max_det: int = 300) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Ultralytics-semantics NMS (the v5 hub pipeline the reference uses).
+
+    Differences from the Darknet path: candidate score is
+    ``objectness * best class score`` (both thresholded at conf_thresh),
+    standard IoU (no +1), rows ordered by confidence descending (not
+    class-grouped), output ``[max_det, 6]`` rows ``[x1,y1,x2,y2,conf,cls]``.
+    """
+    n = pred.shape[0]
+    k = min(top_k, n)
+
+    obj = pred[:, 4]
+    cls_scores = pred[:, 5:5 + num_classes]
+    cls_best = jnp.max(cls_scores, axis=-1)
+    cls_id = jnp.argmax(cls_scores, axis=-1)
+    conf = obj * cls_best
+    valid = (obj > conf_thresh) & (conf > conf_thresh)
+
+    score = jnp.where(valid, conf, -1.0)
+    top_scores, top_idx = jax.lax.top_k(score, k)
+    cand = pred[top_idx]
+    cand_valid = top_scores > conf_thresh
+    cand_conf = top_scores
+    cand_cls = cls_id[top_idx]
+
+    cx, cy, w, h = cand[:, 0], cand[:, 1], cand[:, 2], cand[:, 3]
+    corners = jnp.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2],
+                        axis=-1)
+
+    ious = iou_matrix(corners, corners, plus_one=False)
+    same_class = cand_cls[:, None] == cand_cls[None, :]
+    later = jnp.arange(k)[:, None] < jnp.arange(k)[None, :]
+    suppress = (ious > iou_thresh) & same_class & later
+
+    def body(i, keep):
+        return keep & ~(suppress[i] & keep[i])
+
+    keep = jax.lax.fori_loop(0, k, body, cand_valid)
+
+    # rows already conf-descending from top_k; kept rows first
+    order = jnp.argsort(jnp.where(keep, 0, 1), stable=True)[:max_det]
+    out = jnp.concatenate([
+        corners, cand_conf[:, None],
+        cand_cls.astype(pred.dtype)[:, None]], axis=-1)
+    return out[order], keep[order]
+
+
+def nms_batch_v5(pred, num_classes, conf_thresh, iou_thresh,
+                 top_k: int = 512, max_det: int = 300):
+    fn = functools.partial(nms_image_v5, num_classes=num_classes,
+                           conf_thresh=conf_thresh, iou_thresh=iou_thresh,
+                           top_k=top_k, max_det=max_det)
+    return jax.vmap(fn)(pred)

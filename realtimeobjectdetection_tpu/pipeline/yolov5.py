@@ -1,0 +1,170 @@
+"""YOLOv5 detection driver — native replacement for the hub pipeline.
+
+The reference's ``Darknetv5Detector`` (/root/reference/detect.py:255-285)
+downloads the model via torch.hub and lets ultralytics AutoShape do
+everything: glob ``*.jpg``/``*.png``, letterbox (gray 114), forward, NMS
+(conf 0.25, IoU 0.45, max 300), render, save ``det_yolov5_<name>``.
+
+This driver owns that pipeline natively: our YOLOv5 graph
+(:mod:`..models.yolov5`), jitted forward + decode + v5-semantics NMS on
+TPU, and ultralytics-style rendering.  Weights come from a converted
+ultralytics state dict (``--weights foo.pt`` saved via
+``torch.save(model.state_dict())`` or an ``.npz`` export) — the zero-
+egress build environment cannot fetch hub checkpoints, so random init
+is the fallback (documented; the graph + converter carry the parity).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+try:
+    import cv2
+except Exception:  # pragma: no cover
+    cv2 = None
+
+import jax
+import jax.numpy as jnp
+
+from ..data.classnames import COCO80
+from ..models.yolov5 import (YoloV5Config, decode_v5, init_yolov5_params,
+                             make_yolov5_forward, params_from_ultralytics)
+from ..ops.letterbox import letterbox_params
+from ..ops.nms import nms_batch_v5
+from .render import draw_detection, make_palette
+
+__all__ = ["DetectorV5"]
+
+V5_PAD_COLOR = 114  # ultralytics letterbox gray
+
+
+def letterbox_v5(img: np.ndarray, size: int) -> np.ndarray:
+    """Square letterbox with 114-gray padding, bilinear resize
+    (AutoShape's non-rect path)."""
+    h, w = img.shape[:2]
+    _, new_w, new_h, off_x, off_y = letterbox_params(w, h, size)
+    resized = cv2.resize(img, (new_w, new_h), interpolation=cv2.INTER_LINEAR)
+    canvas = np.full((size, size, 3), V5_PAD_COLOR, np.uint8)
+    canvas[off_y:off_y + new_h, off_x:off_x + new_w] = resized
+    return canvas
+
+
+class DetectorV5:
+    def __init__(self, images: str, model_size: str = "L",
+                 destination: str = "det",
+                 weights_path: Optional[str] = None,
+                 size: int = 640, confidence: float = 0.25,
+                 iou_thresh: float = 0.45, max_det: int = 300,
+                 num_classes: int = 80, batch_size: int = 1,
+                 compute_dtype=jnp.bfloat16):
+        if model_size.upper() not in ("N", "S", "M", "L", "X"):
+            raise Exception("Unknown YOLOv5 size input")
+        self.cfg = YoloV5Config(model_size.lower(), num_classes)
+        self.images_dir = images
+        self.destination = destination
+        self.size = size
+        self.confidence = confidence
+        self.iou_thresh = iou_thresh
+        self.max_det = max_det
+        self.batch_size = batch_size
+        self.classes = COCO80
+        self.metrics: Dict[str, object] = {}
+
+        self.params = self._load_params(weights_path)
+        self.params = jax.device_put(self.params)
+        fwd = make_yolov5_forward(self.cfg, compute_dtype=compute_dtype)
+        nc, conf, iou, md = num_classes, confidence, iou_thresh, max_det
+
+        def detect(p, x):
+            pred = decode_v5(fwd(p, x), nc)
+            return nms_batch_v5(pred, nc, conf, iou, max_det=md)
+
+        self._detect = jax.jit(detect)
+
+    def _load_params(self, weights_path):
+        if weights_path is None:
+            return init_yolov5_params(self.cfg, seed=0)
+        if weights_path.endswith(".npz"):
+            flat = np.load(weights_path)
+            return _unflatten(dict(flat))
+        import torch  # offline dev dependency
+        obj = torch.load(weights_path, map_location="cpu",
+                         weights_only=False)
+        if hasattr(obj, "state_dict"):
+            obj = obj.state_dict()
+        elif isinstance(obj, dict) and "model" in obj \
+                and hasattr(obj["model"], "state_dict"):
+            obj = obj["model"].state_dict()
+        return params_from_ultralytics(self.cfg, obj)
+
+    # ------------------------------------------------------------------
+    def list_images(self) -> List[str]:
+        """Parity with detect.py:259-260 (glob jpg + png)."""
+        paths = glob.glob(os.path.join(self.images_dir, "*.jpg"))
+        paths.extend(glob.glob(os.path.join(self.images_dir, "*.png")))
+        return paths
+
+    def __call__(self, verbose: bool = True) -> Dict[str, object]:
+        os.makedirs(self.destination, exist_ok=True)
+        palette = make_palette(100)
+        paths = self.list_images()
+        for i, path in enumerate(paths):
+            img = cv2.imread(path)
+            name = os.path.basename(path)
+            h, w = img.shape[:2]
+            canvas = letterbox_v5(img, self.size)
+            x = (canvas[:, :, ::-1].astype(np.float32) / 255.0)[None]
+            t0 = time.time()
+            boxes, valid = self._detect(self.params, jnp.asarray(x))
+            rows = np.asarray(boxes[0])[np.asarray(valid[0])]
+            dt = time.time() - t0
+            rows = self._unletterbox(rows, w, h)
+            self.metrics[name] = rows.tolist() if len(rows) else 0
+            for r in rows:
+                cls = int(r[5])
+                draw_detection(img, r[:4], self.classes[cls], float(r[4]),
+                               palette[cls % len(palette)])
+            out = os.path.join(self.destination, "det_yolov5_" + name)
+            cv2.imwrite(out, img)
+            if verbose:
+                print(f"{name:20s} {len(rows)} objects in {dt:6.3f}s")
+        return self.metrics
+
+    def _unletterbox(self, rows: np.ndarray, w: int, h: int) -> np.ndarray:
+        if len(rows) == 0:
+            return rows
+        scale, _, _, off_x, off_y = letterbox_params(w, h, self.size)
+        out = rows.copy()
+        out[:, [0, 2]] = np.clip((out[:, [0, 2]] - off_x) / scale, 0, w)
+        out[:, [1, 3]] = np.clip((out[:, [1, 3]] - off_y) / scale, 0, h)
+        return out
+
+
+def _unflatten(flat: Dict[str, np.ndarray]) -> Dict:
+    """'m0/w'-style flat npz -> nested pytree (lists for C3 'm' stacks)."""
+    tree: Dict = {}
+    for key, val in flat.items():
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = val
+
+    def fix_m(node):
+        if isinstance(node, dict):
+            out = {}
+            for k, v in node.items():
+                if k == "m" and isinstance(v, dict) \
+                        and all(s.isdigit() for s in v):
+                    out[k] = [fix_m(v[str(i)]) for i in range(len(v))]
+                else:
+                    out[k] = fix_m(v)
+            return out
+        return node
+
+    return fix_m(tree)

@@ -1,0 +1,154 @@
+"""Native YOLOv5: shapes, decode semantics, converter mapping, NMS."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from realtimeobjectdetection_tpu.models.yolov5 import (
+    V5_ANCHORS, YoloV5Config, decode_v5, init_yolov5_params,
+    make_yolov5_forward, params_from_ultralytics)
+from realtimeobjectdetection_tpu.ops.nms import nms_image_v5
+
+
+@pytest.mark.parametrize("size,c3,c5", [("s", 128, 512), ("l", 256, 1024)])
+def test_config_widths(size, c3, c5):
+    cfg = YoloV5Config(size)
+    assert cfg.ch[2] == c3 and cfg.ch[4] == c5
+
+
+@pytest.mark.parametrize("size", ["s", "l"])
+def test_forward_head_shapes(size):
+    cfg = YoloV5Config(size)
+    params = init_yolov5_params(cfg, 0)
+    fwd = jax.jit(make_yolov5_forward(cfg, compute_dtype=jnp.float32))
+    x = jnp.zeros((1, 320, 320, 3), jnp.float32)
+    h3, h4, h5 = fwd(params, x)
+    assert h3.shape == (1, 40, 40, 255)
+    assert h4.shape == (1, 20, 20, 255)
+    assert h5.shape == (1, 10, 10, 255)
+    pred = decode_v5([h3, h4, h5], 80)
+    assert pred.shape == (1, (40 * 40 + 20 * 20 + 10 * 10) * 3, 85)
+
+
+def test_decode_v5_semantics():
+    # zero logits: sigmoid=0.5 -> xy = (0.5*2-0.5+grid)*stride = (0.5+g)*s,
+    # wh = (2*0.5)^2 * anchor = anchor
+    h3 = jnp.zeros((1, 2, 2, 255))
+    h4 = jnp.zeros((1, 1, 1, 255))
+    h5 = jnp.zeros((1, 1, 1, 255))
+    pred = np.asarray(decode_v5([h3, h4, h5], 80))
+    np.testing.assert_allclose(pred[0, 0, 0:2], [0.5 * 8, 0.5 * 8])
+    np.testing.assert_allclose(pred[0, 0, 2:4], V5_ANCHORS[0][0])
+    # second cell of the 2x2 grid: x offset 1
+    np.testing.assert_allclose(pred[0, 3, 0], (0.5 + 1) * 8)
+    np.testing.assert_allclose(pred[0, 0, 4], 0.5)
+
+
+def test_ultralytics_converter_mapping():
+    torch = pytest.importorskip("torch")
+    cfg = YoloV5Config("s")
+    ours = init_yolov5_params(cfg, 3)
+
+    # build an ultralytics-schema state dict carrying our own values:
+    # conv kernels OIHW, identity BN (gamma=1, beta=0, mean=0, var=1-eps)
+    sd = {}
+
+    def put_conv(prefix, p):
+        w = np.asarray(p["w"]).transpose(3, 2, 0, 1)
+        sd[prefix + ".conv.weight"] = torch.from_numpy(w.copy())
+        o = w.shape[0]
+        sd[prefix + ".bn.weight"] = torch.ones(o)
+        sd[prefix + ".bn.bias"] = torch.from_numpy(np.asarray(p["b"]).copy())
+        sd[prefix + ".bn.running_mean"] = torch.zeros(o)
+        sd[prefix + ".bn.running_var"] = torch.full((o,), 1.0 - 1e-3)
+
+    def put_c3(prefix, p):
+        put_conv(prefix + ".cv1", p["cv1"])
+        put_conv(prefix + ".cv2", p["cv2"])
+        put_conv(prefix + ".cv3", p["cv3"])
+        for j, bp in enumerate(p["m"]):
+            put_conv(f"{prefix}.m.{j}.cv1", bp["cv1"])
+            put_conv(f"{prefix}.m.{j}.cv2", bp["cv2"])
+
+    conv_idx = [0, 1, 3, 5, 7, 10, 14, 18, 21]
+    conv_keys = ["m0", "m1", "m3", "m5", "m7", "m10", "m14", "m18", "m21"]
+    for i, k in zip(conv_idx, conv_keys):
+        put_conv(f"model.{i}", ours[k])
+    c3_idx = [2, 4, 6, 8, 13, 17, 20, 23]
+    c3_keys = ["m2", "m4", "m6", "m8", "m13", "m17", "m20", "m23"]
+    for i, k in zip(c3_idx, c3_keys):
+        put_c3(f"model.{i}", ours[k])
+    put_conv("model.9.cv1", ours["m9"]["cv1"])
+    put_conv("model.9.cv2", ours["m9"]["cv2"])
+    for s in range(3):
+        p = ours["m24"][str(s)]
+        sd[f"model.24.m.{s}.weight"] = torch.from_numpy(
+            np.asarray(p["w"]).transpose(3, 2, 0, 1).copy())
+        sd[f"model.24.m.{s}.bias"] = torch.from_numpy(
+            np.asarray(p["b"]).copy())
+
+    conv = params_from_ultralytics(cfg, sd)
+    # identity BN with var = 1-eps folds to scale exactly 1
+    for key in ["m0", "m9", "m24"]:
+        a = jax.tree_util.tree_leaves(ours[key])
+        b = jax.tree_util.tree_leaves(conv[key])
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-5, atol=1e-6)
+    # whole tree structurally identical
+    assert jax.tree_util.tree_structure(ours) == \
+        jax.tree_util.tree_structure(conv)
+
+
+def test_nms_v5_semantics():
+    # conf = obj * cls; ordering by conf desc; standard IoU
+    pred = np.zeros((4, 85), np.float32)
+    pred[:, 0:4] = [[100, 100, 40, 40], [102, 102, 40, 40],
+                    [300, 300, 40, 40], [100, 100, 40, 40]]
+    pred[:, 4] = [0.9, 0.8, 0.9, 0.6]
+    pred[0, 5] = 0.8   # conf .72
+    pred[1, 5] = 0.9   # conf .72 -> overlaps 0, same class, suppressed
+    pred[2, 6] = 0.9   # class 1, conf .81
+    pred[3, 5] = 0.2   # conf .12 < 0.25 -> dropped
+    boxes, valid = nms_image_v5(jnp.asarray(pred), 80, 0.25, 0.45)
+    boxes, valid = np.asarray(boxes), np.asarray(valid)
+    kept = boxes[valid]
+    assert kept.shape[0] == 2
+    # conf-descending: class-1 box (0.81) first
+    assert kept[0, 5] == 1 and kept[0, 4] == pytest.approx(0.81)
+    assert kept[1, 5] == 0
+
+
+def test_detector_v5_pipeline(tmp_path):
+    import os
+    cv2 = pytest.importorskip("cv2")
+    from realtimeobjectdetection_tpu.pipeline.yolov5 import DetectorV5
+    imgs = tmp_path / "imgs"
+    imgs.mkdir()
+    rng = np.random.RandomState(0)
+    cv2.imwrite(str(imgs / "a.jpg"),
+                rng.randint(0, 255, (240, 320, 3), np.uint8))
+    det = DetectorV5(str(imgs), model_size="s", destination=str(tmp_path / "det"),
+                     size=320, confidence=0.25)
+    metrics = det(verbose=False)
+    assert "a.jpg" in metrics
+    assert os.path.exists(str(tmp_path / "det" / "det_yolov5_a.jpg"))
+
+
+def test_stream_detector_synthetic():
+    from realtimeobjectdetection_tpu.models import get_spec
+    from realtimeobjectdetection_tpu.pipeline.stream import (StreamDetector,
+                                                             synthetic_frames)
+    from realtimeobjectdetection_tpu.weights import init_params
+    import jax.numpy as jnp
+    spec = get_spec("yolov3-tiny", width=160, height=160)
+    det = StreamDetector(spec, init_params(spec, 0), resolution=160,
+                         bn_mode="fold", compute_dtype=jnp.float32,
+                         top_k=32)
+    seen = []
+    stats = det.run(synthetic_frames(12, 120, 160),
+                    on_result=lambda f, rows: seen.append(len(rows)))
+    assert stats["frames"] == 12 and len(seen) == 12
+    assert np.isfinite(stats["p50_ms"]) and stats["p50_ms"] > 0
+    assert stats["p99_ms"] >= stats["p50_ms"]
