@@ -34,12 +34,34 @@ import jax.numpy as jnp
 
 from .boxes import iou_matrix
 
-__all__ = ["nms_image", "nms_batch"]
+__all__ = ["nms_image", "nms_batch", "nms_image_v5", "nms_batch_v5"]
+
+
+def _greedy_suppress(corners, cls_id, cand_valid, thresh, plus_one, ge,
+                     use_pallas, interpret=False):
+    """Greedy same-class suppression: Pallas kernel or XLA fallback."""
+    if use_pallas:
+        from .pallas.nms_kernel import nms_suppress_pallas
+        return nms_suppress_pallas(corners, cls_id, cand_valid, thresh,
+                                   plus_one=plus_one, ge=ge,
+                                   interpret=interpret)
+    k = corners.shape[0]
+    ious = iou_matrix(corners, corners, plus_one=plus_one)
+    same_class = cls_id[:, None] == cls_id[None, :]
+    later = jnp.arange(k)[:, None] < jnp.arange(k)[None, :]
+    hit = (ious >= thresh) if ge else (ious > thresh)
+    suppress = hit & same_class & later
+
+    def body(i, keep):
+        return keep & ~(suppress[i] & keep[i])
+
+    return jax.lax.fori_loop(0, k, body, cand_valid)
 
 
 def nms_image(pred: jnp.ndarray, num_classes: int, confidence: float,
               nms_thresh: float, top_k: int = 256,
-              plus_one_iou: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
+              plus_one_iou: bool = True, use_pallas: bool = False,
+              interpret: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """NMS for one image.
 
     Args:
@@ -79,17 +101,9 @@ def nms_image(pred: jnp.ndarray, num_classes: int, confidence: float,
     cls_conf = jnp.max(cls_scores, axis=-1)
     cls_id = jnp.argmax(cls_scores, axis=-1)
 
-    ious = iou_matrix(corners, corners, plus_one=plus_one_iou)
-    same_class = cls_id[:, None] == cls_id[None, :]
-    later = jnp.arange(k)[:, None] < jnp.arange(k)[None, :]
-    # suppress[i, j]: box i (earlier, higher obj) kills box j
-    suppress = (ious >= nms_thresh) & same_class & later
-
-    def body(i, keep):
-        kill = suppress[i] & keep[i]
-        return keep & ~kill
-
-    keep = jax.lax.fori_loop(0, k, body, cand_valid)
+    keep = _greedy_suppress(corners, cls_id, cand_valid, nms_thresh,
+                            plus_one=plus_one_iou, ge=True,
+                            use_pallas=use_pallas, interpret=interpret)
 
     # reference row order: class ascending, objectness descending within
     # class.  rows are already obj-descending from top_k, and jnp.argsort
@@ -106,17 +120,20 @@ def nms_image(pred: jnp.ndarray, num_classes: int, confidence: float,
 
 def nms_batch(pred: jnp.ndarray, num_classes: int, confidence: float,
               nms_thresh: float, top_k: int = 256,
-              plus_one_iou: bool = True):
+              plus_one_iou: bool = True, use_pallas: bool = False,
+              interpret: bool = False):
     """Batched NMS: ``[B, N, 5+C] -> ([B, top_k, 7], [B, top_k])``."""
     fn = functools.partial(nms_image, num_classes=num_classes,
                            confidence=confidence, nms_thresh=nms_thresh,
-                           top_k=top_k, plus_one_iou=plus_one_iou)
+                           top_k=top_k, plus_one_iou=plus_one_iou,
+                           use_pallas=use_pallas, interpret=interpret)
     return jax.vmap(fn)(pred)
 
 
 def nms_image_v5(pred: jnp.ndarray, num_classes: int, conf_thresh: float,
                  iou_thresh: float, top_k: int = 512,
-                 max_det: int = 300) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                 max_det: int = 300, use_pallas: bool = False,
+                 interpret: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Ultralytics-semantics NMS (the v5 hub pipeline the reference uses).
 
     Differences from the Darknet path: candidate score is
@@ -145,15 +162,9 @@ def nms_image_v5(pred: jnp.ndarray, num_classes: int, conf_thresh: float,
     corners = jnp.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2],
                         axis=-1)
 
-    ious = iou_matrix(corners, corners, plus_one=False)
-    same_class = cand_cls[:, None] == cand_cls[None, :]
-    later = jnp.arange(k)[:, None] < jnp.arange(k)[None, :]
-    suppress = (ious > iou_thresh) & same_class & later
-
-    def body(i, keep):
-        return keep & ~(suppress[i] & keep[i])
-
-    keep = jax.lax.fori_loop(0, k, body, cand_valid)
+    keep = _greedy_suppress(corners, cand_cls, cand_valid, iou_thresh,
+                            plus_one=False, ge=False,
+                            use_pallas=use_pallas, interpret=interpret)
 
     # rows already conf-descending from top_k; kept rows first
     order = jnp.argsort(jnp.where(keep, 0, 1), stable=True)[:max_det]
@@ -164,8 +175,10 @@ def nms_image_v5(pred: jnp.ndarray, num_classes: int, conf_thresh: float,
 
 
 def nms_batch_v5(pred, num_classes, conf_thresh, iou_thresh,
-                 top_k: int = 512, max_det: int = 300):
+                 top_k: int = 512, max_det: int = 300,
+                 use_pallas: bool = False, interpret: bool = False):
     fn = functools.partial(nms_image_v5, num_classes=num_classes,
                            conf_thresh=conf_thresh, iou_thresh=iou_thresh,
-                           top_k=top_k, max_det=max_det)
+                           top_k=top_k, max_det=max_det,
+                           use_pallas=use_pallas, interpret=interpret)
     return jax.vmap(fn)(pred)

@@ -1,0 +1,103 @@
+"""Timing + profiling surface.
+
+The reference's entire observability is wall-clock prints around
+forward+NMS (/root/reference/detect.py:61-69, 141-143) and an epoch ETA
+(train.py:269-283).  This module keeps that per-image timing surface and
+adds what a TPU framework actually needs:
+
+* :class:`Timer` — wall-clock section timer with percentile summaries;
+* :func:`trace_to` — context manager around ``jax.profiler`` producing a
+  TensorBoard-loadable device trace;
+* :func:`timed` — decorator printing reference-style
+  ``"<name> predicted in N seconds"`` lines.
+
+Note on this environment: the axon TPU backend dispatches asynchronously
+and ``block_until_ready`` returns early, so honest device timing must
+force a host readback of (a slice of) the result — Timer.read() does.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import functools
+import time
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+__all__ = ["Timer", "trace_to", "timed"]
+
+
+class Timer:
+    """Accumulating section timer: ``with timer("forward"): ...``."""
+
+    def __init__(self):
+        self.sections: Dict[str, List[float]] = {}
+
+    @contextlib.contextmanager
+    def __call__(self, name: str, sync_result=None):
+        t0 = time.time()
+        try:
+            yield
+        finally:
+            if sync_result is not None:
+                self.read(sync_result)
+            self.sections.setdefault(name, []).append(time.time() - t0)
+
+    @staticmethod
+    def read(result):
+        """Force completion of an async device result (host readback)."""
+        import jax
+        leaves = jax.tree_util.tree_leaves(result)
+        if leaves:
+            np.asarray(leaves[0])
+
+    def summary(self) -> Dict[str, Dict[str, float]]:
+        out = {}
+        for name, vals in self.sections.items():
+            arr = np.asarray(vals) * 1000
+            out[name] = {
+                "count": len(vals),
+                "mean_ms": float(arr.mean()),
+                "p50_ms": float(np.percentile(arr, 50)),
+                "p99_ms": float(np.percentile(arr, 99)),
+                "total_s": float(arr.sum() / 1000),
+            }
+        return out
+
+    def report(self) -> str:
+        lines = []
+        for name, s in self.summary().items():
+            lines.append(f"{name:24s} n={s['count']:<5d} "
+                         f"mean={s['mean_ms']:8.2f}ms "
+                         f"p50={s['p50_ms']:8.2f}ms "
+                         f"p99={s['p99_ms']:8.2f}ms")
+        return "\n".join(lines)
+
+
+@contextlib.contextmanager
+def trace_to(log_dir: str):
+    """jax.profiler trace context (TensorBoard format)."""
+    import jax
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def timed(label_fn: Optional[Callable] = None):
+    """Decorator printing reference-style per-call timing lines."""
+
+    def wrap(fn):
+        @functools.wraps(fn)
+        def inner(*args, **kwargs):
+            t0 = time.time()
+            out = fn(*args, **kwargs)
+            label = label_fn(*args, **kwargs) if label_fn else fn.__name__
+            print("{0:20s} predicted in {1:6.3f} seconds".format(
+                label, time.time() - t0))
+            return out
+        return inner
+
+    return wrap

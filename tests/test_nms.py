@@ -108,3 +108,37 @@ def test_nms_rows_match_reference_write_results(name):
     np.testing.assert_allclose(boxes[:, 4], ref[:, 5], atol=2e-4)
     np.testing.assert_allclose(boxes[:, 5], ref[:, 6], atol=2e-4)
     np.testing.assert_allclose(boxes[:, :4], ref[:, 1:5], atol=0.5)
+
+
+def test_pallas_nms_kernel_matches_xla_interpret():
+    """Pallas greedy-suppression kernel (interpret mode on CPU) must match
+    the XLA fori_loop path bit-for-bit."""
+    from realtimeobjectdetection_tpu.ops.nms import _greedy_suppress
+    rng = np.random.RandomState(3)
+    K = 160
+    cx, cy = rng.uniform(50, 350, (2, K))
+    w, h = rng.uniform(20, 120, (2, K))
+    corners = jnp.asarray(
+        np.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], 1)
+        .astype(np.float32))
+    cls = jnp.asarray(rng.randint(0, 6, K))
+    valid = jnp.asarray(rng.rand(K) > 0.15)
+    for plus_one, ge in [(True, True), (False, False)]:
+        ref = np.asarray(_greedy_suppress(corners, cls, valid, 0.5,
+                                          plus_one, ge, use_pallas=False))
+        got = np.asarray(_greedy_suppress(corners, cls, valid, 0.5,
+                                          plus_one, ge, use_pallas=True,
+                                          interpret=True))
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_nms_batch_pallas_path_interpret():
+    rng = np.random.RandomState(1)
+    pred = rng.rand(2, 300, 85).astype(np.float32)
+    pred[:, :, 0:4] = rng.uniform(50, 350, (2, 300, 4))
+    a_boxes, a_valid = nms_batch(jnp.asarray(pred), 80, 0.6, 0.5,
+                                 top_k=64)
+    b_boxes, b_valid = nms_batch(jnp.asarray(pred), 80, 0.6, 0.5,
+                                 top_k=64, use_pallas=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(a_valid), np.asarray(b_valid))
+    np.testing.assert_allclose(np.asarray(a_boxes), np.asarray(b_boxes))
