@@ -88,7 +88,8 @@ def bench_tpu(model: str, reso: int, batch: int, iters: int,
         params[k]["w"] = params[k]["w"] * 0.5
     fparams = jax.device_put(fold_batchnorm(spec, params))
 
-    fwd = make_forward(spec, bn_mode="fold", compute_dtype=dtype)
+    fwd = make_forward(spec, bn_mode="fold", compute_dtype=dtype,
+                   scan_ladders=True)
 
     def detect(p, x):
         pred = decode_heads(fwd(p, x), spec, reso)

@@ -47,14 +47,23 @@ def main(argv=None):
         print("usage: main.py detect|train [params.json]", file=sys.stderr)
         return 2
     command, rest = argv[0], argv[1:]
-    params_path = rest[0] if rest else "params.json"
-    if command == "detect":
+    if command == "detect" and (not rest or rest[0].endswith(".json")):
+        params_path = rest[0] if rest else "params.json"
         detector_params, _, _, _ = fetch_parameters(params_path)
         run_detect(detector_params)
-    elif command == "train":
+    elif command == "detect":
+        detect_cli(rest)
+    elif command == "train" and (not rest or rest[0].endswith(".json")):
+        params_path = rest[0] if rest else "params.json"
         _, trainer_params, valid_params, train_params = \
             fetch_parameters(params_path)
         run_train(trainer_params, valid_params, train_params)
+    elif command == "train":
+        train_cli(rest)
+    elif command == "validate":
+        validate_cli(rest)
+    elif command == "stream":
+        stream_cli(rest)
     else:
         raise Exception("Unknown Command Error !!")
     return 0
@@ -146,3 +155,130 @@ def train_cli(argv=None):
 
 if __name__ == "__main__":  # pragma: no cover
     sys.exit(main())
+
+
+def validate_arg_parser() -> argparse.ArgumentParser:
+    """Validation CLI (the reference's test.py __main__, test.py:316-355)."""
+    p = argparse.ArgumentParser(description="YOLO Validation Module (TPU)")
+    p.add_argument("--annot", required=True, type=str,
+                   help="COCO instances json of the validation set")
+    p.add_argument("--images", required=True, type=str,
+                   help="Directory containing validation images")
+    p.add_argument("--cfg", dest="cfg_file", default="yolov3", type=str)
+    p.add_argument("--weights", dest="weights_file", default=None, type=str)
+    p.add_argument("--confidence", default=0.6, type=float)
+    p.add_argument("--nms_thresh", default=0.5, type=float)
+    p.add_argument("--reso", default=416, type=int)
+    p.add_argument("--bn_mode", default="batch",
+                   choices=["batch", "running", "fold"])
+    p.add_argument("--img_scores", action="store_true",
+                   help="save per-image scores")
+    p.add_argument("--from-json", dest="from_json", default=None, type=str,
+                   help="offline re-scoring from a metrics.json dump")
+    p.add_argument("--roc", default=None, type=str,
+                   help="run the NMS-threshold ROC sweep, save plot here")
+    return p
+
+
+def validate_cli(argv=None):
+    import os
+    a = validate_arg_parser().parse_args(argv)
+    from .eval.validator import DarknetValidator, roc_sweep
+    from .cfg_parser import load_graph_spec
+    from .models.zoo import get_spec
+    from .weights import init_params, load_darknet_weights
+
+    spec = load_graph_spec(a.cfg_file) if os.path.isfile(a.cfg_file) \
+        else get_spec(a.cfg_file)
+    if a.weights_file:
+        params, _ = load_darknet_weights(spec, a.weights_file)
+    else:
+        params = init_params(spec)
+
+    if a.from_json:
+        v = DarknetValidator(a.annot, a.images, confidence=a.confidence,
+                             nms_thresh=a.nms_thresh, resolution=a.reso)
+        return v.validate_json(a.from_json, img_scores=a.img_scores)
+    if a.roc:
+        ctor = lambda **kw: DarknetValidator(
+            a.annot, a.images, confidence=a.confidence,
+            resolution=a.reso, **kw)
+        return roc_sweep(ctor, spec, params, plot_path=a.roc)
+    v = DarknetValidator(a.annot, a.images, confidence=a.confidence,
+                         nms_thresh=a.nms_thresh, resolution=a.reso)
+    prf = v.validate_model(spec, params, img_scores=a.img_scores,
+                           bn_mode=a.bn_mode)
+    if a.img_scores:
+        v.save_scores("img_scores.json", "total_scores.json")
+    return prf
+
+
+def stream_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Streaming detection (TPU)")
+    p.add_argument("--source", default="0", type=str,
+                   help="video path, webcam index, or 'synthetic'")
+    p.add_argument("--cfg", dest="cfg_file", default="yolov3-tiny", type=str)
+    p.add_argument("--weights", dest="weights_file", default=None, type=str)
+    p.add_argument("--reso", default=416, type=int)
+    p.add_argument("--confidence", default=0.6, type=float)
+    p.add_argument("--nms_thresh", default=0.5, type=float)
+    p.add_argument("--frames", default=None, type=int,
+                   help="stop after N frames")
+    p.add_argument("--save", default=None, type=str,
+                   help="write rendered frames to this video file")
+    return p
+
+
+def stream_cli(argv=None):
+    import os
+    a = stream_arg_parser().parse_args(argv)
+    from .cfg_parser import load_graph_spec
+    from .models.zoo import get_spec
+    from .weights import init_params, load_darknet_weights
+    from .pipeline.stream import StreamDetector, synthetic_frames, \
+        video_frames
+    from .pipeline.render import draw_detection, make_palette
+    from .data.classnames import COCO80
+
+    spec = load_graph_spec(a.cfg_file) if os.path.isfile(a.cfg_file) \
+        else get_spec(a.cfg_file)
+    if a.weights_file:
+        params, _ = load_darknet_weights(spec, a.weights_file)
+    else:
+        params = init_params(spec)
+    det = StreamDetector(spec, params, resolution=a.reso,
+                         confidence=a.confidence, nms_thresh=a.nms_thresh)
+
+    if a.source == "synthetic":
+        frames = synthetic_frames(a.frames or 100)
+    else:
+        src = int(a.source) if a.source.isdigit() else a.source
+        frames = video_frames(src)
+
+    writer = [None]
+    palette = make_palette(100)
+
+    def on_result(frame, rows):
+        if a.save is None:
+            return
+        import cv2
+        scale = min(a.reso / frame.shape[1], a.reso / frame.shape[0])
+        for r in rows:
+            box = [(r[0] - (a.reso - scale * frame.shape[1]) / 2) / scale,
+                   (r[1] - (a.reso - scale * frame.shape[0]) / 2) / scale,
+                   (r[2] - (a.reso - scale * frame.shape[1]) / 2) / scale,
+                   (r[3] - (a.reso - scale * frame.shape[0]) / 2) / scale]
+            cls = int(r[6])
+            draw_detection(frame, box, COCO80[cls], float(r[5]),
+                           palette[cls % len(palette)])
+        if writer[0] is None:
+            fourcc = cv2.VideoWriter_fourcc(*"mp4v")
+            writer[0] = cv2.VideoWriter(
+                a.save, fourcc, 25.0, (frame.shape[1], frame.shape[0]))
+        writer[0].write(frame)
+
+    stats = det.run(frames, on_result=on_result, max_frames=a.frames)
+    if writer[0] is not None:
+        writer[0].release()
+    print(stats)
+    return stats

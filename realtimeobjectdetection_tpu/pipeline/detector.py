@@ -85,6 +85,8 @@ class DetectorV3:
                  names_file: Optional[str] = None,
                  parity_scale_416: Optional[bool] = None,
                  precision: Optional[str] = None,
+                 scan_ladders: Optional[bool] = None,
+                 use_pallas_nms: bool = False,
                  prefetch: int = 4):
         assert resolution % 32 == 0 and resolution > 32  # detect.py:51-52
         self.images = images
@@ -123,9 +125,15 @@ class DetectorV3:
         prec = {None: None, "default": None,
                 "high": _lax.Precision.HIGH,
                 "highest": _lax.Precision.HIGHEST}[precision]
+        # scan residual ladders (smaller HLO, faster compile) whenever
+        # numerics are bit-identical — i.e. outside batch-stats BN parity
+        if scan_ladders is None:
+            scan_ladders = bn_mode in ("fold", "running")
+        self.use_pallas_nms = use_pallas_nms
         self._forward = make_forward(self.spec, bn_mode=bn_mode,
                                      compute_dtype=compute_dtype,
-                                     precision=prec)
+                                     precision=prec,
+                                     scan_ladders=scan_ladders)
         self._detect = jax.jit(self._make_detect_fn())
 
     # ------------------------------------------------------------------
@@ -144,10 +152,13 @@ class DetectorV3:
         conf, nms_t, top_k = self.confidence, self.nms_thresh, self.top_k
         num_classes = self.num_classes
 
+        use_pallas = self.use_pallas_nms
+
         def detect(params, x):
             heads = self._forward(params, x)
             pred = decode_heads(heads, spec, reso)
-            return nms_batch(pred, num_classes, conf, nms_t, top_k=top_k)
+            return nms_batch(pred, num_classes, conf, nms_t, top_k=top_k,
+                             use_pallas=use_pallas)
 
         return detect
 

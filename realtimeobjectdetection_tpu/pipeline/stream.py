@@ -79,7 +79,8 @@ class StreamDetector:
             params = fold_batchnorm(spec, params)
         self.params = jax.device_put(params)
         fwd = make_forward(spec, bn_mode=bn_mode,
-                           compute_dtype=compute_dtype)
+                           compute_dtype=compute_dtype,
+                           scan_ladders=bn_mode in ("fold", "running"))
 
         def detect(p, x):
             pred = decode_heads(fwd(p, x), spec, resolution)

@@ -81,3 +81,25 @@ def test_anchor_detection_order_matches_reference():
     np.testing.assert_array_equal(
         np.array(spec.anchors_in_detection_order, dtype=np.float32),
         d["anchors"])
+
+
+def test_scan_ladders_numerics_identical():
+    """lax.scan-rolled residual ladders == unrolled graph (fold/running)."""
+    import jax
+    from realtimeobjectdetection_tpu.model import _find_ladders
+    from realtimeobjectdetection_tpu.models import yolov3_spec
+    spec = yolov3_spec()
+    ladders = _find_ladders(spec)
+    assert ladders == {6: 2, 13: 8, 38: 8, 63: 4}
+    params, _ = __import__(
+        "realtimeobjectdetection_tpu.weights", fromlist=["x"]
+    ).load_darknet_weights(
+        spec, synthetic_darknet_weights(spec, 0))
+    x = jnp.asarray(np.random.RandomState(1).rand(1, 160, 160, 3),
+                    jnp.float32)
+    spec160 = yolov3_spec(width=160, height=160)
+    a = jax.jit(make_forward(spec160, bn_mode="running"))(params, x)
+    b = jax.jit(make_forward(spec160, bn_mode="running",
+                             scan_ladders=True))(params, x)
+    for u, v in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(u), np.asarray(v))
