@@ -109,10 +109,15 @@ def bench_tpu(model: str, reso: int, batch: int, iters: int,
     # warmup
     for _ in range(3):
         np.asarray(jd(fparams, x)[0])
+    # steady-state serving pattern: keep 2 batches in flight so the
+    # host<->device round trip overlaps execution; every result is still
+    # read back in full (honest end-to-end throughput)
     t0 = time.time()
-    for _ in range(iters):
-        out = jd(fparams, x)
-        np.asarray(out[0])  # force completion (see module docstring)
+    inflight = [jd(fparams, x)]
+    for _ in range(iters - 1):
+        inflight.append(jd(fparams, x))
+        np.asarray(inflight.pop(0)[0])
+    np.asarray(inflight.pop(0)[0])
     dt = time.time() - t0
     fps = iters * batch / dt
     return {"fps": fps, "ms_per_batch": dt / iters * 1000,
@@ -124,7 +129,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="yolov3")
     ap.add_argument("--reso", type=int, default=416)
-    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["bfloat16", "float32"])

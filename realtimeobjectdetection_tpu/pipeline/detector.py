@@ -211,26 +211,38 @@ class DetectorV3:
                              daemon=True)
         t.start()
 
+        # one batch of device work kept in flight: dispatch batch i+1
+        # before reading batch i back, so host render/IO and the
+        # host<->device round trip overlap device compute
+        pending = None
         while True:
             item = q.get()
+            if item is not None:
+                start_idx, chunk, imgs, dims, batch = item
+                t0 = time.time()
+                out = self._detect(self.params, jnp.asarray(batch))
+                item = (start_idx, chunk, imgs, dims, t0, out)
+            if pending is not None:
+                self._drain(pending, palette, cfg_stem, verbose)
             if item is None:
                 break
-            start_idx, chunk, imgs, dims, batch = item
-            t0 = time.time()
-            boxes, valid = self._detect(self.params, jnp.asarray(batch))
-            boxes = np.asarray(jax.block_until_ready(boxes))
-            valid = np.asarray(valid)
-            t1 = time.time()
-            for j, img_name in enumerate(chunk):
-                rows = boxes[j][valid[j]]
-                self._record_and_render(
-                    start_idx + j, img_name, rows, imgs[j], dims[j],
-                    palette, cfg_stem, (t1 - t0) / len(chunk), verbose)
+            pending = item
 
         metrics_file = os.path.join(self.destination, "metrics.json")
         with open(metrics_file, "w") as f:
             json.dump(self.metrics, f)
         return self.metrics
+
+    def _drain(self, pending, palette, cfg_stem, verbose):
+        start_idx, chunk, imgs, dims, t0, (boxes, valid) = pending
+        boxes = np.asarray(boxes)  # host readback = true sync on axon
+        valid = np.asarray(valid)
+        t1 = time.time()
+        for j, img_name in enumerate(chunk):
+            rows = boxes[j][valid[j]]
+            self._record_and_render(
+                start_idx + j, img_name, rows, imgs[j], dims[j],
+                palette, cfg_stem, (t1 - t0) / len(chunk), verbose)
 
     # ------------------------------------------------------------------
     def _record_and_render(self, img_idx, img_name, rows, img, dims,
