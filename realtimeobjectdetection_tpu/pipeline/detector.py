@@ -87,6 +87,7 @@ class DetectorV3:
                  precision: Optional[str] = None,
                  scan_ladders: Optional[bool] = None,
                  use_pallas_nms: bool = False,
+                 mesh=None,
                  prefetch: int = 4):
         assert resolution % 32 == 0 and resolution > 32  # detect.py:51-52
         self.images = images
@@ -134,7 +135,22 @@ class DetectorV3:
                                      compute_dtype=compute_dtype,
                                      precision=prec,
                                      scan_ladders=scan_ladders)
-        self._detect = jax.jit(self._make_detect_fn())
+        # multi-chip: shard the batch over a data mesh (the TPU-native
+        # replacement for the reference's nn.DataParallel,
+        # detect.py:177-183).  Auto-activates when the device count
+        # divides the batch; single-chip falls back to plain jit.
+        detect_fn = self._make_detect_fn()
+        if mesh is None and len(jax.devices()) > 1 \
+                and self.batch_size % len(jax.devices()) == 0:
+            from ..parallel.mesh import make_mesh
+            mesh = make_mesh()
+        if mesh:
+            from ..parallel.mesh import shard_detect_fn
+            self.mesh = mesh
+            self._detect = shard_detect_fn(detect_fn, mesh)
+        else:
+            self.mesh = None
+            self._detect = jax.jit(detect_fn)
 
     # ------------------------------------------------------------------
     def _load_params(self, weights_path, use_torch_weights):

@@ -71,9 +71,13 @@ class StreamDetector:
                  confidence: float = 0.6, nms_thresh: float = 0.5,
                  num_classes: int = 80, top_k: int = 128,
                  bn_mode: str = "fold", compute_dtype=jnp.bfloat16,
-                 prefetch: int = 4):
+                 device_resize: bool = False, prefetch: int = 4):
+        """``device_resize``: letterbox in-graph on the TPU (frames must
+        share one fixed resolution, e.g. a camera) — removes the host cv2
+        resize from the hot loop, leaving only the uint8 frame upload."""
         self.spec = spec
         self.resolution = resolution
+        self.device_resize = device_resize
         self.prefetch = prefetch
         if bn_mode == "fold":
             params = fold_batchnorm(spec, params)
@@ -88,12 +92,29 @@ class StreamDetector:
                              top_k=top_k)
 
         self._detect = jax.jit(detect)
+
+        if device_resize:
+            from ..ops.letterbox import letterbox_jax
+
+            def detect_raw(p, frame_bgr):
+                # frame: [H, W, 3] uint8 BGR -> letterbox+normalize in-graph
+                rgb = frame_bgr[:, :, ::-1]
+                x = letterbox_jax(rgb, resolution, method="linear")[None]
+                pred = decode_heads(fwd(p, x), spec, resolution)
+                return nms_batch(pred, num_classes, confidence, nms_thresh,
+                                 top_k=top_k)
+
+            self._detect_raw = jax.jit(detect_raw)
         self.latencies_ms: List[float] = []
 
-    def warmup(self):
+    def warmup(self, frame_shape=None):
         x = jnp.zeros((1, self.resolution, self.resolution, 3), jnp.float32)
         boxes, _ = self._detect(self.params, x)
         np.asarray(boxes)
+        if self.device_resize and frame_shape is not None:
+            f = jnp.zeros(frame_shape, jnp.uint8)
+            boxes, _ = self._detect_raw(self.params, f)
+            np.asarray(boxes)
 
     def run(self, frames: Iterator[np.ndarray],
             on_result: Optional[Callable] = None,
@@ -113,7 +134,10 @@ class StreamDetector:
                 if max_frames is not None and count >= max_frames:
                     break
                 t_in = time.time()
-                x = prep_image_host(frame, self.resolution)
+                if self.device_resize:
+                    x = frame  # raw uint8 upload; letterbox runs in-graph
+                else:
+                    x = prep_image_host(frame, self.resolution)
                 q.put((t_in, x, frame))
                 count += 1
             q.put(None)
@@ -128,7 +152,8 @@ class StreamDetector:
             if item is None:
                 break
             t_in, x, frame = item
-            boxes, valid = self._detect(self.params, jnp.asarray(x))
+            fn = self._detect_raw if self.device_resize else self._detect
+            boxes, valid = fn(self.params, jnp.asarray(x))
             rows = np.asarray(boxes[0])[np.asarray(valid[0])]
             self.latencies_ms.append((time.time() - t_in) * 1000)
             n += 1

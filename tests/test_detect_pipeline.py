@@ -100,3 +100,22 @@ def test_batched_matches_bs1(tmp_path, tiny_weights):
             assert a == b, k
             continue
         np.testing.assert_allclose(np.array(a), np.array(b), atol=1e-3)
+
+
+def test_detector_sharded_over_mesh(tmp_path, tiny_weights, cpu_devices):
+    """Batch sharded over the 8-device mesh == single-device results."""
+    from realtimeobjectdetection_tpu.parallel.mesh import make_mesh
+    kw = dict(images=IMGS, cfg_path="yolov3-tiny",
+              weights_path=tiny_weights, confidence=0.75, top_k=512,
+              precision="highest", bn_mode="running", batch_size=8)
+    m1 = DetectorV3(destination=str(tmp_path / "one"), mesh=False,
+                    **kw)(verbose=False)
+    m8 = DetectorV3(destination=str(tmp_path / "eight"),
+                    mesh=make_mesh(8, data=8, space=1), **kw)(verbose=False)
+    assert set(m1) == set(m8)
+    for k in m1:
+        a, b = m1[k], m8[k]
+        if isinstance(a, int) or isinstance(b, int):
+            assert a == b, k
+            continue
+        np.testing.assert_allclose(np.array(a), np.array(b), atol=1e-3)

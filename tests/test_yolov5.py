@@ -152,3 +152,20 @@ def test_stream_detector_synthetic():
     assert stats["frames"] == 12 and len(seen) == 12
     assert np.isfinite(stats["p50_ms"]) and stats["p50_ms"] > 0
     assert stats["p99_ms"] >= stats["p50_ms"]
+
+
+def test_stream_device_resize_matches_host_path_roughly():
+    from realtimeobjectdetection_tpu.models import get_spec
+    from realtimeobjectdetection_tpu.pipeline.stream import (StreamDetector,
+                                                             synthetic_frames)
+    from realtimeobjectdetection_tpu.weights import init_params
+    import jax.numpy as jnp
+    spec = get_spec("yolov3-tiny", width=160, height=160)
+    params = init_params(spec, 0)
+    kw = dict(resolution=160, bn_mode="running",
+              compute_dtype=jnp.float32, top_k=32)
+    host = StreamDetector(spec, params, **kw)
+    dev = StreamDetector(spec, params, device_resize=True, **kw)
+    sh = host.run(synthetic_frames(4, 120, 160))
+    sd = dev.run(synthetic_frames(4, 120, 160))
+    assert sh["frames"] == sd["frames"] == 4
