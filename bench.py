@@ -92,13 +92,16 @@ def bench_tpu(model: str, reso: int, batch: int, iters: int,
                    scan_ladders=True)
 
     def detect(p, x):
+        x = x.astype(jnp.float32) / 255.0
         pred = decode_heads(fwd(p, x), spec, reso)
         return nms_batch(pred, spec.num_classes, 0.6, 0.5, top_k=128)
 
     jd = jax.jit(detect)
     rng = np.random.RandomState(0)
-    x = jax.device_put(jnp.asarray(
-        rng.rand(batch, reso, reso, 3), jnp.float32))
+    # uint8 input, normalized on device — matches the detector pipeline
+    # and is what a production feed uploads
+    x_host = rng.randint(0, 256, (batch, reso, reso, 3), np.uint8)
+    x = jax.device_put(jnp.asarray(x_host))
 
     t0 = time.time()
     boxes, valid = jd(fparams, x)

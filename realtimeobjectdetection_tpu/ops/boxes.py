@@ -66,3 +66,24 @@ def wh_iou(wh1, wh2, reference_bug: bool = False):
     inter = jnp.minimum(w1, w2) * jnp.minimum(h1, h2)
     union = w1 * h1 + w2 * h2 - inter
     return inter / union
+
+
+def xywh_to_yolo_cell(box, stride: float, anchor):
+    """Grid-encode one xywh box for training targets.
+
+    Parity with the reference ``xywh2YOLO`` (src/util.py:48-75) including
+    its return order ``(y_cell, x_cell, y_frac, x_frac, log_w, log_h)``
+    — note the y-first convention its caller then mis-unpacks (see
+    train/targets.py ``parity_swap_xy``).  The vectorized trainer path is
+    :func:`realtimeobjectdetection_tpu.train.targets.build_targets`; this
+    scalar helper exists for API completeness and tests.
+    """
+    box = jnp.asarray(box, jnp.float32)
+    x = box[..., 0] / stride
+    y = box[..., 1] / stride
+    x_cell = jnp.floor(x).astype(jnp.int32)
+    y_cell = jnp.floor(y).astype(jnp.int32)
+    anchor = jnp.asarray(anchor, jnp.float32)
+    lw = jnp.log(box[..., 2] / anchor[..., 0] + 1e-16)
+    lh = jnp.log(box[..., 3] / anchor[..., 1] + 1e-16)
+    return y_cell, x_cell, y - y_cell, x - x_cell, lw, lh

@@ -88,3 +88,26 @@ def letterbox_jax(img: jnp.ndarray, inp_dim: int,
     canvas = jnp.full((inp_dim, inp_dim, 3), 128.0, jnp.float32)
     canvas = jax.lax.dynamic_update_slice(canvas, resized, (off_y, off_x, 0))
     return canvas / 255.0
+
+
+def prep_image_host_u8(img: np.ndarray, inp_dim: int,
+                       mode: str = "BGR") -> np.ndarray:
+    """Letterbox to an RGB uint8 canvas [1, D, D, 3] (no normalization).
+
+    Bit-identical to ``prep_image_host`` after a device-side ``/255``:
+    cv2's INTER_CUBIC on uint8 input yields uint8, and the reference's
+    128-gray canvas holds integral values (src/util.py:364-370), so
+    deferring the float division to the device changes nothing while
+    cutting host->device traffic 4x.
+    """
+    assert mode in ("BGR", "RGB")
+    if cv2 is None:
+        raise RuntimeError("cv2 unavailable")
+    img_h, img_w = img.shape[0], img.shape[1]
+    _, new_w, new_h, off_x, off_y = letterbox_params(img_w, img_h, inp_dim)
+    resized = cv2.resize(img, (new_w, new_h), interpolation=cv2.INTER_CUBIC)
+    canvas = np.full((inp_dim, inp_dim, 3), 128, dtype=np.uint8)
+    canvas[off_y:off_y + new_h, off_x:off_x + new_w, :] = resized
+    if mode == "BGR":
+        canvas = canvas[:, :, ::-1]
+    return np.ascontiguousarray(canvas[None])

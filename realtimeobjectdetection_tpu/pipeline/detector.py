@@ -49,7 +49,7 @@ from ..data.classnames import COCO80, load_classes
 from ..model import fold_batchnorm, make_forward
 from ..models.zoo import get_spec
 from ..ops.decode import decode_heads
-from ..ops.letterbox import prep_image_host
+from ..ops.letterbox import prep_image_host, prep_image_host_u8
 from ..ops.nms import nms_batch
 from ..weights import (init_params, load_darknet_weights,
                        params_from_torch_state_dict)
@@ -171,6 +171,9 @@ class DetectorV3:
         use_pallas = self.use_pallas_nms
 
         def detect(params, x):
+            # x: uint8 letterboxed RGB; normalize on device (uploading
+            # uint8 quarters the host->device traffic; values identical)
+            x = x.astype(jnp.float32) / 255.0
             heads = self._forward(params, x)
             pred = decode_heads(heads, spec, reso)
             return nms_batch(pred, num_classes, conf, nms_t, top_k=top_k,
@@ -202,7 +205,7 @@ class DetectorV3:
                     raise FileNotFoundError(os.path.join(self.images, n))
                 imgs.append(img)
                 dims.append((img.shape[1], img.shape[0]))  # (w, h)
-                prepped.append(prep_image_host(img, self.resolution))
+                prepped.append(prep_image_host_u8(img, self.resolution))
             batch = np.concatenate(prepped, axis=0)
             if len(chunk) < bs:  # pad trailing batch to the static shape
                 pad = np.zeros((bs - len(chunk),) + batch.shape[1:],
