@@ -54,3 +54,12 @@ def test_letterbox_jax_close_to_host():
     dev_s = np.asarray(letterbox_jax(jnp.asarray(smooth), 416, method="cubic"))
     host_s = letterbox_host(smooth, 416) / 255.0
     assert np.mean(np.abs(dev_s - host_s)) < 0.01
+
+
+def test_prep_image_u8_matches_float_path():
+    from realtimeobjectdetection_tpu.ops.letterbox import prep_image_host_u8
+    img = synth_image()
+    f32 = prep_image_host(img, 416, mode="BGR")
+    u8 = prep_image_host_u8(img, 416, mode="BGR")
+    assert u8.dtype == np.uint8
+    np.testing.assert_array_equal(u8.astype(np.float32) / 255.0, f32)
