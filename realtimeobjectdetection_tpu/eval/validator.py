@@ -266,3 +266,58 @@ def roc_sweep(validator_ctor, spec_or_name, params,
         plt.ylabel("metrics")
         plt.savefig(plot_path)
     return thresholds, precision, recall, f_score
+
+
+def validate_map(annotation_dir: str, img_dir: str, spec_or_name, params,
+                 confidence: float = 0.25, nms_thresh: float = 0.45,
+                 resolution: int = 416, num_classes: int = 80,
+                 top_k: int = 256, bn_mode: str = "running",
+                 verbose: bool = True):
+    """All-class COCO-style mAP over a COCO-format validation set.
+
+    Goes beyond the reference's single-class P/R/F (test.py:272-280):
+    runs the jitted detect path per image and scores mAP@0.5 /
+    mAP@[.5:.95] with the standard greedy matcher (see eval/map.py).
+    """
+    from .map import DetectionRecord, evaluate_map
+
+    v = DarknetValidator(annotation_dir, img_dir, confidence=confidence,
+                         num_classes=num_classes, nms_thresh=nms_thresh,
+                         resolution=resolution, top_k=top_k,
+                         permitted_classes=tuple(range(num_classes)),
+                         batch_size=1)
+    spec = spec_or_name if not isinstance(spec_or_name, str) else (
+        load_graph_spec(spec_or_name) if os.path.isfile(spec_or_name)
+        else get_spec(spec_or_name))
+    detect = v.make_detect_fn(spec, bn_mode=bn_mode)
+    params = jax.device_put(params)
+    rec = DetectionRecord(num_classes=num_classes)
+    n = len(v.dataset)
+    for i in range(n):
+        img_name, sample, rows = v.dataset[i]
+        boxes, valid = detect(params, jnp.asarray(sample[None]))
+        pred = np.asarray(boxes[0])[np.asarray(valid[0])]
+        # NMS rows: [x1,y1,x2,y2,obj,cls_conf,cls] -> [.., conf, cls]
+        pred6 = None
+        if len(pred):
+            pred6 = np.stack([pred[:, 0], pred[:, 1], pred[:, 2],
+                              pred[:, 3], pred[:, 4] * pred[:, 5],
+                              pred[:, 6]], axis=1)
+        gt5 = None
+        if rows is not None and len(rows):
+            cls = np.argmax(rows[:, 5:], axis=1)
+            gt5 = np.stack([rows[:, 0] - rows[:, 2] / 2,
+                            rows[:, 1] - rows[:, 3] / 2,
+                            rows[:, 0] + rows[:, 2] / 2,
+                            rows[:, 1] + rows[:, 3] / 2,
+                            cls.astype(np.float32)], axis=1)
+        rec.add_image(pred6, gt5)
+        if verbose and (i % 50 == 0 or i == n - 1):
+            print(f"\rmAP eval: {i + 1}/{n}", end="", flush=True)
+    if verbose:
+        print()
+    out = evaluate_map(rec)
+    if verbose:
+        print(f"\tmAP@0.5 = {out['mAP@0.5']:.4f}")
+        print(f"\tmAP@[.5:.95] = {out['mAP@[.5:.95]']:.4f}")
+    return out

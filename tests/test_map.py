@@ -1,0 +1,97 @@
+"""mAP evaluator: hand-computable cases + invariants."""
+
+import numpy as np
+import pytest
+
+from realtimeobjectdetection_tpu.eval.map import (DetectionRecord,
+                                                  average_precision,
+                                                  evaluate_map)
+
+
+def box(x, y, s=10):
+    return [x, y, x + s, y + s]
+
+
+def test_perfect_detections_map_1():
+    rec = DetectionRecord(num_classes=3)
+    for i in range(4):
+        gts = np.array([box(10 * i, 0) + [0], box(0, 30) + [2]], np.float32)
+        preds = np.array([box(10 * i, 0) + [0.9, 0],
+                          box(0, 30) + [0.8, 2]], np.float32)
+        rec.add_image(preds, gts)
+    out = evaluate_map(rec)
+    assert out["mAP@0.5"] == pytest.approx(1.0)
+    assert out["mAP@[.5:.95]"] == pytest.approx(1.0)
+
+
+def test_no_detections_ap_0():
+    rec = DetectionRecord(num_classes=2)
+    rec.add_image(None, np.array([box(0, 0) + [0]], np.float32))
+    out = evaluate_map(rec)
+    assert out["mAP@0.5"] == 0.0
+
+
+def test_half_precision_case():
+    # 1 gt, 2 predictions: the high-conf one matches, the other is FP
+    rec = DetectionRecord(num_classes=1)
+    gts = np.array([box(0, 0) + [0]], np.float32)
+    preds = np.array([box(0, 0) + [0.9, 0],
+                      box(50, 50) + [0.5, 0]], np.float32)
+    rec.add_image(preds, gts)
+    out = evaluate_map(rec)
+    # recall reaches 1.0 at precision 1.0 before the FP appears -> AP 1.0
+    assert out["mAP@0.5"] == pytest.approx(1.0)
+
+    # FP ranked above the TP drags AP down
+    rec2 = DetectionRecord(num_classes=1)
+    preds2 = np.array([box(50, 50) + [0.9, 0],
+                       box(0, 0) + [0.5, 0]], np.float32)
+    rec2.add_image(preds2, gts)
+    out2 = evaluate_map(rec2)
+    assert out2["mAP@0.5"] < 0.6
+
+
+def test_localization_quality_affects_high_iou_only():
+    # a sloppy box (IoU ~0.6) counts at 0.5 but not at 0.95
+    rec = DetectionRecord(num_classes=1)
+    gts = np.array([[0, 0, 10, 10, 0]], np.float32)
+    preds = np.array([[0, 0, 10, 13, 0.9, 0]], np.float32)  # IoU ~0.77
+    rec.add_image(preds, gts)
+    out = evaluate_map(rec)
+    assert out["mAP@0.5"] == pytest.approx(1.0)
+    assert out["mAP@0.75"] == pytest.approx(1.0)
+    assert out["mAP@[.5:.95]"] < 1.0
+
+
+def test_each_gt_matched_once():
+    # two identical predictions on one gt: second is FP
+    rec = DetectionRecord(num_classes=1)
+    gts = np.array([box(0, 0) + [0]], np.float32)
+    preds = np.array([box(0, 0) + [0.9, 0], box(0, 0) + [0.8, 0]],
+                     np.float32)
+    rec.add_image(preds, gts)
+    confs, tps, n_gt = rec._class_matches(0, 0.5)
+    assert n_gt == 1 and tps.tolist() == [True, False]
+
+
+def test_average_precision_interpolations():
+    confs = np.array([0.9, 0.8, 0.7, 0.6], np.float32)
+    tps = np.array([True, False, True, False])
+    ap101 = average_precision(confs, tps, n_gt=2, interpolation="101")
+    apc = average_precision(confs, tps, n_gt=2, interpolation="continuous")
+    # exact continuous value: 0.5*1.0 + 0.5*(2/3)
+    assert apc == pytest.approx(0.5 + 0.5 * 2 / 3)
+    assert 0.7 < ap101 <= apc + 0.02
+
+
+def test_validate_map_end_to_end(tmp_path):
+    from realtimeobjectdetection_tpu.eval.validator import validate_map
+    from realtimeobjectdetection_tpu.models import get_spec
+    from realtimeobjectdetection_tpu.weights import init_params
+    from realtimeobjectdetection_tpu.testing import make_synthetic_coco
+    ann, imgs = make_synthetic_coco(tmp_path, n_images=2)
+    spec = get_spec("yolov3-tiny", width=160, height=160)
+    out = validate_map(ann, imgs, spec, init_params(spec, 0),
+                       resolution=160, top_k=32, verbose=False)
+    assert "mAP@0.5" in out and "mAP@[.5:.95]" in out
+    assert 0.0 <= out["mAP@0.5"] <= 1.0 or np.isnan(out["mAP@0.5"])
