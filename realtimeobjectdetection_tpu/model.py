@@ -59,14 +59,20 @@ def fold_batchnorm(spec: GraphSpec, params: Dict) -> Dict:
 
 
 def _conv(x, w, stride: int, pad: int, compute_dtype, precision=None):
-    return lax.conv_general_dilated(
+    # fp32 path: full-precision output via preferred_element_type.
+    # bf16 path: emit bf16 and upcast — the MXU accumulates fp32
+    # internally either way, and mixed in/out dtypes break the conv
+    # transpose rule under autodiff (training runs through this too).
+    preferred = jnp.float32 if compute_dtype == jnp.float32 else None
+    y = lax.conv_general_dilated(
         x.astype(compute_dtype), w.astype(compute_dtype),
         window_strides=(stride, stride),
         padding=[(pad, pad), (pad, pad)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=preferred,
         precision=precision,
     )
+    return y.astype(jnp.float32)
 
 
 def _batch_stats_bn(y, gamma, beta):

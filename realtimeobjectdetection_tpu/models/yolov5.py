@@ -147,11 +147,12 @@ def init_yolov5_params(cfg: YoloV5Config, seed: int = 0) -> Dict:
 def _conv(x, p, stride=1, compute_dtype=jnp.bfloat16, act=True):
     k = p["w"].shape[0]
     pad = (k - 1) // 2 if k != 6 else 2   # stem 6x6/2 uses pad 2
+    preferred = jnp.float32 if compute_dtype == jnp.float32 else None
     y = lax.conv_general_dilated(
         x.astype(compute_dtype), jnp.asarray(p["w"]).astype(compute_dtype),
         (stride, stride), [(pad, pad), (pad, pad)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=preferred).astype(jnp.float32)
     y = y + jnp.asarray(p["b"])[None, None, None, :]
     if act:
         y = y * jax.nn.sigmoid(y)  # SiLU

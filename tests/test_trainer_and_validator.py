@@ -154,3 +154,41 @@ def test_validator_end_to_end(tmp_path):
     assert r == pytest.approx(1.0)
     assert p == pytest.approx(1.0)
     assert os.path.exists(str(tmp_path / "img_scores.json"))
+
+
+def test_trainer_voc_dataset_path(tmp_path):
+    from realtimeobjectdetection_tpu.train.trainer import DarknetTrainer
+    from realtimeobjectdetection_tpu.testing import make_synthetic_voc
+    xml_dir, img_dir = make_synthetic_voc(tmp_path, n_images=4)
+    out = str(tmp_path / "w")
+    trainer = DarknetTrainer("yolov3-tiny", epochs=1, batch_size=2,
+                             resolution=160, lr=1e-3, out_dir=out,
+                             mesh=False, max_boxes=8)
+    hist = trainer.train(xml_dir, img_dir, dataset_type="VOC",
+                         verbose=False)
+    assert len(hist["train_loss"]) == 1
+    assert np.isfinite(hist["train_loss"][0])
+
+
+def test_train_step_bf16_compute(tmp_path):
+    import jax, jax.numpy as jnp, optax
+    from realtimeobjectdetection_tpu.models import get_spec
+    from realtimeobjectdetection_tpu.train.step import (init_train_state,
+                                                        make_train_step)
+    from realtimeobjectdetection_tpu.weights import init_params
+    spec = get_spec("yolov3-tiny", width=160, height=160)
+    opt = optax.adam(1e-3)
+    step = jax.jit(make_train_step(spec, opt, resolution=160,
+                                   compute_dtype=jnp.bfloat16))
+    state = init_train_state(init_params(spec, 0), opt)
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(2, 160, 160, 3), jnp.float32)
+    boxes = np.zeros((2, 3, 85), np.float32)
+    boxes[:, :, 0:4] = rng.uniform(30, 120, (2, 3, 4))
+    boxes[:, :, 4] = 1.0
+    boxes[:, :, 5] = 1.0
+    state2, loss = step(state, images, jnp.asarray(boxes),
+                        jnp.ones((2, 3), bool))
+    assert np.isfinite(float(loss))
+    # params stay fp32 (master weights)
+    assert state2.params["node_0"]["w"].dtype == jnp.float32
