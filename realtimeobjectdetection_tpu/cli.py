@@ -64,6 +64,8 @@ def main(argv=None):
         validate_cli(rest)
     elif command == "stream":
         stream_cli(rest)
+    elif command == "serve":
+        serve_cli(rest)
     else:
         raise Exception("Unknown Command Error !!")
     return 0
@@ -282,3 +284,37 @@ def stream_cli(argv=None):
         writer[0].release()
     print(stats)
     return stats
+
+
+def serve_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Detection HTTP server (TPU)")
+    p.add_argument("--cfg", dest="cfg_file", default="yolov3-tiny", type=str)
+    p.add_argument("--weights", dest="weights_file", default=None, type=str)
+    p.add_argument("--reso", default=416, type=int)
+    p.add_argument("--confidence", default=0.6, type=float)
+    p.add_argument("--nms_thresh", default=0.5, type=float)
+    p.add_argument("--batch_size", default=8, type=int)
+    p.add_argument("--host", default="0.0.0.0", type=str)
+    p.add_argument("--port", default=8000, type=int)
+    return p
+
+
+def serve_cli(argv=None):
+    import os
+    a = serve_arg_parser().parse_args(argv)
+    from .cfg_parser import load_graph_spec
+    from .models.zoo import get_spec
+    from .weights import init_params, load_darknet_weights
+    from .pipeline.server import DetectionService, serve
+
+    spec = load_graph_spec(a.cfg_file) if os.path.isfile(a.cfg_file) \
+        else get_spec(a.cfg_file)
+    if a.weights_file:
+        params, _ = load_darknet_weights(spec, a.weights_file)
+    else:
+        params = init_params(spec)
+    service = DetectionService(spec, params, resolution=a.reso,
+                               confidence=a.confidence,
+                               nms_thresh=a.nms_thresh,
+                               batch_size=a.batch_size)
+    return serve(service, a.host, a.port)

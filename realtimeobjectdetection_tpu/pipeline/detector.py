@@ -195,24 +195,27 @@ class DetectorV3:
             "No file or directory with the name {}".format(d))
 
     def _loader_thread(self, names: List[str], q: "queue.Queue"):
-        bs = self.batch_size
-        for start in range(0, len(names), bs):
-            chunk = names[start:start + bs]
-            imgs, dims, prepped = [], [], []
-            for n in chunk:
-                img = cv2.imread(os.path.join(self.images, n))
-                if img is None:
-                    raise FileNotFoundError(os.path.join(self.images, n))
-                imgs.append(img)
-                dims.append((img.shape[1], img.shape[0]))  # (w, h)
-                prepped.append(prep_image_host_u8(img, self.resolution))
-            batch = np.concatenate(prepped, axis=0)
-            if len(chunk) < bs:  # pad trailing batch to the static shape
-                pad = np.zeros((bs - len(chunk),) + batch.shape[1:],
-                               batch.dtype)
-                batch = np.concatenate([batch, pad], axis=0)
-            q.put((start, chunk, imgs, dims, batch))
-        q.put(None)
+        try:
+            bs = self.batch_size
+            for start in range(0, len(names), bs):
+                chunk = names[start:start + bs]
+                imgs, dims, prepped = [], [], []
+                for n in chunk:
+                    img = cv2.imread(os.path.join(self.images, n))
+                    if img is None:
+                        raise FileNotFoundError(os.path.join(self.images, n))
+                    imgs.append(img)
+                    dims.append((img.shape[1], img.shape[0]))  # (w, h)
+                    prepped.append(prep_image_host_u8(img, self.resolution))
+                batch = np.concatenate(prepped, axis=0)
+                if len(chunk) < bs:  # pad trailing batch to the static shape
+                    pad = np.zeros((bs - len(chunk),) + batch.shape[1:],
+                                   batch.dtype)
+                    batch = np.concatenate([batch, pad], axis=0)
+                q.put((start, chunk, imgs, dims, batch))
+            q.put(None)
+        except BaseException as e:  # surface loader errors to the consumer
+            q.put(e)
 
     # ------------------------------------------------------------------
     def __call__(self, verbose: bool = True) -> Dict[str, object]:
@@ -236,6 +239,8 @@ class DetectorV3:
         pending = None
         while True:
             item = q.get()
+            if isinstance(item, BaseException):
+                raise item
             if item is not None:
                 start_idx, chunk, imgs, dims, batch = item
                 t0 = time.time()

@@ -1,0 +1,203 @@
+"""Minimal production serving layer: HTTP detection endpoint with
+micro-batching.
+
+The reference stops at folder scripts; a deployable framework needs a
+server.  This one is stdlib-only (http.server + threads):
+
+* ``POST /detect`` with an image body (any cv2-decodable format) ->
+  JSON ``{"boxes": [[x1,y1,x2,y2,obj,cls_conf,cls_id], ...],
+  "class_names": [...], "latency_ms": t}`` in original-image pixels;
+* ``GET /healthz`` -> liveness + model info;
+* a micro-batcher thread collects concurrent requests into one
+  fixed-shape device batch (up to ``batch_size`` within
+  ``batch_window_ms``), so throughput under load approaches the
+  pipelined device rate while a lone request only pays the window.
+
+Run: ``rodtpu serve --cfg yolov3-tiny --weights w.weights --port 8000``.
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+try:
+    import cv2
+except Exception:  # pragma: no cover
+    cv2 = None
+
+import jax
+import jax.numpy as jnp
+
+from ..cfg_parser import GraphSpec
+from ..data.classnames import COCO80
+from ..model import fold_batchnorm, make_forward
+from ..ops.decode import decode_heads
+from ..ops.letterbox import letterbox_params, prep_image_host_u8
+from ..ops.nms import nms_batch
+
+__all__ = ["DetectionService", "serve"]
+
+
+class DetectionService:
+    """Micro-batching detection backend shared by server workers."""
+
+    def __init__(self, spec: GraphSpec, params, resolution: int = 416,
+                 confidence: float = 0.6, nms_thresh: float = 0.5,
+                 num_classes: int = 80, top_k: int = 128,
+                 batch_size: int = 8, batch_window_ms: float = 5.0,
+                 bn_mode: str = "fold", compute_dtype=jnp.bfloat16,
+                 class_names: Optional[List[str]] = None):
+        self.spec = spec
+        self.resolution = resolution
+        self.batch_size = batch_size
+        self.batch_window_s = batch_window_ms / 1000.0
+        self.classes = class_names or COCO80
+        if bn_mode == "fold":
+            params = fold_batchnorm(spec, params)
+        self.params = jax.device_put(params)
+        fwd = make_forward(spec, bn_mode=bn_mode,
+                           compute_dtype=compute_dtype,
+                           scan_ladders=bn_mode in ("fold", "running"))
+
+        def detect(p, x):
+            x = x.astype(jnp.float32) / 255.0
+            pred = decode_heads(fwd(p, x), spec, resolution)
+            return nms_batch(pred, num_classes, confidence, nms_thresh,
+                             top_k=top_k)
+
+        self._detect = jax.jit(detect)
+        self._q: "queue.Queue" = queue.Queue()
+        self._stop = threading.Event()
+        self._worker = threading.Thread(target=self._batch_loop,
+                                        daemon=True)
+        self._worker.start()
+
+    def warmup(self):
+        x = np.zeros((self.batch_size, self.resolution, self.resolution, 3),
+                     np.uint8)
+        np.asarray(self._detect(self.params, jnp.asarray(x))[0])
+
+    def close(self):
+        self._stop.set()
+
+    # ------------------------------------------------------------------
+    def _batch_loop(self):
+        while not self._stop.is_set():
+            try:
+                first = self._q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            items = [first]
+            deadline = time.time() + self.batch_window_s
+            while len(items) < self.batch_size:
+                remaining = deadline - time.time()
+                if remaining <= 0:
+                    break
+                try:
+                    items.append(self._q.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            batch = np.zeros((self.batch_size, self.resolution,
+                              self.resolution, 3), np.uint8)
+            for j, (canvas, _, _) in enumerate(items):
+                batch[j] = canvas
+            try:
+                boxes, valid = self._detect(self.params, jnp.asarray(batch))
+                boxes = np.asarray(boxes)
+                valid = np.asarray(valid)
+                for j, (_, dims, done) in enumerate(items):
+                    done((boxes[j][valid[j]], dims, None))
+            except BaseException as e:  # pragma: no cover
+                for _, dims, done in items:
+                    done((None, dims, e))
+
+    # ------------------------------------------------------------------
+    def detect_image(self, img_bgr: np.ndarray) -> np.ndarray:
+        """Synchronous single-image API -> rows in original pixels."""
+        h, w = img_bgr.shape[:2]
+        canvas = prep_image_host_u8(img_bgr, self.resolution)[0]
+        result: "queue.Queue" = queue.Queue(maxsize=1)
+        self._q.put((canvas, (w, h), result.put))
+        rows, dims, err = result.get()
+        if err is not None:
+            raise err
+        return self._unletterbox(rows, w, h)
+
+    def _unletterbox(self, rows: np.ndarray, w: int, h: int) -> np.ndarray:
+        if rows is None or len(rows) == 0:
+            return np.zeros((0, 7), np.float32)
+        scale, _, _, off_x, off_y = letterbox_params(w, h, self.resolution)
+        out = rows.copy()
+        out[:, [0, 2]] = np.clip((out[:, [0, 2]] - off_x) / scale, 0, w)
+        out[:, [1, 3]] = np.clip((out[:, [1, 3]] - off_y) / scale, 0, h)
+        return out
+
+
+def _make_handler(service: DetectionService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _json(self, code: int, payload: Dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {
+                    "status": "ok",
+                    "model_nodes": len(service.spec.nodes),
+                    "resolution": service.resolution,
+                    "batch_size": service.batch_size,
+                })
+            else:
+                self._json(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/detect":
+                self._json(404, {"error": "unknown path"})
+                return
+            length = int(self.headers.get("Content-Length", 0))
+            if length <= 0:
+                self._json(400, {"error": "empty body"})
+                return
+            data = self.rfile.read(length)
+            img = cv2.imdecode(np.frombuffer(data, np.uint8),
+                               cv2.IMREAD_COLOR)
+            if img is None:
+                self._json(400, {"error": "undecodable image"})
+                return
+            t0 = time.time()
+            try:
+                rows = service.detect_image(img)
+            except BaseException as e:
+                self._json(500, {"error": repr(e)})
+                return
+            self._json(200, {
+                "boxes": rows.tolist(),
+                "class_names": [service.classes[int(r[6])] for r in rows],
+                "latency_ms": round((time.time() - t0) * 1000, 2),
+            })
+
+    return Handler
+
+
+def serve(service: DetectionService, host: str = "0.0.0.0",
+          port: int = 8000, block: bool = True):
+    service.warmup()
+    httpd = ThreadingHTTPServer((host, port), _make_handler(service))
+    if block:  # pragma: no cover
+        print(f"serving detection on {host}:{port}")
+        httpd.serve_forever()
+    return httpd

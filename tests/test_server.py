@@ -1,0 +1,89 @@
+"""HTTP serving layer: end-to-end request through a live server."""
+
+import http.client
+import json
+import threading
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+import jax.numpy as jnp
+
+from realtimeobjectdetection_tpu.models import get_spec
+from realtimeobjectdetection_tpu.pipeline.server import (DetectionService,
+                                                         serve)
+from realtimeobjectdetection_tpu.weights import init_params
+
+
+@pytest.fixture(scope="module")
+def server():
+    spec = get_spec("yolov3-tiny", width=160, height=160)
+    service = DetectionService(spec, init_params(spec, 0), resolution=160,
+                               confidence=0.7, batch_size=4,
+                               bn_mode="running",
+                               compute_dtype=jnp.float32, top_k=32)
+    httpd = serve(service, host="127.0.0.1", port=0, block=False)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield httpd.server_address
+    httpd.shutdown()
+    service.close()
+
+
+def _request(addr, method, path, body=None):
+    conn = http.client.HTTPConnection(addr[0], addr[1], timeout=60)
+    conn.request(method, path, body=body)
+    resp = conn.getresponse()
+    data = json.loads(resp.read())
+    conn.close()
+    return resp.status, data
+
+
+def test_healthz(server):
+    status, data = _request(server, "GET", "/healthz")
+    assert status == 200 and data["status"] == "ok"
+    assert data["resolution"] == 160
+
+
+def test_detect_roundtrip(server):
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 255, (120, 160, 3), np.uint8)
+    ok, jpg = cv2.imencode(".jpg", img)
+    assert ok
+    status, data = _request(server, "POST", "/detect", bytes(jpg))
+    assert status == 200
+    assert "boxes" in data and "latency_ms" in data
+    for row, name in zip(data["boxes"], data["class_names"]):
+        assert len(row) == 7
+        assert isinstance(name, str)
+        # boxes in original image pixels
+        assert 0 <= row[0] <= 160 and 0 <= row[1] <= 120
+
+
+def test_detect_concurrent_microbatch(server):
+    rng = np.random.RandomState(1)
+    results = []
+
+    def hit(seed):
+        img = rng.randint(0, 255, (100, 140, 3), np.uint8)
+        ok, jpg = cv2.imencode(".jpg", img)
+        results.append(_request(server, "POST", "/detect", bytes(jpg)))
+
+    threads = [threading.Thread(target=hit, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(results) == 6
+    assert all(code == 200 for code, _ in results)
+
+
+def test_bad_requests(server):
+    status, data = _request(server, "POST", "/detect", b"not an image")
+    assert status == 400
+    status, _ = _request(server, "GET", "/nope")
+    assert status == 404
+    status, _ = _request(server, "POST", "/detect", b"")
+    assert status == 400
