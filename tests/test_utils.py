@@ -1,0 +1,37 @@
+import time
+
+import numpy as np
+
+from realtimeobjectdetection_tpu.utils.profiling import Timer, timed
+
+
+def test_timer_sections_and_summary():
+    t = Timer()
+    for _ in range(3):
+        with t("work"):
+            time.sleep(0.01)
+    s = t.summary()
+    assert s["work"]["count"] == 3
+    assert s["work"]["p50_ms"] >= 8
+    assert "work" in t.report()
+
+
+def test_timed_decorator_prints(capsys):
+    @timed()
+    def f(x):
+        return x + 1
+
+    assert f(1) == 2
+    out = capsys.readouterr().out
+    assert "predicted in" in out
+
+
+def test_draw_target_boxes_roundtrip(tmp_path):
+    from realtimeobjectdetection_tpu.utils.visualize import draw_target_boxes
+    img = np.random.RandomState(0).rand(64, 64, 3).astype(np.float32)
+    boxes = np.zeros((2, 85), np.float32)
+    boxes[0, :6] = [32, 32, 20, 20, 1, 1]
+    boxes[1, :6] = [10, 10, 8, 8, 1, 0]  # person flag unset -> skipped
+    out = tmp_path / "t.png"
+    im = draw_target_boxes(img, boxes, str(out))
+    assert out.exists() and im.size == (64, 64)
