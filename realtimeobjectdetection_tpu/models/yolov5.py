@@ -175,7 +175,6 @@ def _c3(x, p, shortcut, dtype):
 
 def _sppf(x, p, dtype, k=5):
     y = _conv(x, p["cv1"], 1, dtype)
-    pads = [(0, 0), (k // 2, k // 2), (k // 2, k // 2), (0, 0)]
     pool = lambda t: lax.reduce_window(t, -jnp.inf, lax.max,
                                        (1, k, k, 1), (1, 1, 1, 1),
                                        [(0, 0), (k // 2, k // 2),

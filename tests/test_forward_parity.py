@@ -103,3 +103,21 @@ def test_scan_ladders_numerics_identical():
                              scan_ladders=True))(params, x)
     for u, v in zip(a, b):
         np.testing.assert_array_equal(np.asarray(u), np.asarray(v))
+
+
+def test_non_default_resolution_608():
+    """Any multiple-of-32 resolution works (the reference's --reso flag)."""
+    import jax
+    from realtimeobjectdetection_tpu.models import yolov3_tiny_spec
+    from realtimeobjectdetection_tpu.model import head_shapes
+    from realtimeobjectdetection_tpu.weights import init_params
+    from realtimeobjectdetection_tpu.ops.nms import nms_batch
+    spec = yolov3_tiny_spec(width=608, height=608)
+    assert head_shapes(spec, 1) == [(1, 19, 19, 255), (1, 38, 38, 255)]
+    params = init_params(spec, 0)
+    fwd = jax.jit(make_forward(spec, bn_mode="running"))
+    x = jnp.zeros((1, 608, 608, 3), jnp.float32)
+    pred = decode_heads(fwd(params, x), spec, 608)
+    assert pred.shape == (1, (19 * 19 + 38 * 38) * 3, 85)
+    boxes, valid = nms_batch(pred, 80, 0.6, 0.5, top_k=64)
+    assert boxes.shape == (1, 64, 7)
