@@ -66,6 +66,8 @@ def main(argv=None):
         stream_cli(rest)
     elif command == "serve":
         serve_cli(rest)
+    elif command == "convert":
+        convert_cli(rest)
     else:
         raise Exception("Unknown Command Error !!")
     return 0
@@ -318,3 +320,84 @@ def serve_cli(argv=None):
                                nms_thresh=a.nms_thresh,
                                batch_size=a.batch_size)
     return serve(service, a.host, a.port)
+
+
+def convert_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="Convert checkpoints between formats (offline tool)")
+    p.add_argument("--cfg", dest="cfg_file", default="yolov3", type=str,
+                   help="zoo name or .cfg path (darknet family), or "
+                        "yolov5{n,s,m,l,x} for v5 checkpoints")
+    p.add_argument("--src", required=True, type=str,
+                   help="source: .weights | torch state_dict .pt | "
+                        "ultralytics .pt (v5) | .npz")
+    p.add_argument("--dst", required=True, type=str,
+                   help="destination: .weights | .npz")
+    return p
+
+
+def convert_cli(argv=None):
+    import os
+    import numpy as np
+    a = convert_arg_parser().parse_args(argv)
+
+    def flatten(tree, prefix=""):
+        out = {}
+        for k, v in (tree.items() if isinstance(tree, dict)
+                     else enumerate(tree)):
+            key = f"{prefix}{k}"
+            if isinstance(v, (dict, list)):
+                out.update(flatten(v, key + "/"))
+            else:
+                out[key] = np.asarray(v)
+        return out
+
+    if a.cfg_file.lower().startswith("yolov5"):
+        from .models.yolov5 import YoloV5Config, params_from_ultralytics
+        size = a.cfg_file[-1].lower() if a.cfg_file[-1].lower() in "nsmlx" \
+            else "l"
+        cfg = YoloV5Config(size)
+        if a.src.endswith(".npz"):
+            raise SystemExit("npz->npz conversion is a copy; nothing to do")
+        import torch
+        obj = torch.load(a.src, map_location="cpu", weights_only=False)
+        if hasattr(obj, "state_dict"):
+            obj = obj.state_dict()
+        elif isinstance(obj, dict) and "model" in obj \
+                and hasattr(obj["model"], "state_dict"):
+            obj = obj["model"].state_dict()
+        params = params_from_ultralytics(cfg, obj)
+        if not a.dst.endswith(".npz"):
+            raise SystemExit("v5 only exports .npz")
+        np.savez_compressed(a.dst, **flatten(params))
+        print(f"wrote {a.dst}")
+        return 0
+
+    from .cfg_parser import load_graph_spec
+    from .models.zoo import get_spec
+    from .weights import (export_darknet_weights, load_darknet_weights,
+                          params_from_torch_state_dict)
+    spec = load_graph_spec(a.cfg_file) if os.path.isfile(a.cfg_file) \
+        else get_spec(a.cfg_file)
+    if a.src.endswith(".weights"):
+        params, _ = load_darknet_weights(spec, a.src)
+    elif a.src.endswith(".npz"):
+        flat = np.load(a.src)
+        params = {}
+        for key, val in flat.items():
+            node, field = key.split("/")
+            params.setdefault(node, {})[field] = val
+    else:
+        import torch
+        sd = torch.load(a.src, map_location="cpu", weights_only=False)
+        params = params_from_torch_state_dict(spec, sd)
+    if a.dst.endswith(".weights"):
+        blob = export_darknet_weights(spec, params)
+        with open(a.dst, "wb") as f:
+            f.write(blob)
+    elif a.dst.endswith(".npz"):
+        np.savez_compressed(a.dst, **flatten(params))
+    else:
+        raise SystemExit("dst must be .weights or .npz")
+    print(f"wrote {a.dst}")
+    return 0
