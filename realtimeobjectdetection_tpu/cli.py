@@ -21,10 +21,20 @@ def run_detect(detector_params: dict):
     v5_size = detector_params.pop("yolov5_size", "L")
     if version == 5:
         from .pipeline.yolov5 import DetectorV5
-        detector = DetectorV5(detector_params["images"], v5_size,
-                              detector_params["destination"])
+        # AutoShape-parity defaults (640 / 0.25 / 0.45) unless the
+        # v5-specific keys override them; the converted checkpoint flows
+        # through weights_path
+        detector = DetectorV5(
+            detector_params["images"], v5_size,
+            detector_params["destination"],
+            weights_path=detector_params.get("weights_path"),
+            size=detector_params.get("yolov5_input_size", 640),
+            confidence=detector_params.get("yolov5_confidence", 0.25),
+            iou_thresh=detector_params.get("yolov5_nms", 0.45))
     elif version == 3:
         from .pipeline.detector import DetectorV3
+        for k in ("yolov5_input_size", "yolov5_confidence", "yolov5_nms"):
+            detector_params.pop(k, None)
         detector = DetectorV3(**detector_params)
     else:
         raise Exception("Unknown YOLO version !!")

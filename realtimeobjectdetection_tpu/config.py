@@ -50,6 +50,9 @@ def fetch_parameters(json_path: str = "params.json"
         "bn_mode": det.get("bn_mode", "batch"),
         "top_k": det.get("top_k", 256),
         "precision": det.get("precision", None),
+        "yolov5_input_size": det.get("yolov5_input_size", 640),
+        "yolov5_confidence": det.get("yolov5_confidence", 0.25),
+        "yolov5_nms": det.get("yolov5_nms", 0.45),
     }
     trainer_params = {
         "cfg_path": det["cfg_file_path"],

@@ -163,17 +163,26 @@ class DarknetValidator:
     # ------------------------------------------------------------------
     def make_detect_fn(self, spec, bn_mode: str = "batch",
                        compute_dtype=jnp.float32, precision=None):
+        """Jitted detect with the NMS threshold as a *traced operand*, so
+        threshold sweeps (ROC) reuse one compiled program instead of
+        recompiling 19 near-identical ones (multi-minute TPU compiles)."""
         fwd = make_forward(spec, bn_mode=bn_mode,
                            compute_dtype=compute_dtype, precision=precision)
-        reso, conf, nt, tk, nc = (self.resolution, self.confidence,
-                                  self.nms_thresh, self.top_k,
-                                  self.num_classes)
+        reso, conf, tk, nc = (self.resolution, self.confidence,
+                              self.top_k, self.num_classes)
 
-        def detect(params, x):
+        @jax.jit
+        def detect(params, x, nms_thresh):
             pred = decode_heads(fwd(params, x), spec, reso)
-            return nms_batch(pred, nc, conf, nt, top_k=tk)
+            return nms_batch(pred, nc, conf, nms_thresh, top_k=tk)
 
-        return jax.jit(detect)
+        this = self
+
+        def call(params, x):
+            return detect(params, x,
+                          jnp.float32(this.nms_thresh))
+
+        return call
 
     def validate_model(self, spec_or_name, params, img_scores: bool = False,
                        bn_mode: str = "batch", verbose: bool = True,
@@ -205,7 +214,7 @@ class DarknetValidator:
             print("\tF_Score = ", self.f_score)
         return self.precision, self.recall, self.f_score
 
-    def validate_json(self, json_dir: str, img_scores: bool = False,
+    def validate_json(self, json_dir: str, img_scores: bool = True,
                       verbose: bool = True,
                       img_score_dir: str = "img_scores.json",
                       total_score_dir: str = "total_scores.json"):
@@ -223,7 +232,8 @@ class DarknetValidator:
                     arr = np.asarray(raw, np.float32)[:, 1:]  # drop batch col
                     pred = self.pred_filter(arr)
                 target = self.target_filter(rows)
-                self.get_img_scores(img_name, pred, target, img_scores=True)
+                self.get_img_scores(img_name, pred, target,
+                                    img_scores=img_scores)
         self._finalize()
         if verbose:
             print("\tPrecision = ", self.precision)
@@ -247,8 +257,9 @@ def roc_sweep(validator_ctor, spec_or_name, params,
     if thresholds is None:
         thresholds = [0.05 * i for i in range(19, 0, -1)]
     precision, recall, f_score = [], [], []
+    v = validator_ctor(nms_thresh=thresholds[0], **validator_kw)
     for t in thresholds:
-        v = validator_ctor(nms_thresh=t, **validator_kw)
+        v.nms_thresh = t  # traced operand — same compiled program
         p, r, f = v.validate_model(spec_or_name, params, verbose=False)
         precision.append(p)
         recall.append(r)

@@ -120,6 +120,12 @@ def head_shapes(spec: GraphSpec, batch: int, height: Optional[int] = None,
             if node.stride != 1:
                 cur_h = (cur_h - node.kernel_size) // node.stride + 1
                 cur_w = (cur_w - node.kernel_size) // node.stride + 1
+            elif node.kernel_size != 2:
+                # replicate-pad variant pools with stride k-1 (see
+                # _maxpool); only k=2 is shape-preserving
+                p = node.kernel_size - 1
+                cur_h = (cur_h + p - node.kernel_size) // p + 1
+                cur_w = (cur_w + p - node.kernel_size) // p + 1
         elif isinstance(node, UpsampleSpec):
             cur_h *= node.stride
             cur_w *= node.stride
@@ -143,13 +149,13 @@ def _find_ladders(spec: GraphSpec) -> Dict[int, int]:
     outside it taps an interior node (only the final output may be read).
     """
     nodes = spec.nodes
-    # collect every externally-referenced node index
-    refs = set()
+    # (referrer, source) pairs so interior taps can be attributed
+    ref_pairs = []
     for n in nodes:
         if isinstance(n, RouteSpec):
-            refs.update(n.sources)
+            ref_pairs.extend((n.index, s) for s in n.sources)
         elif isinstance(n, ShortcutSpec):
-            refs.add(n.source)
+            ref_pairs.append((n.index, n.source))
 
     def is_triple(i, proto=None):
         if i + 2 >= len(nodes):
@@ -183,13 +189,16 @@ def _find_ladders(spec: GraphSpec) -> Dict[int, int]:
                 # triple is this triple's output — allowed; anything else
                 # referencing interior nodes blocks extension
                 reps += 1
-            # trim reps if any interior node (not the final output) is
-            # referenced from outside its own triple's shortcut
+            # trim reps while any node interior to the rolled region is
+            # referenced by anything other than the ladder's own shortcut
+            # nodes (a route into a mid-ladder output would need that
+            # intermediate activation, which scan doesn't materialize)
             while reps > 1:
                 interior = set(range(i, i + 3 * reps - 1))
-                own_shortcuts = {i + 3 * t - 1 for t in range(1, reps + 1)}
-                external = {r for r in refs & interior
-                            if r not in own_shortcuts}
+                own_shortcut_nodes = {i + 3 * t + 2 for t in range(reps)}
+                external = [
+                    (ref, src) for ref, src in ref_pairs
+                    if src in interior and ref not in own_shortcut_nodes]
                 if external:
                     reps -= 1
                 else:

@@ -107,6 +107,13 @@ class DetectorV3:
             self.classes = load_classes(names_file)
         else:
             self.classes = COCO80
+        if bn_mode == "batch" and self.batch_size > 1:
+            import warnings
+            warnings.warn(
+                "bn_mode='batch' computes BatchNorm statistics across the "
+                "whole device batch, coupling images (and differing from "
+                "the reference's bs=1 behavior); use bn_mode='fold' or "
+                "'running' for batched throughput runs")
         # reference behavior: scaling factor uses literal 416 (detect.py:130)
         if parity_scale_416 is None:
             parity_scale_416 = (self.resolution == 416)
@@ -208,9 +215,12 @@ class DetectorV3:
                     dims.append((img.shape[1], img.shape[0]))  # (w, h)
                     prepped.append(prep_image_host_u8(img, self.resolution))
                 batch = np.concatenate(prepped, axis=0)
-                if len(chunk) < bs:  # pad trailing batch to the static shape
-                    pad = np.zeros((bs - len(chunk),) + batch.shape[1:],
-                                   batch.dtype)
+                if len(chunk) < bs:
+                    # pad the trailing batch to the static shape by
+                    # repeating the last real image: zero frames would
+                    # pollute batch-statistics BN for the real images
+                    reps = bs - len(chunk)
+                    pad = np.repeat(batch[-1:], reps, axis=0)
                     batch = np.concatenate([batch, pad], axis=0)
                 q.put((start, chunk, imgs, dims, batch))
             q.put(None)

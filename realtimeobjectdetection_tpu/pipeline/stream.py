@@ -146,6 +146,7 @@ class StreamDetector:
 
         self.latencies_ms = []
         n = 0
+        warmed_raw = not self.device_resize
         t_start = time.time()
         while True:
             item = q.get()
@@ -153,6 +154,13 @@ class StreamDetector:
                 break
             t_in, x, frame = item
             fn = self._detect_raw if self.device_resize else self._detect
+            if not warmed_raw:
+                # compile the frame-shaped raw program outside the timed
+                # window so p50/p99 reflect steady state, not one compile
+                np.asarray(fn(self.params, jnp.asarray(x))[0])
+                warmed_raw = True
+                t_in = time.time()
+                t_start = t_in
             boxes, valid = fn(self.params, jnp.asarray(x))
             rows = np.asarray(boxes[0])[np.asarray(valid[0])]
             self.latencies_ms.append((time.time() - t_in) * 1000)

@@ -72,13 +72,20 @@ def _scale_targets(boxes, valid, anchors, grid, stride, num_attrs,
 
     in_grid = (cell_x >= 0) & (cell_x < grid) & (cell_y >= 0) & (cell_y < grid)
     ok = valid & in_grid
-    loc = (cell_y * grid + cell_x) * a + fit
-    loc = jnp.where(ok, loc, grid * grid * a)               # park invalid rows
+    loc = jnp.where(ok, (cell_y * grid + cell_x) * a + fit,
+                    grid * grid * a)                        # park invalid rows
 
-    out = jnp.zeros((grid * grid * a + 1, num_attrs), rows.dtype)
-    out = out.at[loc].set(rows)                             # later boxes win
-    mask = jnp.zeros((grid * grid * a + 1,), bool).at[loc].set(ok)
-    return out[:-1], mask[:-1]
+    # later boxes win on slot collisions, exactly like the reference's
+    # sequential overwrite (train.py:190).  XLA scatter with duplicate
+    # indices is order-undefined, so resolve the winner deterministically
+    # with a scatter-max of box priority (index+1), then gather its row.
+    m = rows.shape[0]
+    prio = jnp.zeros((grid * grid * a + 1,), jnp.int32)
+    prio = prio.at[loc].max(jnp.arange(1, m + 1, dtype=jnp.int32))
+    mask = prio[:-1] > 0
+    winner = jnp.maximum(prio[:-1] - 1, 0)
+    out = rows[winner] * mask[:, None].astype(rows.dtype)
+    return out, mask
 
 
 def build_targets(spec: GraphSpec, boxes: jnp.ndarray, box_mask: jnp.ndarray,

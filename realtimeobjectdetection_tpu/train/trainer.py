@@ -198,11 +198,15 @@ class DarknetTrainer:
                 self.history["train_recall"].append(self.validator.recall)
                 self.history["train_f_score"].append(self.validator.f_score)
                 metric, higher_better = self.validator.f_score, True
-            improved = (best_metric is None
-                        or (metric > best_metric) == higher_better)
-            if improved:
-                best_metric = metric
-                self.save("checkpoint")
+            # NaN metrics (e.g. zero detections early in training) never
+            # become or beat the best — the checkpoint tier tracks the
+            # first/most-improved *finite* metric
+            if not np.isnan(metric):
+                improved = (best_metric is None
+                            or (metric > best_metric) == higher_better)
+                if improved:
+                    best_metric = metric
+                    self.save("checkpoint")
 
             self.history["train_loss"].append(running_loss / batch_num)
             if verbose:

@@ -142,12 +142,6 @@ def init_params(spec: GraphSpec, seed: int = 0) -> Params:
     return params
 
 
-_TORCH_SUFFIX_MAP = {
-    "weight": None,  # resolved by module kind below
-    "bias": None,
-}
-
-
 def params_from_torch_state_dict(spec: GraphSpec, state_dict) -> Params:
     """Convert a reference torch ``state_dict`` into our pytree.
 

@@ -85,3 +85,66 @@ def test_zoo_matches_reference_cfgs():
         zoo = fn()
         ref = load_graph_spec(os.path.join(REFERENCE_DIR, "cfg", f"{name}.cfg"))
         assert zoo.nodes == ref.nodes
+
+
+def test_scan_ladder_trims_on_midladder_route():
+    """A route tapping a mid-ladder residual output must block rolling
+    that region into lax.scan (the activation wouldn't exist)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from realtimeobjectdetection_tpu.model import (_find_ladders,
+                                                   make_forward)
+    from realtimeobjectdetection_tpu.weights import init_params
+
+    cfg = """
+[net]
+width=64
+height=64
+channels=3
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride=1
+pad=1
+activation=leaky
+"""
+    # 3 residual triples, then a route back into triple 1's output
+    triple = """
+[convolutional]
+batch_normalize=1
+filters=8
+size=1
+stride=1
+pad=1
+activation=leaky
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride=1
+pad=1
+activation=leaky
+[shortcut]
+from=-3
+activation=linear
+"""
+    cfg += triple * 3
+    cfg += """
+[route]
+layers=3
+"""
+    spec = build_graph_spec(parse_cfg_blocks(cfg))
+    ladders = _find_ladders(spec)
+    # node 3 (triple-1 output) is externally routed: only triples 2+3
+    # of the run may stay rolled — never a region containing node 3 as
+    # an interior (non-materialized) activation
+    for start, reps in ladders.items():
+        interior = set(range(start, start + 3 * reps - 1))
+        assert 3 not in interior, (start, reps)
+    params = init_params(spec, 0)
+    fwd = jax.jit(make_forward(spec, bn_mode="running", scan_ladders=True))
+    heads_or_out = fwd(params, jnp.zeros((1, 64, 64, 3), jnp.float32))
+    # graph has no yolo node; forward returns empty heads without crashing
+    assert heads_or_out == []
