@@ -78,6 +78,8 @@ def main(argv=None):
         serve_cli(rest)
     elif command == "convert":
         convert_cli(rest)
+    elif command == "export":
+        export_cli(rest)
     else:
         raise Exception("Unknown Command Error !!")
     return 0
@@ -410,4 +412,39 @@ def convert_cli(argv=None):
     else:
         raise SystemExit("dst must be .weights or .npz")
     print(f"wrote {a.dst}")
+    return 0
+
+
+def export_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="AOT-export the detect program (StableHLO, weights "
+                    "baked in)")
+    p.add_argument("--cfg", dest="cfg_file", default="yolov3", type=str)
+    p.add_argument("--weights", dest="weights_file", default=None, type=str)
+    p.add_argument("--dst", required=True, type=str)
+    p.add_argument("--batch_size", default=8, type=int)
+    p.add_argument("--reso", default=416, type=int)
+    p.add_argument("--confidence", default=0.6, type=float)
+    p.add_argument("--nms_thresh", default=0.5, type=float)
+    p.add_argument("--top_k", default=128, type=int)
+    return p
+
+
+def export_cli(argv=None):
+    import os
+    a = export_arg_parser().parse_args(argv)
+    from .cfg_parser import load_graph_spec
+    from .models.zoo import get_spec
+    from .weights import init_params, load_darknet_weights
+    from .pipeline.export import save_detector
+    spec = load_graph_spec(a.cfg_file) if os.path.isfile(a.cfg_file) \
+        else get_spec(a.cfg_file)
+    if a.weights_file:
+        params, _ = load_darknet_weights(spec, a.weights_file)
+    else:
+        params = init_params(spec)
+    meta = save_detector(a.dst, spec, params, batch_size=a.batch_size,
+                         resolution=a.reso, confidence=a.confidence,
+                         nms_thresh=a.nms_thresh, top_k=a.top_k)
+    print(f"wrote {a.dst}: {meta}")
     return 0

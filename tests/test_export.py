@@ -1,0 +1,53 @@
+"""AOT export: save the full detect program, reload, identical outputs."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from realtimeobjectdetection_tpu.models import get_spec
+from realtimeobjectdetection_tpu.pipeline.export import (load_detector,
+                                                         save_detector)
+from realtimeobjectdetection_tpu.testing import synthetic_darknet_weights
+from realtimeobjectdetection_tpu.weights import load_darknet_weights
+
+
+def test_export_round_trip(tmp_path):
+    spec = get_spec("yolov3-tiny", width=160, height=160)
+    params, _ = load_darknet_weights(spec, synthetic_darknet_weights(spec, 0))
+    path = str(tmp_path / "tiny.stablehlo")
+    meta = save_detector(path, spec, params, batch_size=2, resolution=160,
+                         confidence=0.7, top_k=32,
+                         compute_dtype=jnp.float32, fold=False)
+    assert meta["resolution"] == 160
+
+    det = load_detector(path)
+    assert det.meta["batch_size"] == 2
+    rng = np.random.RandomState(0)
+    x = rng.randint(0, 256, (2, 160, 160, 3), np.uint8)
+    boxes, valid = det(x)
+    assert boxes.shape == (2, 32, 7)
+
+    # identical to the live pipeline
+    import jax
+    from realtimeobjectdetection_tpu.model import make_forward
+    from realtimeobjectdetection_tpu.ops.decode import decode_heads
+    from realtimeobjectdetection_tpu.ops.nms import nms_batch
+    fwd = make_forward(spec, bn_mode="running",
+                       compute_dtype=jnp.float32, scan_ladders=True)
+
+    def live(xx):
+        xx = xx.astype(jnp.float32) / 255.0
+        pred = decode_heads(fwd(params, xx), spec, 160)
+        return nms_batch(pred, 80, 0.7, 0.5, top_k=32)
+
+    b2, v2 = jax.jit(live)(jnp.asarray(x))
+    np.testing.assert_array_equal(np.asarray(valid), np.asarray(v2))
+    np.testing.assert_allclose(np.asarray(boxes), np.asarray(b2),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_export_bad_magic(tmp_path):
+    p = tmp_path / "junk.bin"
+    p.write_bytes(b"garbage")
+    import pytest
+    with pytest.raises(ValueError, match="not a rodtpu export"):
+        load_detector(str(p))
