@@ -193,6 +193,9 @@ def validate_arg_parser() -> argparse.ArgumentParser:
                    help="offline re-scoring from a metrics.json dump")
     p.add_argument("--roc", default=None, type=str,
                    help="run the NMS-threshold ROC sweep, save plot here")
+    p.add_argument("--map", dest="do_map", action="store_true",
+                   help="compute all-class COCO-style mAP instead of the "
+                        "person P/R/F scores")
     return p
 
 
@@ -211,6 +214,12 @@ def validate_cli(argv=None):
     else:
         params = init_params(spec)
 
+    if a.do_map:
+        from .eval.validator import validate_map
+        return validate_map(a.annot, a.images, spec, params,
+                            confidence=a.confidence,
+                            nms_thresh=a.nms_thresh, resolution=a.reso,
+                            bn_mode=a.bn_mode)
     if a.from_json:
         v = DarknetValidator(a.annot, a.images, confidence=a.confidence,
                              nms_thresh=a.nms_thresh, resolution=a.reso)
