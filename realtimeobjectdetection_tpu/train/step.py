@@ -65,7 +65,9 @@ def make_train_step(spec: GraphSpec, optimizer, resolution: int = 416,
                     parity_swap_xy: bool = False,
                     compute_dtype=jnp.float32, precision=None,
                     update_bn_stats: bool = True,
-                    remat: bool = False):
+                    remat: bool = False,
+                    augment: bool = False, aug_seed: int = 0,
+                    aug_kwargs: Optional[Dict] = None):
     """Build ``step(state, images, boxes, box_mask) -> (state, loss)``.
 
     ``images``: [B, H, W, 3]; ``boxes``: [B, M, 5+C] padded gt rows;
@@ -78,6 +80,12 @@ def make_train_step(spec: GraphSpec, optimizer, resolution: int = 416,
         fwd = jax.checkpoint(fwd)
 
     def step(state: TrainState, images, boxes, box_mask):
+        if augment:
+            from .augment import augment_batch
+            key = jax.random.fold_in(jax.random.PRNGKey(aug_seed),
+                                     state.step)
+            images, boxes = augment_batch(key, images, boxes,
+                                          **(aug_kwargs or {}))
         targets, obj_mask = build_targets(
             spec, boxes, box_mask, resolution,
             class_filter=class_filter,

@@ -58,7 +58,9 @@ class DarknetTrainer:
                  resume: bool = False, out_dir: str = "weights",
                  max_boxes: int = 64, class_filter: Optional[int] = 0,
                  seed: int = 42, mesh=None, spatial: bool = False,
-                 compute_dtype=jnp.float32, remat: bool = False):
+                 compute_dtype=jnp.float32, remat: bool = False,
+                 augment: bool = False, optimizer: str = "adam",
+                 use_cfg_schedule: bool = False):
         assert isinstance(epochs, int) and isinstance(batch_size, int)
         assert resolution % 32 == 0
         self.cfg_path = cfg_path
@@ -80,11 +82,20 @@ class DarknetTrainer:
         else:
             params = init_params(self.spec, seed)
 
-        self.optimizer = optax.adam(lr)
+        if use_cfg_schedule:
+            # honor the cfg [net] hyperparameters the reference ignores
+            # (burn-in warmup, step decays, momentum/decay for sgd)
+            from .schedule import optimizer_from_net
+            self.optimizer = optimizer_from_net(self.spec, base_lr=lr,
+                                                optimizer=optimizer)
+        elif optimizer == "sgd":
+            self.optimizer = optax.sgd(lr, momentum=0.9)
+        else:
+            self.optimizer = optax.adam(lr)  # reference: Adam (train.py:57)
         self.step_fn = make_train_step(
             self.spec, self.optimizer, resolution=self.resolution,
             class_filter=class_filter, compute_dtype=compute_dtype,
-            remat=remat)
+            remat=remat, augment=augment, aug_seed=seed)
 
         # mesh: None = auto (DP over all devices when the batch divides
         # evenly), False = force single-device, or an explicit Mesh

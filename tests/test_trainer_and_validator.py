@@ -192,3 +192,65 @@ def test_train_step_bf16_compute(tmp_path):
     assert np.isfinite(float(loss))
     # params stay fp32 (master weights)
     assert state2.params["node_0"]["w"].dtype == jnp.float32
+
+
+def test_augment_batch_box_consistency():
+    import jax, jax.numpy as jnp
+    from realtimeobjectdetection_tpu.train.augment import augment_batch
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(4, 64, 64, 3), jnp.float32)
+    boxes = np.zeros((4, 2, 85), np.float32)
+    boxes[:, :, 0] = 20.0   # cx
+    boxes[:, :, 1] = 30.0
+    boxes[:, :, 2:4] = 10.0
+    boxes[:, :, 4:6] = 1.0
+    key = jax.random.PRNGKey(0)
+    # geometric check: flip always, photometric jitter disabled
+    aug_img, aug_boxes = augment_batch(key, images, jnp.asarray(boxes),
+                                       flip_p=1.0, saturation=1.0,
+                                       exposure=1.0, hue=0.0)
+    aug_boxes = np.asarray(aug_boxes)
+    # flipped cx = D - cx; cy/w/h unchanged
+    np.testing.assert_allclose(aug_boxes[:, :, 0], 44.0)
+    np.testing.assert_allclose(aug_boxes[:, :, 1], 30.0)
+    # image actually mirrored
+    np.testing.assert_allclose(np.asarray(aug_img)[0, :, 0],
+                               np.asarray(images)[0, :, -1], atol=0.02)
+    # pixel values stay in range
+    a = np.asarray(aug_img)
+    assert a.min() >= 0 and a.max() <= 1.0 + 1e-6
+
+
+def test_hsv_round_trip_identity():
+    import jax.numpy as jnp
+    from realtimeobjectdetection_tpu.train.augment import (_hsv_to_rgb,
+                                                           _rgb_to_hsv)
+    rng = np.random.RandomState(1)
+    rgb = jnp.asarray(rng.rand(8, 8, 3), jnp.float32)
+    back = _hsv_to_rgb(_rgb_to_hsv(rgb))
+    np.testing.assert_allclose(np.asarray(back), np.asarray(rgb), atol=1e-5)
+
+
+def test_cfg_schedule_semantics():
+    from realtimeobjectdetection_tpu.train.schedule import schedule_from_net
+    net = {"learning_rate": "0.001", "burn_in": "100",
+           "steps": "400,450", "scales": "0.1,0.1"}
+    s = schedule_from_net(net)
+    assert float(s(0)) == 0.0
+    assert float(s(50)) < 0.001  # warming up
+    np.testing.assert_allclose(float(s(100)), 0.001, rtol=1e-6)
+    np.testing.assert_allclose(float(s(399)), 0.001, rtol=1e-6)
+    np.testing.assert_allclose(float(s(420)), 0.0001, rtol=1e-5)
+    np.testing.assert_allclose(float(s(500)), 0.00001, rtol=1e-5)
+
+
+def test_trainer_with_augment_and_schedule(tmp_path):
+    from realtimeobjectdetection_tpu.train.trainer import DarknetTrainer
+    from realtimeobjectdetection_tpu.testing import make_synthetic_coco
+    ann, imgs = make_synthetic_coco(tmp_path, n_images=4)
+    trainer = DarknetTrainer("yolov3-tiny", epochs=1, batch_size=2,
+                             resolution=160, out_dir=str(tmp_path / "w"),
+                             mesh=False, max_boxes=8, augment=True,
+                             optimizer="sgd", use_cfg_schedule=True)
+    hist = trainer.train(ann, imgs, dataset_type="COCO", verbose=False)
+    assert np.isfinite(hist["train_loss"][0])
