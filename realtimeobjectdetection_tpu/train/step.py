@@ -67,19 +67,34 @@ def make_train_step(spec: GraphSpec, optimizer, resolution: int = 416,
                     update_bn_stats: bool = True,
                     remat: bool = False,
                     augment: bool = False, aug_seed: int = 0,
-                    aug_kwargs: Optional[Dict] = None):
+                    aug_kwargs: Optional[Dict] = None,
+                    input_resolution: Optional[int] = None):
     """Build ``step(state, images, boxes, box_mask) -> (state, loss)``.
 
     ``images``: [B, H, W, 3]; ``boxes``: [B, M, 5+C] padded gt rows;
     ``box_mask``: [B, M].  Pure function of its inputs — jit/pjit it with
     whatever shardings the mesh layer chooses.
+
+    ``input_resolution``: when it differs from ``resolution``, images are
+    bilinearly rescaled in-graph and boxes scaled accordingly — the
+    multi-scale training mode (darknet ``random=1``, which the reference
+    parses but ignores): the loader stays fixed-shape at the base
+    resolution and the device handles the scale jitter.
     """
     fwd = make_forward(spec, bn_mode="batch", compute_dtype=compute_dtype,
                        return_stats=True, precision=precision)
     if remat:
         fwd = jax.checkpoint(fwd)
+    base = input_resolution or resolution
 
     def step(state: TrainState, images, boxes, box_mask):
+        if base != resolution:
+            b = images.shape[0]
+            images = jax.image.resize(
+                images, (b, resolution, resolution, images.shape[3]),
+                "bilinear")
+            ratio = resolution / base
+            boxes = boxes.at[..., 0:4].multiply(ratio)
         if augment:
             from .augment import augment_batch
             key = jax.random.fold_in(jax.random.PRNGKey(aug_seed),

@@ -60,7 +60,9 @@ class DarknetTrainer:
                  seed: int = 42, mesh=None, spatial: bool = False,
                  compute_dtype=jnp.float32, remat: bool = False,
                  augment: bool = False, optimizer: str = "adam",
-                 use_cfg_schedule: bool = False):
+                 use_cfg_schedule: bool = False,
+                 multiscale: bool = False,
+                 multiscale_range=(320, 608), multiscale_every: int = 10):
         assert isinstance(epochs, int) and isinstance(batch_size, int)
         assert resolution % 32 == 0
         self.cfg_path = cfg_path
@@ -92,10 +94,24 @@ class DarknetTrainer:
             self.optimizer = optax.sgd(lr, momentum=0.9)
         else:
             self.optimizer = optax.adam(lr)  # reference: Adam (train.py:57)
+        self._step_kwargs = dict(
+            class_filter=class_filter, compute_dtype=compute_dtype,
+            remat=remat, augment=augment, aug_seed=seed,
+            input_resolution=self.resolution)
         self.step_fn = make_train_step(
             self.spec, self.optimizer, resolution=self.resolution,
-            class_filter=class_filter, compute_dtype=compute_dtype,
-            remat=remat, augment=augment, aug_seed=seed)
+            **self._step_kwargs)
+        # multi-scale training (darknet random=1): a jitted step per
+        # resolution, switched every `multiscale_every` batches; the
+        # loader stays at the base resolution and the device rescales
+        self.multiscale = multiscale
+        self.multiscale_every = multiscale_every
+        if multiscale:
+            lo, hi = multiscale_range
+            self._scales = [r for r in range(lo, hi + 1, 32)]
+        else:
+            self._scales = [self.resolution]
+        self._step_cache = {}
 
         # mesh: None = auto (DP over all devices when the batch divides
         # evenly), False = force single-device, or an explicit Mesh
@@ -105,17 +121,32 @@ class DarknetTrainer:
                 else None
         else:
             self.mesh = mesh or None
+        self._spatial = spatial
         if self.mesh is not None:
             self.step_jit = shard_train_step(self.step_fn, self.mesh,
                                              spatial=spatial)
         else:
             self.step_jit = jax.jit(self.step_fn)
+        self._step_cache[self.resolution] = self.step_jit
 
         self.state = init_train_state(params, self.optimizer)
         if resume:
             self.restore(os.path.join(self.out_dir, "training_output"))
         print("\nTrainer is ready!!\n")
         print(f"devices = {jax.devices()}\n")
+
+    def _get_step(self, resolution: int):
+        """Jitted train step for one target resolution (cached)."""
+        if resolution not in self._step_cache:
+            fn = make_train_step(self.spec, self.optimizer,
+                                 resolution=resolution,
+                                 **self._step_kwargs)
+            if self.mesh is not None:
+                fn = shard_train_step(fn, self.mesh, spatial=self._spatial)
+            else:
+                fn = jax.jit(fn)
+            self._step_cache[resolution] = fn
+        return self._step_cache[resolution]
 
     # ------------------------------------------------------------------
     # checkpointing (orbax pytree + darknet .weights export)
@@ -187,10 +218,15 @@ class DarknetTrainer:
         for epoch in range(1, self.epochs + 1):
             t_start = time.time()
             running_loss = 0.0
+            rng = np.random.RandomState(self.seed + epoch)
+            cur_res = self.resolution
             for b, (images, boxes, mask) in enumerate(padded_batches(
                     dataset, self.batch_size, self.max_boxes,
                     shuffle=True, seed=self.seed, epoch=epoch)):
-                self.state, loss = self.step_jit(
+                if self.multiscale and b % self.multiscale_every == 0:
+                    cur_res = int(rng.choice(self._scales))
+                step = self._get_step(cur_res)
+                self.state, loss = step(
                     self.state, jnp.asarray(images), jnp.asarray(boxes),
                     jnp.asarray(mask))
                 loss = float(loss)

@@ -254,3 +254,40 @@ def test_trainer_with_augment_and_schedule(tmp_path):
                              optimizer="sgd", use_cfg_schedule=True)
     hist = trainer.train(ann, imgs, dataset_type="COCO", verbose=False)
     assert np.isfinite(hist["train_loss"][0])
+
+
+def test_multiscale_training(tmp_path):
+    from realtimeobjectdetection_tpu.train.trainer import DarknetTrainer
+    from realtimeobjectdetection_tpu.testing import make_synthetic_coco
+    ann, imgs = make_synthetic_coco(tmp_path, n_images=4)
+    trainer = DarknetTrainer("yolov3-tiny", epochs=1, batch_size=2,
+                             resolution=160, out_dir=str(tmp_path / "w"),
+                             mesh=False, max_boxes=8, multiscale=True,
+                             multiscale_range=(96, 192),
+                             multiscale_every=1)
+    hist = trainer.train(ann, imgs, dataset_type="COCO", verbose=False)
+    assert np.isfinite(hist["train_loss"][0])
+    # more than one resolution actually compiled+ran
+    assert len(trainer._step_cache) > 1
+
+
+def test_multiscale_step_box_scaling():
+    import jax, jax.numpy as jnp, optax
+    from realtimeobjectdetection_tpu.models import get_spec
+    from realtimeobjectdetection_tpu.train.step import (init_train_state,
+                                                        make_train_step)
+    from realtimeobjectdetection_tpu.weights import init_params
+    spec = get_spec("yolov3-tiny", width=160, height=160)
+    opt = optax.adam(1e-3)
+    # target 96 from base 160
+    step = jax.jit(make_train_step(spec, opt, resolution=96,
+                                   input_resolution=160))
+    state = init_train_state(init_params(spec, 0), opt)
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(2, 160, 160, 3), jnp.float32)
+    boxes = np.zeros((2, 2, 85), np.float32)
+    boxes[:, :, 0:4] = [80, 80, 60, 60]
+    boxes[:, :, 4:6] = 1.0
+    state2, loss = step(state, images, jnp.asarray(boxes),
+                        jnp.ones((2, 2), bool))
+    assert np.isfinite(float(loss))
