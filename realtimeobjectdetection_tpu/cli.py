@@ -182,7 +182,8 @@ def validate_arg_parser() -> argparse.ArgumentParser:
                    help="Directory containing validation images")
     p.add_argument("--cfg", dest="cfg_file", default="yolov3", type=str)
     p.add_argument("--weights", dest="weights_file", default=None, type=str)
-    p.add_argument("--confidence", default=0.6, type=float)
+    p.add_argument("--confidence", default=None, type=float,
+                   help="default 0.6 (P/R mode) or 0.25 (--map mode)")
     p.add_argument("--nms_thresh", default=0.5, type=float)
     p.add_argument("--reso", default=416, type=int)
     p.add_argument("--bn_mode", default="batch",
@@ -200,15 +201,16 @@ def validate_arg_parser() -> argparse.ArgumentParser:
 
 
 def validate_cli(argv=None):
-    import os
     a = validate_arg_parser().parse_args(argv)
     from .eval.validator import DarknetValidator, roc_sweep
-    from .cfg_parser import load_graph_spec
-    from .models.zoo import get_spec
+    from .models.zoo import resolve_spec
     from .weights import init_params, load_darknet_weights
 
-    spec = load_graph_spec(a.cfg_file) if os.path.isfile(a.cfg_file) \
-        else get_spec(a.cfg_file)
+    # the mAP PR-curve needs the low-confidence tail; the person-P/R
+    # mode keeps the reference's 0.6 operating point
+    if a.confidence is None:
+        a.confidence = 0.25 if a.do_map else 0.6
+    spec = resolve_spec(a.cfg_file)
     if a.weights_file:
         params, _ = load_darknet_weights(spec, a.weights_file)
     else:
@@ -257,16 +259,14 @@ def stream_arg_parser() -> argparse.ArgumentParser:
 def stream_cli(argv=None):
     import os
     a = stream_arg_parser().parse_args(argv)
-    from .cfg_parser import load_graph_spec
-    from .models.zoo import get_spec
+    from .models.zoo import resolve_spec
     from .weights import init_params, load_darknet_weights
     from .pipeline.stream import StreamDetector, synthetic_frames, \
         video_frames
     from .pipeline.render import draw_detection, make_palette
     from .data.classnames import COCO80
 
-    spec = load_graph_spec(a.cfg_file) if os.path.isfile(a.cfg_file) \
-        else get_spec(a.cfg_file)
+    spec = resolve_spec(a.cfg_file)
     if a.weights_file:
         params, _ = load_darknet_weights(spec, a.weights_file)
     else:
@@ -325,13 +325,11 @@ def serve_arg_parser() -> argparse.ArgumentParser:
 def serve_cli(argv=None):
     import os
     a = serve_arg_parser().parse_args(argv)
-    from .cfg_parser import load_graph_spec
-    from .models.zoo import get_spec
+    from .models.zoo import resolve_spec
     from .weights import init_params, load_darknet_weights
     from .pipeline.server import DetectionService, serve
 
-    spec = load_graph_spec(a.cfg_file) if os.path.isfile(a.cfg_file) \
-        else get_spec(a.cfg_file)
+    spec = resolve_spec(a.cfg_file)
     if a.weights_file:
         params, _ = load_darknet_weights(spec, a.weights_file)
     else:
@@ -380,26 +378,18 @@ def convert_cli(argv=None):
         cfg = YoloV5Config(size)
         if a.src.endswith(".npz"):
             raise SystemExit("npz->npz conversion is a copy; nothing to do")
-        import torch
-        obj = torch.load(a.src, map_location="cpu", weights_only=False)
-        if hasattr(obj, "state_dict"):
-            obj = obj.state_dict()
-        elif isinstance(obj, dict) and "model" in obj \
-                and hasattr(obj["model"], "state_dict"):
-            obj = obj["model"].state_dict()
-        params = params_from_ultralytics(cfg, obj)
+        from .models.yolov5 import load_v5_checkpoint
+        params = load_v5_checkpoint(cfg, a.src)
         if not a.dst.endswith(".npz"):
             raise SystemExit("v5 only exports .npz")
         np.savez_compressed(a.dst, **flatten(params))
         print(f"wrote {a.dst}")
         return 0
 
-    from .cfg_parser import load_graph_spec
-    from .models.zoo import get_spec
+    from .models.zoo import resolve_spec
     from .weights import (export_darknet_weights, load_darknet_weights,
                           params_from_torch_state_dict)
-    spec = load_graph_spec(a.cfg_file) if os.path.isfile(a.cfg_file) \
-        else get_spec(a.cfg_file)
+    spec = resolve_spec(a.cfg_file)
     if a.src.endswith(".weights"):
         params, _ = load_darknet_weights(spec, a.src)
     elif a.src.endswith(".npz"):
@@ -442,12 +432,10 @@ def export_arg_parser() -> argparse.ArgumentParser:
 def export_cli(argv=None):
     import os
     a = export_arg_parser().parse_args(argv)
-    from .cfg_parser import load_graph_spec
-    from .models.zoo import get_spec
+    from .models.zoo import resolve_spec
     from .weights import init_params, load_darknet_weights
     from .pipeline.export import save_detector
-    spec = load_graph_spec(a.cfg_file) if os.path.isfile(a.cfg_file) \
-        else get_spec(a.cfg_file)
+    spec = resolve_spec(a.cfg_file)
     if a.weights_file:
         params, _ = load_darknet_weights(spec, a.weights_file)
     else:

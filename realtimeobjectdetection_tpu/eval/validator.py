@@ -88,6 +88,7 @@ class DarknetValidator:
         self.batch_size = batch_size
         self.dataset = COCODataset(annotation_dir, img_dir, resolution,
                                    keep_img_name=True)
+        self._detect_cache = {}
         self.reset_scores()
 
     def reset_scores(self):
@@ -191,8 +192,15 @@ class DarknetValidator:
         spec = spec_or_name if not isinstance(spec_or_name, str) else (
             load_graph_spec(spec_or_name) if os.path.isfile(spec_or_name)
             else get_spec(spec_or_name))
-        detect = self.make_detect_fn(spec, bn_mode=bn_mode,
-                                     precision=precision)
+        # memoize: the jitted program is threshold-agnostic (nms_thresh is
+        # a traced operand), so ROC sweeps and per-epoch validation reuse
+        # one compilation
+        cache_key = (id(spec), bn_mode, precision)
+        detect = self._detect_cache.get(cache_key)
+        if detect is None:
+            detect = self.make_detect_fn(spec, bn_mode=bn_mode,
+                                         precision=precision)
+            self._detect_cache[cache_key] = detect
         params = jax.device_put(params)
         self.reset_scores()
         n = len(self.dataset)

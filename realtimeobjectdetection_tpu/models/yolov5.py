@@ -33,7 +33,7 @@ from jax import lax
 
 __all__ = ["YoloV5Config", "yolov5_config", "init_yolov5_params",
            "make_yolov5_forward", "decode_v5", "params_from_ultralytics",
-           "V5_ANCHORS", "V5_STRIDES"]
+           "load_v5_checkpoint", "V5_ANCHORS", "V5_STRIDES"]
 
 V5_ANCHORS = (
     ((10, 13), (16, 30), (33, 23)),      # P3/8
@@ -286,6 +286,27 @@ def _detect_conv(sd, prefix: str) -> Dict[str, np.ndarray]:
             "b": g(".bias")}
 
 
+def load_v5_checkpoint(cfg: YoloV5Config, path: str) -> Dict:
+    """Load a YOLOv5 checkpoint: .npz (converted) or torch .pt
+    (raw state_dict or an ultralytics container).  Rejects Darknet
+    ``.weights`` binaries with a clear error."""
+    if path.endswith(".weights"):
+        raise ValueError(
+            f"{path!r} is a Darknet .weights binary — YOLOv5 uses "
+            "ultralytics checkpoints; convert with 'rodtpu convert' or "
+            "pass an .npz/.pt file")
+    if path.endswith(".npz"):
+        return _unflatten(dict(np.load(path)))
+    import torch  # offline dev dependency
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if hasattr(obj, "state_dict"):
+        obj = obj.state_dict()
+    elif isinstance(obj, dict) and "model" in obj \
+            and hasattr(obj["model"], "state_dict"):
+        obj = obj["model"].state_dict()
+    return params_from_ultralytics(cfg, obj)
+
+
 def params_from_ultralytics(cfg: YoloV5Config, state_dict) -> Dict:
     """Map an ultralytics yolov5 ``model.state_dict()`` into our pytree.
 
@@ -326,3 +347,28 @@ def params_from_ultralytics(cfg: YoloV5Config, state_dict) -> Dict:
                 for s in range(3)},
     }
     return p
+
+
+def _unflatten(flat: Dict[str, np.ndarray]) -> Dict:
+    """'m0/w'-style flat npz -> nested pytree (lists for C3 'm' stacks)."""
+    tree: Dict = {}
+    for key, val in flat.items():
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = val
+
+    def fix_m(node):
+        if isinstance(node, dict):
+            out = {}
+            for k, v in node.items():
+                if k == "m" and isinstance(v, dict) \
+                        and all(s.isdigit() for s in v):
+                    out[k] = [fix_m(v[str(i)]) for i in range(len(v))]
+                else:
+                    out[k] = fix_m(v)
+            return out
+        return node
+
+    return fix_m(tree)

@@ -168,6 +168,16 @@ _ZOO = {
 }
 
 
+def resolve_spec(cfg_path_or_name: str, **kw) -> GraphSpec:
+    """A ``.cfg`` file path or a zoo name -> GraphSpec (shared by every
+    CLI and pipeline entry point)."""
+    import os
+    from ..cfg_parser import load_graph_spec
+    if os.path.isfile(cfg_path_or_name):
+        return load_graph_spec(cfg_path_or_name)
+    return get_spec(cfg_path_or_name, **kw)
+
+
 def get_spec(name: str, **kw) -> GraphSpec:
     """Look up a zoo model by name (accepts cfg-style paths too)."""
     key = name

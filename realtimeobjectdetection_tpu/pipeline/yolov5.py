@@ -33,7 +33,7 @@ import jax.numpy as jnp
 
 from ..data.classnames import COCO80
 from ..models.yolov5 import (YoloV5Config, decode_v5, init_yolov5_params,
-                             make_yolov5_forward, params_from_ultralytics)
+                             make_yolov5_forward)
 from ..ops.letterbox import letterbox_params
 from ..ops.nms import nms_batch_v5
 from .render import draw_detection, make_palette
@@ -89,18 +89,8 @@ class DetectorV5:
     def _load_params(self, weights_path):
         if weights_path is None:
             return init_yolov5_params(self.cfg, seed=0)
-        if weights_path.endswith(".npz"):
-            flat = np.load(weights_path)
-            return _unflatten(dict(flat))
-        import torch  # offline dev dependency
-        obj = torch.load(weights_path, map_location="cpu",
-                         weights_only=False)
-        if hasattr(obj, "state_dict"):
-            obj = obj.state_dict()
-        elif isinstance(obj, dict) and "model" in obj \
-                and hasattr(obj["model"], "state_dict"):
-            obj = obj["model"].state_dict()
-        return params_from_ultralytics(self.cfg, obj)
+        from ..models.yolov5 import load_v5_checkpoint
+        return load_v5_checkpoint(self.cfg, weights_path)
 
     # ------------------------------------------------------------------
     def list_images(self) -> List[str]:
@@ -143,28 +133,3 @@ class DetectorV5:
         out[:, [0, 2]] = np.clip((out[:, [0, 2]] - off_x) / scale, 0, w)
         out[:, [1, 3]] = np.clip((out[:, [1, 3]] - off_y) / scale, 0, h)
         return out
-
-
-def _unflatten(flat: Dict[str, np.ndarray]) -> Dict:
-    """'m0/w'-style flat npz -> nested pytree (lists for C3 'm' stacks)."""
-    tree: Dict = {}
-    for key, val in flat.items():
-        parts = key.split("/")
-        node = tree
-        for p in parts[:-1]:
-            node = node.setdefault(p, {})
-        node[parts[-1]] = val
-
-    def fix_m(node):
-        if isinstance(node, dict):
-            out = {}
-            for k, v in node.items():
-                if k == "m" and isinstance(v, dict) \
-                        and all(s.isdigit() for s in v):
-                    out[k] = [fix_m(v[str(i)]) for i in range(len(v))]
-                else:
-                    out[k] = fix_m(v)
-            return out
-        return node
-
-    return fix_m(tree)

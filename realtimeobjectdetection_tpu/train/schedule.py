@@ -58,7 +58,15 @@ def optimizer_from_net(spec: GraphSpec, base_lr: Optional[float] = None,
         return optax.adam(sched)
     momentum = float(raw.get("momentum", 0.9))
     decay = float(raw.get("decay", 0.0005))
+
+    def _decay_mask(params):
+        # darknet decays conv kernels only — BN stats/affine and biases
+        # must not shrink (decaying bn_mean/bn_var corrupts inference)
+        import jax
+        return jax.tree_util.tree_map_with_path(
+            lambda path, _: path[-1].key == "w", params)
+
     return optax.chain(
-        optax.add_decayed_weights(decay),
+        optax.add_decayed_weights(decay, mask=_decay_mask),
         optax.sgd(sched, momentum=momentum),
     )
