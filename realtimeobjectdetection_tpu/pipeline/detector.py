@@ -44,10 +44,10 @@ except Exception:  # pragma: no cover
 import jax
 import jax.numpy as jnp
 
-from ..cfg_parser import GraphSpec, load_graph_spec
+from ..cfg_parser import GraphSpec
 from ..data.classnames import COCO80, load_classes
 from ..model import fold_batchnorm, make_forward
-from ..models.zoo import get_spec
+from ..models.zoo import resolve_spec
 from ..ops.decode import decode_heads
 from ..ops.letterbox import prep_image_host, prep_image_host_u8
 from ..ops.nms import nms_batch
@@ -58,13 +58,6 @@ from .render import draw_detection, make_palette
 __all__ = ["DetectorV3"]
 
 _IMG_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".ppm", ".webp")
-
-
-def _resolve_spec(cfg_path: str) -> GraphSpec:
-    """Zoo name or .cfg file path -> GraphSpec."""
-    if os.path.isfile(cfg_path):
-        return load_graph_spec(cfg_path)
-    return get_spec(cfg_path)
 
 
 class DetectorV3:
@@ -119,7 +112,7 @@ class DetectorV3:
             parity_scale_416 = (self.resolution == 416)
         self.parity_scale_416 = parity_scale_416
 
-        self.spec = _resolve_spec(cfg_path)
+        self.spec = resolve_spec(cfg_path)
         self.params = self._load_params(weights_path, use_torch_weights)
         self.bn_mode = bn_mode
         if bn_mode == "fold":
