@@ -103,26 +103,38 @@ class DetectorV5:
         os.makedirs(self.destination, exist_ok=True)
         palette = make_palette(100)
         paths = self.list_images()
-        for i, path in enumerate(paths):
-            img = cv2.imread(path)
-            name = os.path.basename(path)
-            h, w = img.shape[:2]
-            canvas = letterbox_v5(img, self.size)
-            x = (canvas[:, :, ::-1].astype(np.float32) / 255.0)[None]
+        bs = self.batch_size
+        for start in range(0, len(paths), bs):
+            chunk = paths[start:start + bs]
+            imgs, dims, canvases = [], [], []
+            for path in chunk:
+                img = cv2.imread(path)
+                imgs.append(img)
+                dims.append((img.shape[1], img.shape[0]))
+                canvases.append(letterbox_v5(img, self.size)[:, :, ::-1])
+            batch = np.stack(canvases).astype(np.float32) / 255.0
+            if len(chunk) < bs:  # pad the tail to the static shape
+                batch = np.concatenate(
+                    [batch, np.repeat(batch[-1:], bs - len(chunk), 0)], 0)
             t0 = time.time()
-            boxes, valid = self._detect(self.params, jnp.asarray(x))
-            rows = np.asarray(boxes[0])[np.asarray(valid[0])]
-            dt = time.time() - t0
-            rows = self._unletterbox(rows, w, h)
-            self.metrics[name] = rows.tolist() if len(rows) else 0
-            for r in rows:
-                cls = int(r[5])
-                draw_detection(img, r[:4], self.classes[cls], float(r[4]),
-                               palette[cls % len(palette)])
-            out = os.path.join(self.destination, "det_yolov5_" + name)
-            cv2.imwrite(out, img)
-            if verbose:
-                print(f"{name:20s} {len(rows)} objects in {dt:6.3f}s")
+            boxes, valid = self._detect(self.params, jnp.asarray(batch))
+            boxes = np.asarray(boxes)
+            valid = np.asarray(valid)
+            dt = (time.time() - t0) / len(chunk)
+            for j, path in enumerate(chunk):
+                name = os.path.basename(path)
+                w, h = dims[j]
+                rows = self._unletterbox(boxes[j][valid[j]], w, h)
+                self.metrics[name] = rows.tolist() if len(rows) else 0
+                img = imgs[j]
+                for r in rows:
+                    cls = int(r[5])
+                    draw_detection(img, r[:4], self.classes[cls],
+                                   float(r[4]), palette[cls % len(palette)])
+                cv2.imwrite(os.path.join(self.destination,
+                                         "det_yolov5_" + name), img)
+                if verbose:
+                    print(f"{name:20s} {len(rows)} objects in {dt:6.3f}s")
         return self.metrics
 
     def _unletterbox(self, rows: np.ndarray, w: int, h: int) -> np.ndarray:
