@@ -96,3 +96,47 @@ def test_sharded_train_step_8dev(cpu_devices):
     # running stats moved toward batch stats
     assert np.abs(np.asarray(state2.params["node_0"]["bn_mean"])).max() > 0
     assert int(state3.step) == 2
+
+
+def test_shard_map_step_matches_single_device(cpu_devices):
+    """Explicit-psum DP step == single-device step on the same global
+    batch (grads sum identically; BN batch stats differ per shard, so
+    compare with stats updates off)."""
+    from realtimeobjectdetection_tpu.parallel.mesh import make_mesh
+    from realtimeobjectdetection_tpu.parallel.shard_map_step import \
+        make_shard_map_train_step
+    spec = get_spec("yolov3-tiny", width=96, height=96)
+    params = init_params(spec, 0)
+    opt = optax.sgd(1e-3)
+
+    mesh = make_mesh(2, data=2, space=1)
+    step_sm = make_shard_map_train_step(spec, opt, mesh, resolution=96,
+                                        update_bn_stats=False)
+
+    from realtimeobjectdetection_tpu.train.step import make_train_step
+    # single-device reference on the same global batch.  per-shard BN
+    # stats differ from global-batch BN, so make each shard's stats equal
+    # by feeding two identical shard halves.
+    step_1 = jax.jit(make_train_step(spec, opt, resolution=96,
+                                     update_bn_stats=False))
+
+    rng = np.random.RandomState(0)
+    half = rng.rand(1, 96, 96, 3).astype(np.float32)
+    images = jnp.asarray(np.concatenate([half, half], 0))
+    boxes = np.zeros((2, 2, 85), np.float32)
+    boxes[:, :, 0:4] = [48, 48, 40, 40]
+    boxes[:, :, 4:6] = 1.0
+    boxes = jnp.asarray(boxes)
+    mask = jnp.ones((2, 2), bool)
+
+    s0 = init_train_state(params, opt)
+    with mesh:
+        s_sm, loss_sm = step_sm(s0, images, boxes, mask)
+    s_1, loss_1 = step_1(s0, images, boxes, mask)
+
+    # identical shards: per-shard BN == global BN, psum(grads) == grads
+    # (tolerances absorb fp32 reduction-order noise through 13 convs)
+    np.testing.assert_allclose(float(loss_sm), float(loss_1), rtol=1e-5)
+    a = np.asarray(s_sm.params["node_0"]["w"])
+    b = np.asarray(s_1.params["node_0"]["w"])
+    np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-5)
