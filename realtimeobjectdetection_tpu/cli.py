@@ -30,7 +30,8 @@ def run_detect(detector_params: dict):
             weights_path=detector_params.get("weights_path"),
             size=detector_params.get("yolov5_input_size", 640),
             confidence=detector_params.get("yolov5_confidence", 0.25),
-            iou_thresh=detector_params.get("yolov5_nms", 0.45))
+            iou_thresh=detector_params.get("yolov5_nms", 0.45),
+            batch_size=detector_params.get("batch_size", 1))
     elif version == 3:
         from .pipeline.detector import DetectorV3
         for k in ("yolov5_input_size", "yolov5_confidence", "yolov5_nms"):

@@ -13,13 +13,12 @@ semantics the GSPMD path must match (tested equal on the CPU mesh).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..cfg_parser import GraphSpec
@@ -47,6 +46,11 @@ def make_shard_map_train_step(spec: GraphSpec, optimizer, mesh: Mesh,
     stats — both are valid DP semantics; this one is what multi-GPU torch
     would have produced.
     """
+    # this step only parallelizes over 'data'; a space>1 mesh would make
+    # every space-replica redundantly recompute the same shard — use the
+    # GSPMD path (mesh.shard_train_step) for spatial sharding
+    assert dict(mesh.shape).get("space", 1) == 1, \
+        "make_shard_map_train_step needs a data-only mesh (space=1)"
     fwd = make_forward(spec, bn_mode="batch", compute_dtype=compute_dtype,
                        return_stats=True)
 

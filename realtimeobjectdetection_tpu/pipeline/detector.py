@@ -44,7 +44,6 @@ except Exception:  # pragma: no cover
 import jax
 import jax.numpy as jnp
 
-from ..cfg_parser import GraphSpec
 from ..data.classnames import COCO80, load_classes
 from ..model import fold_batchnorm, make_forward
 from ..models.zoo import resolve_spec

@@ -81,6 +81,8 @@ class DetectorV5:
         nc, conf, iou, md = num_classes, confidence, iou_thresh, max_det
 
         def detect(p, x):
+            # uint8 in, normalized on device (quarter the tunnel traffic)
+            x = x.astype(jnp.float32) / 255.0
             pred = decode_v5(fwd(p, x), nc)
             return nms_batch_v5(pred, nc, conf, iou, max_det=md)
 
@@ -99,43 +101,64 @@ class DetectorV5:
         paths.extend(glob.glob(os.path.join(self.images_dir, "*.png")))
         return paths
 
+    def _prep_batch(self, chunk):
+        imgs, dims, canvases = [], [], []
+        for path in chunk:
+            img = cv2.imread(path)
+            if img is None:
+                raise FileNotFoundError(path)
+            imgs.append(img)
+            dims.append((img.shape[1], img.shape[0]))
+            canvases.append(letterbox_v5(img, self.size)[:, :, ::-1])
+        batch = np.stack(canvases)  # uint8; normalized on device
+        if len(chunk) < self.batch_size:  # pad tail to the static shape
+            batch = np.concatenate(
+                [batch, np.repeat(batch[-1:],
+                                  self.batch_size - len(chunk), 0)], 0)
+        return imgs, dims, np.ascontiguousarray(batch)
+
     def __call__(self, verbose: bool = True) -> Dict[str, object]:
         os.makedirs(self.destination, exist_ok=True)
         palette = make_palette(100)
         paths = self.list_images()
         bs = self.batch_size
-        for start in range(0, len(paths), bs):
-            chunk = paths[start:start + bs]
-            imgs, dims, canvases = [], [], []
-            for path in chunk:
-                img = cv2.imread(path)
-                imgs.append(img)
-                dims.append((img.shape[1], img.shape[0]))
-                canvases.append(letterbox_v5(img, self.size)[:, :, ::-1])
-            batch = np.stack(canvases).astype(np.float32) / 255.0
-            if len(chunk) < bs:  # pad the tail to the static shape
-                batch = np.concatenate(
-                    [batch, np.repeat(batch[-1:], bs - len(chunk), 0)], 0)
-            t0 = time.time()
-            boxes, valid = self._detect(self.params, jnp.asarray(batch))
-            boxes = np.asarray(boxes)
-            valid = np.asarray(valid)
-            dt = (time.time() - t0) / len(chunk)
-            for j, path in enumerate(chunk):
-                name = os.path.basename(path)
-                w, h = dims[j]
-                rows = self._unletterbox(boxes[j][valid[j]], w, h)
-                self.metrics[name] = rows.tolist() if len(rows) else 0
-                img = imgs[j]
-                for r in rows:
-                    cls = int(r[5])
-                    draw_detection(img, r[:4], self.classes[cls],
-                                   float(r[4]), palette[cls % len(palette)])
-                cv2.imwrite(os.path.join(self.destination,
-                                         "det_yolov5_" + name), img)
-                if verbose:
-                    print(f"{name:20s} {len(rows)} objects in {dt:6.3f}s")
+        # one batch in flight: dispatch i+1 before reading i back so the
+        # host render/IO overlaps device compute (same pattern as
+        # DetectorV3.__call__)
+        pending = None
+        chunks = [paths[s:s + bs] for s in range(0, len(paths), bs)]
+        for idx in range(len(chunks) + 1):
+            item = None
+            if idx < len(chunks):
+                chunk = chunks[idx]
+                imgs, dims, batch = self._prep_batch(chunk)
+                t0 = time.time()
+                out = self._detect(self.params, jnp.asarray(batch))
+                item = (chunk, imgs, dims, t0, out)
+            if pending is not None:
+                self._drain(pending, palette, verbose)
+            pending = item
         return self.metrics
+
+    def _drain(self, pending, palette, verbose):
+        chunk, imgs, dims, t0, (boxes, valid) = pending
+        boxes = np.asarray(boxes)  # host readback = true sync
+        valid = np.asarray(valid)
+        dt = (time.time() - t0) / len(chunk)
+        for j, path in enumerate(chunk):
+            name = os.path.basename(path)
+            w, h = dims[j]
+            rows = self._unletterbox(boxes[j][valid[j]], w, h)
+            self.metrics[name] = rows.tolist() if len(rows) else 0
+            img = imgs[j]
+            for r in rows:
+                cls = int(r[5])
+                draw_detection(img, r[:4], self.classes[cls],
+                               float(r[4]), palette[cls % len(palette)])
+            cv2.imwrite(os.path.join(self.destination,
+                                     "det_yolov5_" + name), img)
+            if verbose:
+                print(f"{name:20s} {len(rows)} objects in {dt:6.3f}s")
 
     def _unletterbox(self, rows: np.ndarray, w: int, h: int) -> np.ndarray:
         if len(rows) == 0:
