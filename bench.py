@@ -68,7 +68,7 @@ def measure_reference_cpu(model: str, reso: int) -> float:
 
 
 def bench_tpu(model: str, reso: int, batch: int, iters: int,
-              dtype_name: str = "bfloat16") -> dict:
+              dtype_name: str = "bfloat16", depth: int = 2) -> dict:
     import jax
     import jax.numpy as jnp
     from realtimeobjectdetection_tpu.models import get_spec
@@ -116,11 +116,12 @@ def bench_tpu(model: str, reso: int, batch: int, iters: int,
     # host<->device round trip overlaps execution; every result is still
     # read back in full (honest end-to-end throughput)
     t0 = time.time()
-    inflight = [jd(fparams, x)]
-    for _ in range(iters - 1):
+    inflight = [jd(fparams, x) for _ in range(depth - 1)]
+    for _ in range(iters - depth + 1):
         inflight.append(jd(fparams, x))
         np.asarray(inflight.pop(0)[0])
-    np.asarray(inflight.pop(0)[0])
+    while inflight:
+        np.asarray(inflight.pop(0)[0])
     dt = time.time() - t0
     fps = iters * batch / dt
     return {"fps": fps, "ms_per_batch": dt / iters * 1000,
@@ -136,6 +137,8 @@ def main():
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["bfloat16", "float32"])
+    ap.add_argument("--depth", type=int, default=2,
+                    help="batches kept in flight")
     ap.add_argument("--measure-baseline", action="store_true")
     args = ap.parse_args()
 
@@ -145,7 +148,8 @@ def main():
         base = float(os.environ.get("REF_CPU_FPS",
                                     REF_CPU_FPS.get(args.model, 1.309)))
 
-    r = bench_tpu(args.model, args.reso, args.batch, args.iters, args.dtype)
+    r = bench_tpu(args.model, args.reso, args.batch, args.iters, args.dtype,
+                  depth=args.depth)
     print(f"[bench] {args.model} reso={args.reso} bs={args.batch} "
           f"{args.dtype}: {r['ms_per_batch']:.2f} ms/batch, "
           f"{r['fps']:.1f} fps, compile {r['compile_s']:.1f}s, "
