@@ -170,9 +170,6 @@ def train_cli(argv=None):
     return run_train(trainer_params, {}, train_params)
 
 
-if __name__ == "__main__":  # pragma: no cover
-    sys.exit(main())
-
 
 def validate_arg_parser() -> argparse.ArgumentParser:
     """Validation CLI (the reference's test.py __main__, test.py:316-355)."""
@@ -288,14 +285,12 @@ def stream_cli(argv=None):
         if a.save is None:
             return
         import cv2
-        scale = min(a.reso / frame.shape[1], a.reso / frame.shape[0])
-        for r in rows:
-            box = [(r[0] - (a.reso - scale * frame.shape[1]) / 2) / scale,
-                   (r[1] - (a.reso - scale * frame.shape[0]) / 2) / scale,
-                   (r[2] - (a.reso - scale * frame.shape[1]) / 2) / scale,
-                   (r[3] - (a.reso - scale * frame.shape[0]) / 2) / scale]
+        from .ops.letterbox import unletterbox_boxes
+        mapped = unletterbox_boxes(rows, frame.shape[1], frame.shape[0],
+                                   a.reso)
+        for r in mapped:
             cls = int(r[6])
-            draw_detection(frame, box, COCO80[cls], float(r[5]),
+            draw_detection(frame, r[:4], COCO80[cls], float(r[5]),
                            palette[cls % len(palette)])
         if writer[0] is None:
             fourcc = cv2.VideoWriter_fourcc(*"mp4v")
@@ -446,3 +441,6 @@ def export_cli(argv=None):
                          nms_thresh=a.nms_thresh, top_k=a.top_k)
     print(f"wrote {a.dst}: {meta}")
     return 0
+
+if __name__ == "__main__":  # pragma: no cover
+    sys.exit(main())

@@ -96,15 +96,25 @@ class COCODataset:
     def __getitem__(self, index: int):
         img_id = self.img_ids[index]
         info = self.images[img_id]
-        img = Image.open(os.path.join(self.img_dir,
-                                      info["file_name"])).convert("RGB")
+        path = os.path.join(self.img_dir, info["file_name"])
+        if self.only_gt:
+            # no pixel decode needed: dims come from the annotation json
+            # (or a lazy header read) — offline re-scoring of a 5k-image
+            # set shouldn't pay 5k JPEG decodes
+            if "width" in info and "height" in info:
+                w, h = int(info["width"]), int(info["height"])
+            else:
+                with Image.open(path) as im:
+                    w, h = im.size
+            pad, ratio = self._pad_ratio(w, h)
+            boxes = self.boxes_for(img_id, pad, ratio)
+            return (info["file_name"], boxes) if self.keep_img_name \
+                else boxes
+
+        img = Image.open(path).convert("RGB")
         w, h = img.size
         pad, ratio = self._pad_ratio(w, h)
         boxes = self.boxes_for(img_id, pad, ratio)
-
-        if self.only_gt:
-            return (info["file_name"], boxes) if self.keep_img_name \
-                else boxes
         sample = prep_image_host(np.asarray(img), self.resolution,
                                  mode="RGB")[0]
         if self.keep_img_name:

@@ -29,9 +29,10 @@ def padded_batches(dataset, batch_size: int, max_boxes: int = 64,
 
     Boxes beyond ``max_boxes`` per image are dropped (logged-by-contract:
     COCO p99 is ~40 boxes, default 64 loses <0.1% of gt).  The trailing
-    partial batch is zero-padded with an all-false mask unless
-    ``drop_last`` (images padded rows contribute only no-obj loss; pass
-    ``drop_last=True`` for strict epoch statistics).
+    partial batch is padded by REPEATING the last real sample with an
+    all-false box mask (zero frames would pollute batch-statistics BN for
+    the real images — the train step runs BN in batch mode); pass
+    ``drop_last=True`` for strict epoch statistics.
     """
     n = len(dataset)
     order = np.arange(n)
@@ -62,6 +63,8 @@ def padded_batches(dataset, batch_size: int, max_boxes: int = 64,
                         m = min(len(rows), max_boxes)
                         boxes[j, :m] = rows[:m]
                         mask[j, :m] = True
+                for j in range(len(idxs), batch_size):
+                    images[j] = images[len(idxs) - 1]  # repeat, see docstring
                 q.put((images, boxes, mask))
             q.put(None)
         except BaseException as e:  # surface loader errors to the consumer

@@ -56,8 +56,16 @@ class DetectionRecord:
             len(gt_rows) == 0 else np.asarray(gt_rows, np.float32)
         self.images.append((p, g))
 
-    def _class_matches(self, cls: int, iou_thresh: float):
-        confs, tps = [], []
+    def _class_matches(self, cls: int, iou_thresholds):
+        """One pass per class: build each image's IoU matrix once and run
+        the greedy matcher for every threshold against it.
+
+        Returns (confs [N], tps [T, N], n_gt) with thresholds stacked on
+        the first axis of tps.
+        """
+        t_count = len(iou_thresholds)
+        confs = []
+        tps = [[] for _ in range(t_count)]
         n_gt = 0
         for p, g in self.images:
             pc = p[p[:, 5] == cls]
@@ -67,21 +75,23 @@ class DetectionRecord:
                 continue
             order = np.argsort(-pc[:, 4], kind="stable")
             pc = pc[order]
-            matched = np.zeros(len(gc), bool)
+            confs.extend(pc[:, 4])
             ious = _iou_matrix(pc[:, :4], gc[:, :4]) if len(gc) else None
-            for i in range(len(pc)):
-                confs.append(pc[i, 4])
-                if ious is None:
-                    tps.append(False)
-                    continue
-                cand = np.where(~matched & (ious[i] >= iou_thresh))[0]
-                if len(cand) == 0:
-                    tps.append(False)
-                    continue
-                j = cand[np.argmax(ious[i, cand])]
-                matched[j] = True
-                tps.append(True)
-        return (np.asarray(confs, np.float32), np.asarray(tps, bool), n_gt)
+            for ti, thresh in enumerate(iou_thresholds):
+                matched = np.zeros(len(gc), bool)
+                for i in range(len(pc)):
+                    if ious is None:
+                        tps[ti].append(False)
+                        continue
+                    cand = np.where(~matched & (ious[i] >= thresh))[0]
+                    if len(cand) == 0:
+                        tps[ti].append(False)
+                        continue
+                    j = cand[np.argmax(ious[i, cand])]
+                    matched[j] = True
+                    tps[ti].append(True)
+        return (np.asarray(confs, np.float32),
+                np.asarray(tps, bool).reshape(t_count, -1), n_gt)
 
 
 def average_precision(confs: np.ndarray, tps: np.ndarray, n_gt: int,
@@ -119,26 +129,26 @@ def evaluate_map(record: DetectionRecord,
     """Compute mAP@0.5, mAP@0.75 and mAP@[.5:.95] (+ per-class AP@0.5)."""
     if iou_thresholds is None:
         iou_thresholds = np.arange(0.5, 0.96, 0.05)
-    per_thresh: List[float] = []
+    iou_thresholds = [float(t) for t in iou_thresholds]
+    per_thresh_aps: List[List[float]] = [[] for _ in iou_thresholds]
     per_class_50: Dict[int, float] = {}
-    for t in iou_thresholds:
-        aps = []
-        for cls in range(record.num_classes):
-            confs, tps, n_gt = record._class_matches(cls, float(t))
-            if n_gt == 0:
-                continue
-            ap = average_precision(confs, tps, n_gt, interpolation)
-            aps.append(ap)
+    for cls in range(record.num_classes):
+        confs, tps, n_gt = record._class_matches(cls, iou_thresholds)
+        if n_gt == 0:
+            continue
+        for ti, t in enumerate(iou_thresholds):
+            ap = average_precision(confs, tps[ti], n_gt, interpolation)
+            per_thresh_aps[ti].append(ap)
             if abs(t - 0.5) < 1e-9:
                 per_class_50[cls] = ap
-        per_thresh.append(float(np.mean(aps)) if aps else float("nan"))
-    out = {
-        "mAP@0.5": per_thresh[0],
-        "mAP@[.5:.95]": float(np.nanmean(per_thresh)),
-        "per_class_AP@0.5": per_class_50,
+    per_thresh = [float(np.mean(a)) if a else float("nan")
+                  for a in per_thresh_aps]
+    out: Dict[str, float] = {
+        "mAP@[.5:.95]" if len(per_thresh) > 1 else "mAP":
+            float(np.nanmean(per_thresh)),
     }
-    idx75 = [i for i, t in enumerate(iou_thresholds)
-             if abs(t - 0.75) < 1e-9]
-    if idx75:
-        out["mAP@0.75"] = per_thresh[idx75[0]]
+    for t, v in zip(iou_thresholds, per_thresh):
+        out[f"mAP@{t:g}"] = v
+    if per_class_50:
+        out["per_class_AP@0.5"] = per_class_50
     return out

@@ -85,7 +85,13 @@ class DarknetValidator:
         self.top_k = top_k
         self.permitted = tuple(permitted_classes)
         self.min_box_size = min_box_size
-        self.batch_size = batch_size
+        self.batch_size = int(batch_size)
+        if self.batch_size > 1:
+            import warnings
+            warnings.warn(
+                "batched validation couples images under bn_mode='batch'; "
+                "pass bn_mode='running'/'fold' to validate_model for "
+                "independent per-image results")
         self.dataset = COCODataset(annotation_dir, img_dir, resolution,
                                    keep_img_name=True)
         self._detect_cache = {}
@@ -204,15 +210,29 @@ class DarknetValidator:
         params = jax.device_put(params)
         self.reset_scores()
         n = len(self.dataset)
-        for i in range(n):
-            img_name, sample, rows = self.dataset[i]
-            boxes, valid = detect(params, jnp.asarray(sample[None]))
-            pred = np.asarray(boxes[0])[np.asarray(valid[0])]
-            pred = self.pred_filter(pred)
-            target = self.target_filter(rows)
-            self.get_img_scores(img_name, pred, target, img_scores)
-            if verbose and (i % 50 == 0 or i == n - 1):
-                print(f"\rValidation: {i + 1}/{n}", end="", flush=True)
+        bs = self.batch_size
+        for start in range(0, n, bs):
+            idxs = list(range(start, min(start + bs, n)))
+            samples, names, targets = [], [], []
+            for i in idxs:
+                img_name, sample, rows = self.dataset[i]
+                names.append(img_name)
+                samples.append(sample)
+                targets.append(rows)
+            batch = np.stack(samples)
+            if len(idxs) < bs:  # repeat-pad tail to the static shape
+                batch = np.concatenate(
+                    [batch, np.repeat(batch[-1:], bs - len(idxs), 0)], 0)
+            boxes, valid = detect(params, jnp.asarray(batch))
+            boxes = np.asarray(boxes)
+            valid = np.asarray(valid)
+            for j, img_name in enumerate(names):
+                pred = self.pred_filter(boxes[j][valid[j]])
+                target = self.target_filter(targets[j])
+                self.get_img_scores(img_name, pred, target, img_scores)
+            if verbose:
+                print(f"\rValidation: {idxs[-1] + 1}/{n}", end="",
+                      flush=True)
         if verbose:
             print()
         self._finalize()

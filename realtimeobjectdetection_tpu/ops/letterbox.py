@@ -26,9 +26,11 @@ import jax.numpy as jnp
 
 __all__ = [
     "letterbox_params",
+    "letterbox_params_round",
     "letterbox_host",
     "prep_image_host",
     "letterbox_jax",
+    "unletterbox_boxes",
 ]
 
 
@@ -43,6 +45,35 @@ def letterbox_params(img_w: int, img_h: int, inp_dim: int):
     off_x = (inp_dim - new_w) // 2
     off_y = (inp_dim - new_h) // 2
     return scale, new_w, new_h, off_x, off_y
+
+
+def letterbox_params_round(img_w: int, img_h: int, inp_dim: int):
+    """Like :func:`letterbox_params` but with round() extents — the
+    ultralytics AutoShape convention (the Darknet reference truncates,
+    src/util.py:362-363; the two can differ by one pixel)."""
+    scale = min(inp_dim / img_w, inp_dim / img_h)
+    new_w = int(round(img_w * scale))
+    new_h = int(round(img_h * scale))
+    off_x = (inp_dim - new_w) // 2
+    off_y = (inp_dim - new_h) // 2
+    return scale, new_w, new_h, off_x, off_y
+
+
+def unletterbox_boxes(rows: np.ndarray, img_w: int, img_h: int,
+                      inp_dim: int, params_fn=letterbox_params,
+                      coord_cols=(0, 1, 2, 3)) -> np.ndarray:
+    """Map xyxy box columns from letterbox space back to original pixels
+    (clamped).  ``params_fn`` picks the truncation (Darknet) or rounding
+    (v5) geometry so the inverse matches the forward letterbox."""
+    if rows is None or len(rows) == 0:
+        return np.zeros((0, rows.shape[1] if rows is not None and
+                         rows.ndim == 2 else 7), np.float32)
+    scale, _, _, off_x, off_y = params_fn(img_w, img_h, inp_dim)
+    x0, y0, x1, y1 = coord_cols
+    out = np.asarray(rows, np.float32).copy()
+    out[:, [x0, x1]] = np.clip((out[:, [x0, x1]] - off_x) / scale, 0, img_w)
+    out[:, [y0, y1]] = np.clip((out[:, [y0, y1]] - off_y) / scale, 0, img_h)
+    return out
 
 
 def letterbox_host(img: np.ndarray, inp_dim: int) -> np.ndarray:

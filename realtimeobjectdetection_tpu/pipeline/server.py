@@ -39,7 +39,7 @@ from ..cfg_parser import GraphSpec
 from ..data.classnames import COCO80
 from ..model import fold_batchnorm, make_forward
 from ..ops.decode import decode_heads
-from ..ops.letterbox import letterbox_params, prep_image_host_u8
+from ..ops.letterbox import prep_image_host_u8, unletterbox_boxes
 from ..ops.nms import nms_batch
 
 __all__ = ["DetectionService", "serve"]
@@ -133,11 +133,7 @@ class DetectionService:
     def _unletterbox(self, rows: np.ndarray, w: int, h: int) -> np.ndarray:
         if rows is None or len(rows) == 0:
             return np.zeros((0, 7), np.float32)
-        scale, _, _, off_x, off_y = letterbox_params(w, h, self.resolution)
-        out = rows.copy()
-        out[:, [0, 2]] = np.clip((out[:, [0, 2]] - off_x) / scale, 0, w)
-        out[:, [1, 3]] = np.clip((out[:, [1, 3]] - off_y) / scale, 0, h)
-        return out
+        return unletterbox_boxes(rows, w, h, self.resolution)
 
 
 def _make_handler(service: DetectionService):

@@ -115,11 +115,15 @@ class StreamDetector:
         self.latencies_ms: List[float] = []
 
     def warmup(self, frame_shape=None):
+        if self.device_resize:
+            # only the frame-shaped raw program is used in this mode;
+            # compiling _detect would double the multi-minute cold start
+            if frame_shape is not None:
+                f = jnp.zeros(frame_shape, jnp.uint8)
+                np.asarray(self._detect_raw(self.params, f))
+            return
         x = jnp.zeros((1, self.resolution, self.resolution, 3), jnp.uint8)
         np.asarray(self._detect(self.params, x))
-        if self.device_resize and frame_shape is not None:
-            f = jnp.zeros(frame_shape, jnp.uint8)
-            np.asarray(self._detect_raw(self.params, f))
 
     def run(self, frames: Iterator[np.ndarray],
             on_result: Optional[Callable] = None,

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from ..data.classnames import COCO80
 from ..models.yolov5 import (YoloV5Config, decode_v5, init_yolov5_params,
                              make_yolov5_forward)
-from ..ops.letterbox import letterbox_params
+from ..ops.letterbox import letterbox_params_round, unletterbox_boxes
 from ..ops.nms import nms_batch_v5
 from .render import draw_detection, make_palette
 
@@ -44,10 +44,10 @@ V5_PAD_COLOR = 114  # ultralytics letterbox gray
 
 
 def letterbox_v5(img: np.ndarray, size: int) -> np.ndarray:
-    """Square letterbox with 114-gray padding, bilinear resize
-    (AutoShape's non-rect path)."""
+    """Square letterbox with 114-gray padding, bilinear resize and
+    round() extents (AutoShape's non-rect path)."""
     h, w = img.shape[:2]
-    _, new_w, new_h, off_x, off_y = letterbox_params(w, h, size)
+    _, new_w, new_h, off_x, off_y = letterbox_params_round(w, h, size)
     resized = cv2.resize(img, (new_w, new_h), interpolation=cv2.INTER_LINEAR)
     canvas = np.full((size, size, 3), V5_PAD_COLOR, np.uint8)
     canvas[off_y:off_y + new_h, off_x:off_x + new_w] = resized
@@ -163,8 +163,5 @@ class DetectorV5:
     def _unletterbox(self, rows: np.ndarray, w: int, h: int) -> np.ndarray:
         if len(rows) == 0:
             return rows
-        scale, _, _, off_x, off_y = letterbox_params(w, h, self.size)
-        out = rows.copy()
-        out[:, [0, 2]] = np.clip((out[:, [0, 2]] - off_x) / scale, 0, w)
-        out[:, [1, 3]] = np.clip((out[:, [1, 3]] - off_y) / scale, 0, h)
-        return out
+        return unletterbox_boxes(rows, w, h, self.size,
+                                 params_fn=letterbox_params_round)

@@ -70,8 +70,8 @@ def test_each_gt_matched_once():
     preds = np.array([box(0, 0) + [0.9, 0], box(0, 0) + [0.8, 0]],
                      np.float32)
     rec.add_image(preds, gts)
-    confs, tps, n_gt = rec._class_matches(0, 0.5)
-    assert n_gt == 1 and tps.tolist() == [True, False]
+    confs, tps, n_gt = rec._class_matches(0, [0.5])
+    assert n_gt == 1 and tps[0].tolist() == [True, False]
 
 
 def test_average_precision_interpolations():

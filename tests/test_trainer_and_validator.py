@@ -291,3 +291,20 @@ def test_multiscale_step_box_scaling():
     state2, loss = step(state, images, jnp.asarray(boxes),
                         jnp.ones((2, 2), bool))
     assert np.isfinite(float(loss))
+
+
+def test_validator_batched_matches_bs1(tmp_path):
+    from realtimeobjectdetection_tpu.eval.validator import DarknetValidator
+    from realtimeobjectdetection_tpu.models import get_spec
+    from realtimeobjectdetection_tpu.testing import make_synthetic_coco
+    from realtimeobjectdetection_tpu.weights import init_params
+    ann, imgs = make_synthetic_coco(tmp_path, n_images=5)
+    spec = get_spec("yolov3-tiny", width=160, height=160)
+    params = init_params(spec, 0)
+    v1 = DarknetValidator(ann, imgs, confidence=0.7, resolution=160,
+                          top_k=32, batch_size=1)
+    v1.validate_model(spec, params, bn_mode="running", verbose=False)
+    v2 = DarknetValidator(ann, imgs, confidence=0.7, resolution=160,
+                          top_k=32, batch_size=2)
+    v2.validate_model(spec, params, bn_mode="running", verbose=False)
+    assert v1.total_scores == v2.total_scores
