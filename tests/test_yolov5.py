@@ -169,3 +169,26 @@ def test_stream_device_resize_matches_host_path_roughly():
     sh = host.run(synthetic_frames(4, 120, 160))
     sd = dev.run(synthetic_frames(4, 120, 160))
     assert sh["frames"] == sd["frames"] == 4
+
+
+def test_stream_cli_video_roundtrip(tmp_path):
+    """Video file in -> rendered video out through the stream CLI."""
+    cv2 = pytest.importorskip("cv2")
+    import os
+    from realtimeobjectdetection_tpu.cli import stream_cli
+    src = str(tmp_path / "in.mp4")
+    w = cv2.VideoWriter(src, cv2.VideoWriter_fourcc(*"mp4v"), 10, (160, 120))
+    rng = np.random.RandomState(0)
+    for _ in range(6):
+        w.write(rng.randint(0, 255, (120, 160, 3), np.uint8))
+    w.release()
+    out = str(tmp_path / "out.mp4")
+    stats = stream_cli(["--source", src, "--cfg", "yolov3-tiny",
+                        "--reso", "160", "--confidence", "0.7",
+                        "--save", out])
+    assert stats["frames"] == 6
+    cap = cv2.VideoCapture(out)
+    n = 0
+    while cap.read()[0]:
+        n += 1
+    assert n == 6
