@@ -28,7 +28,7 @@ Semantics matched against the reference (file:line cited per node type):
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 __all__ = [
     "ConvSpec",

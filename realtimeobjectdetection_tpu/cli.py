@@ -368,7 +368,7 @@ def convert_cli(argv=None):
         return out
 
     if a.cfg_file.lower().startswith("yolov5"):
-        from .models.yolov5 import YoloV5Config, params_from_ultralytics
+        from .models.yolov5 import YoloV5Config
         size = a.cfg_file[-1].lower() if a.cfg_file[-1].lower() in "nsmlx" \
             else "l"
         cfg = YoloV5Config(size)
@@ -426,7 +426,6 @@ def export_arg_parser() -> argparse.ArgumentParser:
 
 
 def export_cli(argv=None):
-    import os
     a = export_arg_parser().parse_args(argv)
     from .models.zoo import resolve_spec
     from .weights import init_params, load_darknet_weights

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import glob
 import os
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 from xml.etree import ElementTree as ET
 
 import numpy as np

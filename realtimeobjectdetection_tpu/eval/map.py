@@ -17,7 +17,7 @@ detect path; AP bookkeeping is tiny and inherently ragged.
 
 from __future__ import annotations
 
-from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 

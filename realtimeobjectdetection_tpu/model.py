@@ -19,12 +19,10 @@ BatchNorm modes
 
 from __future__ import annotations
 
-import functools
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import lax
 
 from .cfg_parser import (ConvSpec, GraphSpec, MaxPoolSpec, RouteSpec,

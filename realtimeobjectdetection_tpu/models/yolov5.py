@@ -24,7 +24,7 @@ reference's hub pipeline.
 from __future__ import annotations
 
 import math
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List
 
 import jax
 import jax.numpy as jnp

@@ -17,8 +17,8 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional, Sequence, Tuple
 
-from ..cfg_parser import (ConvSpec, GraphSpec, MaxPoolSpec, NetInfo,
-                          RouteSpec, ShortcutSpec, UpsampleSpec, YoloSpec,
+from ..cfg_parser import (ConvSpec, GraphSpec, MaxPoolSpec, RouteSpec,
+                          ShortcutSpec, UpsampleSpec, YoloSpec,
                           build_graph_spec)
 
 __all__ = ["yolov3_spec", "yolov3_tiny_spec", "get_spec", "to_cfg_text"]

@@ -24,7 +24,7 @@ from typing import List, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..cfg_parser import GraphSpec, YoloSpec
+from ..cfg_parser import GraphSpec
 
 __all__ = ["decode_head", "decode_heads", "make_decoder"]
 

@@ -12,8 +12,6 @@ We use NHWC throughout (TPU-native layout).
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import numpy as np
 
 try:

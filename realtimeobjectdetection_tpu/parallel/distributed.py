@@ -10,7 +10,6 @@ detectors shard identically over ICI within a host and DCN across hosts.
 
 from __future__ import annotations
 
-import os
 from typing import Optional
 
 __all__ = ["init_multihost", "is_multihost", "local_batch_slice"]

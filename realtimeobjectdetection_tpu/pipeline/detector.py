@@ -48,7 +48,7 @@ from ..data.classnames import COCO80, load_classes
 from ..model import fold_batchnorm, make_forward
 from ..models.zoo import resolve_spec
 from ..ops.decode import decode_heads
-from ..ops.letterbox import prep_image_host, prep_image_host_u8
+from ..ops.letterbox import prep_image_host_u8
 from ..ops.nms import nms_batch
 from ..weights import (init_params, load_darknet_weights,
                        params_from_torch_state_dict)

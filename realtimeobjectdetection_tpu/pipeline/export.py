@@ -17,8 +17,6 @@ import json
 import struct
 from typing import Optional, Tuple
 
-import numpy as np
-
 import jax
 import jax.numpy as jnp
 from jax import export as jexport

@@ -15,8 +15,7 @@ momentum 0.1 and the *unbiased* batch variance for the running update.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

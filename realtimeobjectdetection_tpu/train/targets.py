@@ -29,7 +29,7 @@ reproduces the reference bit-for-bit for parity tests.
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp

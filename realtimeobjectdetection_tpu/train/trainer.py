@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..cfg_parser import GraphSpec, load_graph_spec
+from ..cfg_parser import load_graph_spec
 from ..data.coco import COCODataset
 from ..data.loader import padded_batches
 from ..data.voc import VOCDataset

@@ -18,11 +18,11 @@ bit-exactly so round-trips are lossless.
 from __future__ import annotations
 
 import io
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 
-from .cfg_parser import ConvSpec, GraphSpec
+from .cfg_parser import GraphSpec
 
 __all__ = [
     "load_darknet_weights",
