@@ -159,6 +159,19 @@ class DetectorV3:
             import torch  # offline dev dependency only (detect.py:188-191)
             sd = torch.load(weights_path, map_location="cpu")
             return params_from_torch_state_dict(self.spec, sd)
+        if os.path.isdir(weights_path):
+            # an orbax checkpoint directory from the trainer (any tier):
+            # restore the params subtree directly
+            import orbax.checkpoint as ocp
+            restored = ocp.PyTreeCheckpointer().restore(
+                os.path.abspath(weights_path))
+            # TrainState tuples restore as (params, opt_state, step);
+            # dict-shaped checkpoints may nest under "params"
+            if isinstance(restored, (list, tuple)):
+                return restored[0]
+            if isinstance(restored, dict) and "params" in restored:
+                return restored["params"]
+            return restored
         params, _ = load_darknet_weights(self.spec, weights_path)
         return params
 

@@ -119,3 +119,26 @@ def test_detector_sharded_over_mesh(tmp_path, tiny_weights, cpu_devices):
             assert a == b, k
             continue
         np.testing.assert_allclose(np.array(a), np.array(b), atol=1e-3)
+
+
+def test_detector_consumes_orbax_checkpoint(tmp_path):
+    """The trainer's orbax tiers load directly into the detector."""
+    from realtimeobjectdetection_tpu.testing import make_synthetic_coco
+    from realtimeobjectdetection_tpu.train.trainer import DarknetTrainer
+    ann, imgs = make_synthetic_coco(tmp_path, n_images=2)
+    out = str(tmp_path / "w")
+    trainer = DarknetTrainer("yolov3-tiny", epochs=1, batch_size=2,
+                             resolution=160, out_dir=out, mesh=False,
+                             max_boxes=8)
+    trainer.train(ann, imgs, dataset_type="COCO", verbose=False)
+
+    det = DetectorV3(images=imgs, destination=str(tmp_path / "det"),
+                     cfg_path="yolov3-tiny",
+                     weights_path=os.path.join(out, "training_output"),
+                     resolution=160, confidence=0.9, bn_mode="running")
+    metrics = det(verbose=False)
+    assert len(metrics) == 2
+    # params actually came from the checkpoint (equal to trainer state)
+    np.testing.assert_allclose(
+        np.asarray(det.params["node_0"]["w"]),
+        np.asarray(trainer.state.params["node_0"]["w"]), rtol=1e-6)
