@@ -81,6 +81,8 @@ def main(argv=None):
         convert_cli(rest)
     elif command == "export":
         export_cli(rest)
+    elif command == "anchors":
+        anchors_cli(rest)
     else:
         raise Exception("Unknown Command Error !!")
     return 0
@@ -443,3 +445,33 @@ def export_cli(argv=None):
 
 if __name__ == "__main__":  # pragma: no cover
     sys.exit(main())
+
+
+def anchors_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="Fit anchor priors to a dataset (IoU k-means)")
+    p.add_argument("--annot", required=True, type=str,
+                   help="COCO instances json or VOC xml dir")
+    p.add_argument("--images", required=True, type=str)
+    p.add_argument("--dataset", default="COCO", choices=["COCO", "VOC"])
+    p.add_argument("-n", "--num", default=6, type=int,
+                   help="anchor count (6 = tiny, 9 = full yolov3)")
+    p.add_argument("--reso", default=416, type=int)
+    return p
+
+
+def anchors_cli(argv=None):
+    a = anchors_arg_parser().parse_args(argv)
+    from .train.anchors import fit_anchors
+    if a.dataset == "VOC":
+        from .data.voc import VOCDataset
+        ds = VOCDataset(a.annot, a.images, resolution=a.reso)
+    else:
+        from .data.coco import COCODataset
+        ds = COCODataset(a.annot, a.images, resolution=a.reso,
+                         only_ground_truth=True)
+    anchors, avg = fit_anchors(ds, k=a.num)
+    flat = ",  ".join(f"{w},{h}" for w, h in anchors)
+    print(f"anchors = {flat}")
+    print(f"avg IoU = {avg:.4f}")
+    return anchors, avg

@@ -308,3 +308,28 @@ def test_validator_batched_matches_bs1(tmp_path):
                           top_k=32, batch_size=2)
     v2.validate_model(spec, params, bn_mode="running", verbose=False)
     assert v1.total_scores == v2.total_scores
+
+
+def test_anchor_kmeans():
+    from realtimeobjectdetection_tpu.train.anchors import kmeans_anchors
+    rng = np.random.RandomState(0)
+    # three well-separated shape clusters
+    wh = np.concatenate([
+        rng.normal([20, 30], 1.5, (60, 2)),
+        rng.normal([80, 60], 3, (60, 2)),
+        rng.normal([200, 180], 5, (60, 2)),
+    ])
+    centers, avg = kmeans_anchors(wh, 3)
+    assert avg > 0.85
+    # sorted by area and near the true cluster centers
+    np.testing.assert_allclose(centers[0], [20, 30], atol=3)
+    np.testing.assert_allclose(centers[2], [200, 180], atol=10)
+
+
+def test_anchors_cli(tmp_path, capsys):
+    from realtimeobjectdetection_tpu.cli import anchors_cli
+    from realtimeobjectdetection_tpu.testing import make_synthetic_coco
+    ann, imgs = make_synthetic_coco(tmp_path, n_images=6)
+    anchors, avg = anchors_cli(["--annot", ann, "--images", imgs, "-n", "3"])
+    assert len(anchors) == 3 and 0 < avg <= 1
+    assert "avg IoU" in capsys.readouterr().out
