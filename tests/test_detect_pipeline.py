@@ -142,3 +142,14 @@ def test_detector_consumes_orbax_checkpoint(tmp_path):
     np.testing.assert_allclose(
         np.asarray(det.params["node_0"]["w"]),
         np.asarray(trainer.state.params["node_0"]["w"]), rtol=1e-6)
+
+
+def test_empty_folder(tmp_path, tiny_weights):
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    det = DetectorV3(images=str(empty), destination=str(tmp_path / "d"),
+                     cfg_path="yolov3-tiny", weights_path=tiny_weights,
+                     resolution=160)
+    metrics = det(verbose=False)
+    assert metrics == {}
+    assert os.path.exists(str(tmp_path / "d" / "metrics.json"))

@@ -121,3 +121,23 @@ def test_non_default_resolution_608():
     assert pred.shape == (1, (19 * 19 + 38 * 38) * 3, 85)
     boxes, valid = nms_batch(pred, 80, 0.6, 0.5, top_k=64)
     assert boxes.shape == (1, 64, 7)
+
+
+def test_bf16_fast_path_drift_bounded():
+    """The bf16 MXU fast path must stay within a bounded drift of fp32
+    on decoded boxes — a regression net for the production config."""
+    import jax
+    d, spec, params, x = load_case("yolov3-tiny")
+    from realtimeobjectdetection_tpu.model import fold_batchnorm
+    fp = fold_batchnorm(spec, params)
+    f32 = jax.jit(make_forward(spec, bn_mode="fold",
+                               compute_dtype=jnp.float32))
+    bf16 = jax.jit(make_forward(spec, bn_mode="fold",
+                                compute_dtype=jnp.bfloat16,
+                                scan_ladders=True))
+    a = decode_heads(f32(fp, x), spec, 416)
+    b = decode_heads(bf16(fp, x), spec, 416)
+    a, b = np.asarray(a), np.asarray(b)
+    # probabilities: small absolute drift; coords: bounded pixel drift
+    assert np.abs(a[..., 4:] - b[..., 4:]).max() < 0.05
+    assert np.median(np.abs(a[..., :2] - b[..., :2])) < 1.0

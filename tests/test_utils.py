@@ -35,3 +35,16 @@ def test_draw_target_boxes_roundtrip(tmp_path):
     out = tmp_path / "t.png"
     im = draw_target_boxes(img, boxes, str(out))
     assert out.exists() and im.size == (64, 64)
+
+
+def test_trace_to_writes_profile(tmp_path):
+    import jax, jax.numpy as jnp
+    from realtimeobjectdetection_tpu.utils.profiling import trace_to
+    import os
+    with trace_to(str(tmp_path)):
+        np.asarray(jax.jit(lambda x: x * 2)(jnp.ones((8, 128))))
+    # a tensorboard plugin directory appears
+    found = []
+    for root, dirs, files in os.walk(str(tmp_path)):
+        found.extend(files)
+    assert found, "no trace files written"
