@@ -333,3 +333,63 @@ def test_anchors_cli(tmp_path, capsys):
     anchors, avg = anchors_cli(["--annot", ann, "--images", imgs, "-n", "3"])
     assert len(anchors) == 3 and 0 < avg <= 1
     assert "avg IoU" in capsys.readouterr().out
+
+
+def test_training_actually_learns():
+    """End-to-end learning proof: train tiny on a learnable synthetic
+    task (white rectangle on dark noise -> person box) and verify the
+    trained network localizes held-out objects.  ~90s on the CPU host."""
+    import jax, jax.numpy as jnp, optax
+    from realtimeobjectdetection_tpu.models import get_spec
+    from realtimeobjectdetection_tpu.weights import init_params
+    from realtimeobjectdetection_tpu.train.step import (init_train_state,
+                                                        make_train_step)
+    from realtimeobjectdetection_tpu.model import make_forward
+    from realtimeobjectdetection_tpu.ops.decode import decode_heads
+    from realtimeobjectdetection_tpu.ops.nms import nms_batch
+    from realtimeobjectdetection_tpu.eval.map import _iou_matrix
+
+    def make_batch(rng, bs, d=160):
+        imgs = rng.uniform(0, 0.2, (bs, d, d, 3)).astype(np.float32)
+        boxes = np.zeros((bs, 1, 85), np.float32)
+        for i in range(bs):
+            w, h = rng.randint(40, 70), rng.randint(40, 70)
+            x1 = rng.randint(0, d - w)
+            y1 = rng.randint(0, d - h)
+            imgs[i, y1:y1 + h, x1:x1 + w] = 1.0
+            boxes[i, 0, :4] = [x1 + w / 2, y1 + h / 2, w, h]
+            boxes[i, 0, 4] = 1.0
+            boxes[i, 0, 5] = 1.0
+        return imgs, boxes, np.ones((bs, 1), bool)
+
+    spec = get_spec("yolov3-tiny", width=160, height=160)
+    opt = optax.adam(5e-4)
+    step = jax.jit(make_train_step(spec, opt, resolution=160))
+    state = init_train_state(init_params(spec, 0), opt)
+    rng = np.random.RandomState(0)
+    first = None
+    for it in range(120):
+        imgs, boxes, mask = make_batch(rng, 8)
+        state, loss = step(state, jnp.asarray(imgs), jnp.asarray(boxes),
+                           jnp.asarray(mask))
+        if first is None:
+            first = float(loss)
+    final = float(loss)
+    assert final < first * 0.05, (first, final)
+
+    fwd = jax.jit(make_forward(spec, bn_mode="running"))
+    imgs, boxes, _ = make_batch(np.random.RandomState(99), 4)
+    pred = decode_heads(fwd(state.params, jnp.asarray(imgs)), spec, 160)
+    det, valid = nms_batch(pred, 80, 0.5, 0.5, top_k=8)
+    det, valid = np.asarray(det), np.asarray(valid)
+    hits = 0
+    for i in range(4):
+        rows = det[i][valid[i]]
+        gt = boxes[i, 0]
+        gt_xyxy = np.array([[gt[0] - gt[2] / 2, gt[1] - gt[3] / 2,
+                             gt[0] + gt[2] / 2, gt[1] + gt[3] / 2]])
+        if len(rows):
+            if _iou_matrix(rows[:, :4], gt_xyxy).max() > 0.5 \
+                    and int(rows[0, 6]) == 0:
+                hits += 1
+    assert hits >= 3, hits
