@@ -52,3 +52,33 @@ def test_cli_usage_line(capsys):
     from realtimeobjectdetection_tpu.cli import main
     assert main([]) == 2
     assert "usage" in capsys.readouterr().err
+
+def test_module_entrypoint_every_subcommand():
+    """Fence for the round-1 `anchors` NameError regression.
+
+    `python -m realtimeobjectdetection_tpu.cli <cmd>` runs the module
+    top-to-bottom before main() dispatches, so a subcommand function
+    appended *after* the `__main__` block is undefined at dispatch time.
+    The `rodtpu` console script imports the module fully and cannot catch
+    this, so every subcommand must be exercised through `python -m` in a
+    real subprocess.
+    """
+    import subprocess
+    import sys
+
+    cmds = ["detect", "train", "validate", "stream", "serve",
+            "convert", "export", "anchors"]
+    env = dict(os.environ, JAX_PLATFORM_NAME="cpu")
+    procs = {
+        cmd: subprocess.Popen(
+            [sys.executable, "-m", "realtimeobjectdetection_tpu.cli",
+             cmd, "--help"],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env)
+        for cmd in cmds
+    }
+    for cmd, proc in procs.items():
+        out, err = proc.communicate(timeout=120)
+        assert proc.returncode == 0, (
+            f"`python -m ...cli {cmd} --help` exited "
+            f"{proc.returncode}:\n{err.decode()}")
+        assert b"usage" in out.lower() or b"usage" in err.lower(), cmd
