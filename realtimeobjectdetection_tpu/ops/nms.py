@@ -61,7 +61,7 @@ def _greedy_suppress(corners, cls_id, cand_valid, thresh, plus_one, ge,
 def nms_image(pred: jnp.ndarray, num_classes: int, confidence: float,
               nms_thresh: float, top_k: int = 256,
               plus_one_iou: bool = True, use_pallas: bool = False,
-              interpret: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+              interpret: bool = False, with_stats: bool = False):
     """NMS for one image.
 
     Args:
@@ -72,17 +72,26 @@ def nms_image(pred: jnp.ndarray, num_classes: int, confidence: float,
       nms_thresh: suppress when ``iou >= nms_thresh`` (the reference keeps
         ``iou < nms_conf``, src/util.py:324).
       top_k: static candidate budget (also the max number of outputs).
+      with_stats: also return the candidate count so callers can detect
+        top_k saturation.  The reference NMS (src/util.py:242-346)
+        processes *every* box past the confidence gate; the static budget
+        here silently drops the lowest-objectness extras when more than
+        top_k rows pass, so pipelines must surface ``n_candidates > top_k``
+        to the user instead of silently diverging.
 
     Returns:
       boxes: ``[top_k, 7]`` rows ``[x1,y1,x2,y2,obj,cls_conf,cls_id]``,
         valid rows first in reference order, garbage after.
       valid: ``[top_k]`` bool mask.
+      n_candidates (only when with_stats): scalar int32 count of rows
+        passing the confidence gate (saturated iff ``> top_k``).
     """
     n = pred.shape[0]
     k = min(top_k, n)
 
     obj = pred[:, 4]
     valid = obj > confidence
+    n_candidates = jnp.sum(valid).astype(jnp.int32)
 
     # top-k by objectness among valid rows (invalid rows sink below zero;
     # sigmoid objectness is always > 0 so -1 can never win a slot that a
@@ -115,18 +124,25 @@ def nms_image(pred: jnp.ndarray, num_classes: int, confidence: float,
         corners, cand[:, 4:5], cls_conf[:, None],
         cls_id.astype(pred.dtype)[:, None],
     ], axis=-1)
+    if with_stats:
+        return out[order], keep[order], n_candidates
     return out[order], keep[order]
 
 
 def nms_batch(pred: jnp.ndarray, num_classes: int, confidence: float,
               nms_thresh: float, top_k: int = 256,
               plus_one_iou: bool = True, use_pallas: bool = False,
-              interpret: bool = False):
-    """Batched NMS: ``[B, N, 5+C] -> ([B, top_k, 7], [B, top_k])``."""
+              interpret: bool = False, with_stats: bool = False):
+    """Batched NMS: ``[B, N, 5+C] -> ([B, top_k, 7], [B, top_k])``.
+
+    With ``with_stats`` a third ``[B]`` int32 array of per-image candidate
+    counts is returned (saturated where ``count > top_k``).
+    """
     fn = functools.partial(nms_image, num_classes=num_classes,
                            confidence=confidence, nms_thresh=nms_thresh,
                            top_k=top_k, plus_one_iou=plus_one_iou,
-                           use_pallas=use_pallas, interpret=interpret)
+                           use_pallas=use_pallas, interpret=interpret,
+                           with_stats=with_stats)
     return jax.vmap(fn)(pred)
 
 

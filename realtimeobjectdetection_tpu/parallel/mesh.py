@@ -73,11 +73,16 @@ def shard_train_step(step_fn, mesh: Mesh, spatial: bool = True):
                    out_shardings=(rep, rep))
 
 
-def shard_detect_fn(detect_fn, mesh: Mesh, spatial: bool = False):
-    """jit a detect fn (params, images) -> (boxes, valid) with DP sharding."""
+def shard_detect_fn(detect_fn, mesh: Mesh, spatial: bool = False,
+                    with_stats: bool = True):
+    """jit a detect fn (params, images) -> (boxes, valid[, counts]) with
+    DP sharding.  ``with_stats`` matches nms_batch(..., with_stats=True)'s
+    extra [B] candidate-count output (top_k saturation reporting)."""
     rep = replicated(mesh)
     img_sh = batch_sharding(mesh, spatial_axis=1 if spatial else None)
     out_b = batch_sharding(mesh, ndim=3)
     out_v = batch_sharding(mesh, ndim=2)
+    out_c = batch_sharding(mesh, ndim=1)
+    outs = (out_b, out_v, out_c) if with_stats else (out_b, out_v)
     return jax.jit(detect_fn, in_shardings=(rep, img_sh),
-                   out_shardings=(out_b, out_v))
+                   out_shardings=outs)

@@ -153,3 +153,17 @@ def test_empty_folder(tmp_path, tiny_weights):
     metrics = det(verbose=False)
     assert metrics == {}
     assert os.path.exists(str(tmp_path / "d" / "metrics.json"))
+
+
+def test_top_k_saturation_surfaces(tmp_path, tiny_weights, capsys):
+    """With a tiny top_k and a permissive confidence, more candidates pass
+    the gate than the static budget holds; the detector must record and
+    warn instead of silently dropping boxes (reference processes all,
+    src/util.py:242-346)."""
+    dest = str(tmp_path / "detsat")
+    det = DetectorV3(images=os.path.join(IMGS, "dog.jpg"), destination=dest,
+                     cfg_path="yolov3-tiny", weights_path=tiny_weights,
+                     confidence=0.3, top_k=8)
+    det(verbose=False)
+    assert det.saturated.get("dog.jpg", 0) > 8
+    assert "top_k" in capsys.readouterr().err

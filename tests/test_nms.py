@@ -142,3 +142,107 @@ def test_nms_batch_pallas_path_interpret():
                                  top_k=64, use_pallas=True, interpret=True)
     np.testing.assert_array_equal(np.asarray(a_valid), np.asarray(b_valid))
     np.testing.assert_allclose(np.asarray(a_boxes), np.asarray(b_boxes))
+
+
+# ----------------------------------------------------------------------
+# top_k saturation (VERDICT r1 weak-4): the reference NMS processes every
+# box past the confidence gate; the static budget must (a) match it exactly
+# whenever top_k >= candidate count, and (b) report saturation otherwise.
+
+def _reference_nms_oracle(pred, num_classes, confidence, nms_thresh):
+    """Unbounded numpy re-statement of write_results semantics
+    (src/util.py:242-346): strict > confidence gate, per-class greedy
+    suppression in objectness-descending order, +1 IoU, keep iou < thresh.
+    Returns [R, 7] rows ordered (class asc, objectness desc)."""
+    pred = np.asarray(pred, np.float64)
+    keep = pred[pred[:, 4] > confidence]
+    if keep.shape[0] == 0:
+        return np.zeros((0, 7))
+    corners = np.stack([keep[:, 0] - keep[:, 2] / 2,
+                        keep[:, 1] - keep[:, 3] / 2,
+                        keep[:, 0] + keep[:, 2] / 2,
+                        keep[:, 1] + keep[:, 3] / 2], axis=1)
+    cls_scores = keep[:, 5:5 + num_classes]
+    cls_conf = cls_scores.max(axis=1)
+    cls_id = cls_scores.argmax(axis=1)
+    out = []
+    for c in np.unique(cls_id):
+        idx = np.where(cls_id == c)[0]
+        idx = idx[np.argsort(-keep[idx, 4], kind="stable")]
+        alive = list(idx)
+        survivors = []
+        while alive:
+            i = alive.pop(0)
+            survivors.append(i)
+            bx = corners[i]
+            rest = []
+            for j in alive:
+                ix1 = max(bx[0], corners[j][0])
+                iy1 = max(bx[1], corners[j][1])
+                ix2 = min(bx[2], corners[j][2])
+                iy2 = min(bx[3], corners[j][3])
+                inter = max(ix2 - ix1 + 1, 0) * max(iy2 - iy1 + 1, 0)
+                a1 = (bx[2] - bx[0] + 1) * (bx[3] - bx[1] + 1)
+                a2 = (corners[j][2] - corners[j][0] + 1) * \
+                     (corners[j][3] - corners[j][1] + 1)
+                if inter / (a1 + a2 - inter) < nms_thresh:
+                    rest.append(j)
+            alive = rest
+        for i in survivors:
+            out.append(np.concatenate(
+                [corners[i], [keep[i, 4], cls_conf[i], float(c)]]))
+    return np.asarray(out)
+
+
+def _dense_pred(n=1000, num_classes=8, seed=7):
+    """A dense scene: n candidates ALL passing the confidence gate, heavy
+    overlap so suppression does real work."""
+    rng = np.random.RandomState(seed)
+    centers = rng.uniform(60, 340, (n, 2))
+    wh = rng.uniform(20, 140, (n, 2))
+    obj = rng.uniform(0.601, 0.999, n)
+    cls = np.zeros((n, num_classes), np.float32)
+    cls[np.arange(n), rng.randint(0, num_classes, n)] = \
+        rng.uniform(0.5, 1.0, n)
+    return make_pred(np.concatenate([centers, wh], 1), obj, cls)
+
+
+def test_dense_unsaturated_matches_unbounded_reference():
+    pred = _dense_pred()
+    boxes, valid, n_cand = nms_image(
+        jnp.asarray(pred), 8, confidence=0.6, nms_thresh=0.5,
+        top_k=1024, with_stats=True)
+    assert int(n_cand) == 1000 and 1000 <= 1024  # not saturated
+    got = np.asarray(boxes)[np.asarray(valid)]
+    ref = _reference_nms_oracle(pred, 8, 0.6, 0.5)
+    assert got.shape == ref.shape
+    np.testing.assert_array_equal(got[:, 6], ref[:, 6])
+    np.testing.assert_allclose(got[:, 4], ref[:, 4], rtol=1e-5)
+    np.testing.assert_allclose(got[:, :4], ref[:, :4], rtol=1e-4)
+
+
+def test_saturation_flag_fires_and_counts():
+    pred = _dense_pred()
+    boxes, valid, n_cand = nms_image(
+        jnp.asarray(pred), 8, confidence=0.6, nms_thresh=0.5,
+        top_k=128, with_stats=True)
+    assert int(n_cand) == 1000  # > top_k -> caller must warn
+    # batch variant carries a [B] count vector
+    _, _, counts = nms_batch(jnp.asarray(pred)[None], 8, 0.6, 0.5,
+                             top_k=128, with_stats=True)
+    assert counts.shape == (1,) and int(counts[0]) == 1000
+
+
+def test_saturated_keeps_highest_objectness_candidates():
+    """When saturated, the budget must keep the top_k *best* candidates:
+    suppression restricted to the top-k objectness slice equals the oracle
+    run on that same slice."""
+    pred = _dense_pred()
+    k = 128
+    top = pred[np.argsort(-pred[:, 4], kind="stable")[:k]]
+    boxes, valid = nms_image(jnp.asarray(pred), 8, confidence=0.6,
+                             nms_thresh=0.5, top_k=k)
+    got = np.asarray(boxes)[np.asarray(valid)]
+    ref = _reference_nms_oracle(top, 8, 0.6, 0.5)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got[:, 4], ref[:, 4], rtol=1e-5)
