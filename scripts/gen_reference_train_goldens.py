@@ -70,6 +70,65 @@ def main():
         print(name, "target", tuple(target.shape),
               "assigned:", int(obj_mask.sum()), "loss:", float(loss))
 
+    gen_voc_golden()
+
+
+def gen_voc_golden():
+    """VOC-path golden (VERDICT r1 task 4): run the reference VOC Dataset
+    (src/dataset.py:19-176) on the shared synthetic VOC fixture and record
+    the per-sample image tensors + 85-col box rows, then the reference
+    target_creator output on those rows — covering the letterbox box math
+    (configure_boun_box, dataset.py:113-122) that the COCO golden doesn't.
+    """
+    import tempfile
+
+    import torch
+    from src.dataset import VOC
+    from train import DarknetTrainer
+
+    from realtimeobjectdetection_tpu.testing import make_synthetic_voc
+
+    root = tempfile.mkdtemp()
+    # 240x320 images: non-square so the letterbox pad math in
+    # configure_boun_box does real work; the 35px person boxes pass the
+    # >24px gate of the target creator (train.py:181-184)
+    xml_dir, img_dir = make_synthetic_voc(root, n_images=4,
+                                          img_size=(240, 320), seed=3)
+    ds = VOC(xml_dir, img_dir, resolution=416)
+    ds.xml_path_list.sort()  # glob order is fs-dependent; pin it
+
+    imgs, rows, counts = [], [], []
+    for i in range(len(ds.xml_path_list)):
+        img, bbox = ds[i]
+        imgs.append(img.numpy())
+        rows.append(bbox.numpy())
+        counts.append(bbox.shape[0])
+    max_m = max(counts)
+    padded = np.zeros((len(rows), max_m, 85), np.float32)
+    mask = np.zeros((len(rows), max_m), bool)
+    for i, b in enumerate(rows):
+        padded[i, :len(b)] = b
+        mask[i, :len(b)] = True
+
+    trainer = DarknetTrainer(cfg_file="cfg/yolov3-tiny.cfg",
+                             weights_file=None, epoch=1,
+                             batch_size=len(rows), resolution=416,
+                             CUDA=False)
+    with torch.no_grad():
+        with trainer.darknet.train_mode():
+            trainer.darknet(torch.zeros(1, 3, 416, 416))  # sets .anchors
+    target, obj_mask = trainer.target_creator(
+        [torch.from_numpy(b) for b in rows])
+
+    np.savez_compressed(
+        os.path.join(OUT_DIR, "voc_train_targets.npz"),
+        images_nchw=np.stack(imgs),
+        boxes=padded, box_mask=mask,
+        target=target.numpy(), obj_mask=obj_mask.numpy(),
+        anchors=np.array(trainer.darknet.anchors, np.float32))
+    print("voc", "samples", len(rows), "rows/img", counts,
+          "target", tuple(target.shape), "assigned:", int(obj_mask.sum()))
+
 
 if __name__ == "__main__":
     main()

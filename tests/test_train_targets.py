@@ -140,3 +140,37 @@ def test_shard_map_step_matches_single_device(cpu_devices):
     a = np.asarray(s_sm.params["node_0"]["w"])
     b = np.asarray(s_1.params["node_0"]["w"])
     np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-5)
+
+
+def test_voc_pipeline_matches_reference_golden(tmp_path):
+    """VOC-path golden (regenerated synthetic fixture -> reference VOC
+    Dataset + target_creator recorded offline): image tensors, 85-col box
+    rows (letterbox space, integer pads, dataset.py:113-122) and the
+    resulting training targets must all match."""
+    from realtimeobjectdetection_tpu.data.voc import VOCDataset
+    from realtimeobjectdetection_tpu.testing import make_synthetic_voc
+
+    d = np.load(os.path.join(GOLDEN, "voc_train_targets.npz"))
+    xml_dir, img_dir = make_synthetic_voc(tmp_path, n_images=4,
+                                          img_size=(240, 320), seed=3)
+    ds = VOCDataset(xml_dir, img_dir, resolution=416)
+    assert len(ds) == 4
+
+    ref_imgs = d["images_nchw"]             # [4, 3, 416, 416]
+    ref_boxes, ref_mask = d["boxes"], d["box_mask"]
+    for i in range(4):
+        img, rows = ds[i]
+        np.testing.assert_allclose(img.transpose(2, 0, 1), ref_imgs[i],
+                                   atol=1e-6)
+        ref_rows = ref_boxes[i][ref_mask[i]]
+        assert rows.shape == ref_rows.shape  # dog object filtered out
+        np.testing.assert_allclose(rows, ref_rows, atol=1e-4)
+
+    spec = get_spec("yolov3-tiny")
+    target, mask = build_targets(
+        spec, jnp.asarray(ref_boxes), jnp.asarray(ref_mask),
+        resolution=416, class_filter=0,
+        reference_bug_wh_iou=True, parity_swap_xy=True)
+    np.testing.assert_array_equal(np.asarray(mask), d["obj_mask"])
+    np.testing.assert_allclose(np.asarray(target), d["target"],
+                               rtol=1e-5, atol=1e-5)
