@@ -253,6 +253,16 @@ def stream_arg_parser() -> argparse.ArgumentParser:
                    help="stop after N frames")
     p.add_argument("--save", default=None, type=str,
                    help="write rendered frames to this video file")
+    p.add_argument("--device_resize", action="store_true",
+                   help="letterbox in-graph on the TPU (fixed-size frame "
+                        "sources): uploads the raw uint8 frame and removes "
+                        "the host cv2 resize from the hot loop")
+    p.add_argument("--pipeline_depth", default=1, type=int,
+                   help="frames kept in flight on the device; depth>=2 is "
+                        "throughput mode (hides the host<->device round "
+                        "trip), depth 1 is lowest-latency mode")
+    p.add_argument("--top_k", default=128, type=int,
+                   help="static NMS candidate budget per frame")
     return p
 
 
@@ -272,7 +282,8 @@ def stream_cli(argv=None):
     else:
         params = init_params(spec)
     det = StreamDetector(spec, params, resolution=a.reso,
-                         confidence=a.confidence, nms_thresh=a.nms_thresh)
+                         confidence=a.confidence, nms_thresh=a.nms_thresh,
+                         top_k=a.top_k, device_resize=a.device_resize)
 
     if a.source == "synthetic":
         frames = synthetic_frames(a.frames or 100)
@@ -300,7 +311,8 @@ def stream_cli(argv=None):
                 a.save, fourcc, 25.0, (frame.shape[1], frame.shape[0]))
         writer[0].write(frame)
 
-    stats = det.run(frames, on_result=on_result, max_frames=a.frames)
+    stats = det.run(frames, on_result=on_result, max_frames=a.frames,
+                    pipeline_depth=a.pipeline_depth)
     if writer[0] is not None:
         writer[0].release()
     print(stats)

@@ -62,7 +62,9 @@ class DarknetTrainer:
                  augment: bool = False, optimizer: str = "adam",
                  use_cfg_schedule: bool = False,
                  multiscale: bool = False,
-                 multiscale_range=(320, 608), multiscale_every: int = 10):
+                 multiscale_scales=(352, 416, 480),
+                 multiscale_every: int = 10,
+                 prewarm: bool = True):
         assert isinstance(epochs, int) and isinstance(batch_size, int)
         assert resolution % 32 == 0
         self.cfg_path = cfg_path
@@ -103,15 +105,29 @@ class DarknetTrainer:
             **self._step_kwargs)
         # multi-scale training (darknet random=1): a jitted step per
         # resolution, switched every `multiscale_every` batches; the
-        # loader stays at the base resolution and the device rescales
+        # loader stays at the base resolution and the device rescales.
+        #
+        # Compile economics on the real TPU (axon remote compile service):
+        # a FRESH compile of the full yolov3 step takes 3-10 min, so every
+        # distinct resolution is a multi-minute stall the first time it is
+        # sampled mid-epoch.  Two defenses: (1) the default scale set is
+        # the small {352, 416, 480} instead of darknet's 320..608 sweep
+        # (10 programs), and (2) ``prewarm``: train() compiles-and-runs
+        # one dummy step per scale BEFORE epoch 1, so compiles happen
+        # up-front (and land in the persistent JAX compilation cache,
+        # ~15-30s on later hits) instead of stalling the epoch loop.
         self.multiscale = multiscale
         self.multiscale_every = multiscale_every
+        self.prewarm = prewarm
         if multiscale:
-            lo, hi = multiscale_range
-            self._scales = [r for r in range(lo, hi + 1, 32)]
+            self._scales = sorted(int(r) for r in multiscale_scales)
+            assert all(r % 32 == 0 for r in self._scales), multiscale_scales
+            if self.resolution not in self._scales:
+                self._scales.append(self.resolution)
         else:
             self._scales = [self.resolution]
         self._step_cache = {}
+        self._prewarmed = False
 
         # mesh: None = auto (DP over all devices when the batch divides
         # evenly), False = force single-device, or an explicit Mesh
@@ -202,9 +218,36 @@ class DarknetTrainer:
             return VOCDataset(annotation_dir, img_dir, self.resolution)
         return COCODataset(annotation_dir, img_dir, self.resolution)
 
+    def warm_step_cache(self, verbose: bool = True):
+        """Compile-and-execute one dummy step per multi-scale resolution.
+
+        Runs each scale's program once on zero tensors (state untouched —
+        the updated state is discarded), so all compiles happen before
+        epoch 1 instead of stalling the epoch loop at the first sampling
+        of a new resolution (3-10 min per fresh compile through the axon
+        service).  Idempotent; skipped when only one scale exists and it
+        is already jitted."""
+        if self._prewarmed:
+            return
+        for r in sorted(set(self._scales)):
+            t0 = time.time()
+            step = self._get_step(r)
+            imgs = jnp.zeros((self.batch_size, r, r, 3), jnp.float32)
+            boxes = jnp.zeros((self.batch_size, self.max_boxes, 85),
+                              jnp.float32)
+            mask = jnp.zeros((self.batch_size, self.max_boxes), bool)
+            _, loss = step(self.state, imgs, boxes, mask)
+            float(loss)  # host readback = true completion sync on axon
+            if verbose and len(self._scales) > 1:
+                print(f"\twarmed step @ {r}x{r} in "
+                      f"{time.time() - t0:.1f}s")
+        self._prewarmed = True
+
     def train(self, annotation_dir: str, img_dir: str,
               dataset_type: str = "COCO", verbose: bool = True):
         os.makedirs(self.out_dir, exist_ok=True)
+        if self.prewarm and len(self._scales) > 1:
+            self.warm_step_cache(verbose=verbose)
         dataset = self._make_dataset(annotation_dir, img_dir, dataset_type)
         data_num = len(dataset)
         batch_num = max(1, (data_num + self.batch_size - 1)

@@ -192,3 +192,38 @@ def test_stream_cli_video_roundtrip(tmp_path):
     while cap.read()[0]:
         n += 1
     assert n == 6
+
+
+def test_stream_pipelined_depth2_same_results():
+    """Throughput mode (pipeline_depth=2, VERDICT r1 task 7) must produce
+    exactly the per-frame rows of depth 1 — only the overlap schedule
+    changes, never the math or the frame order."""
+    from realtimeobjectdetection_tpu.models import get_spec
+    from realtimeobjectdetection_tpu.pipeline.stream import (StreamDetector,
+                                                             synthetic_frames)
+    from realtimeobjectdetection_tpu.weights import init_params
+    import jax.numpy as jnp
+    spec = get_spec("yolov3-tiny", width=160, height=160)
+    det = StreamDetector(spec, init_params(spec, 0), resolution=160,
+                         bn_mode="fold", compute_dtype=jnp.float32,
+                         top_k=32, confidence=0.3)
+    runs = {}
+    for depth in (1, 2, 3):
+        seen = []
+        stats = det.run(synthetic_frames(10, 120, 160),
+                        on_result=lambda f, rows: seen.append(
+                            np.asarray(rows).copy()),
+                        pipeline_depth=depth)
+        assert stats["frames"] == 10 and len(seen) == 10
+        runs[depth] = seen
+    for depth in (2, 3):
+        for a, b in zip(runs[1], runs[depth]):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_stream_cli_exposes_device_resize_and_depth():
+    from realtimeobjectdetection_tpu.cli import stream_arg_parser
+    a = stream_arg_parser().parse_args(
+        ["--source", "synthetic", "--device_resize",
+         "--pipeline_depth", "2", "--top_k", "64"])
+    assert a.device_resize and a.pipeline_depth == 2 and a.top_k == 64
