@@ -31,10 +31,12 @@ def run_detect(detector_params: dict):
             size=detector_params.get("yolov5_input_size", 640),
             confidence=detector_params.get("yolov5_confidence", 0.25),
             iou_thresh=detector_params.get("yolov5_nms", 0.45),
-            batch_size=detector_params.get("batch_size", 1))
+            batch_size=detector_params.get("batch_size", 1),
+            rect=detector_params.get("yolov5_rect", False))
     elif version == 3:
         from .pipeline.detector import DetectorV3
-        for k in ("yolov5_input_size", "yolov5_confidence", "yolov5_nms"):
+        for k in ("yolov5_input_size", "yolov5_confidence", "yolov5_nms",
+                  "yolov5_rect"):
             detector_params.pop(k, None)
         detector = DetectorV3(**detector_params)
     else:
@@ -123,6 +125,9 @@ def detect_arg_parser() -> argparse.ArgumentParser:
                    help="conv precision; 'highest' for exact fp32 parity")
     p.add_argument("--top_k", default=256, type=int,
                    help="static NMS candidate budget per image")
+    p.add_argument("--rect", action="store_true",
+                   help="v5 only: AutoShape rectangular inference (pad to "
+                        "stride multiples instead of a square canvas)")
     return p
 
 
@@ -137,6 +142,7 @@ def detect_cli(argv=None):
         "batch_size": a.batch_size, "bn_mode": a.bn_mode,
         "precision": a.precision, "top_k": a.top_k,
         "yolo_version": a.yolov, "yolov5_size": a.yolov5_size,
+        "yolov5_rect": a.rect,
     }
     return run_detect(params)
 

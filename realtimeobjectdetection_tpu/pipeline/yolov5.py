@@ -54,6 +54,56 @@ def letterbox_v5(img: np.ndarray, size: int) -> np.ndarray:
     return canvas
 
 
+def make_divisible(x: float, divisor: int) -> int:
+    """Ceil to a multiple (ultralytics utils.general.make_divisible)."""
+    import math
+    return int(math.ceil(x / divisor) * divisor)
+
+
+def rect_shape(w: int, h: int, size: int, stride: int = 32,
+               bucket: int = 64):
+    """AutoShape's rectangular target canvas for one image.
+
+    AutoShape scales so the long side is ``size`` and rounds each side UP
+    to a multiple of the model stride — it does NOT pad to a square
+    (hub AutoShape.forward; the reference rides it at detect.py:277-285).
+    On TPU every distinct canvas is a separate compiled program, so the
+    short side is additionally quantized up to a multiple of ``bucket``
+    (default 64 = 2x stride), bounding the program count at
+    ``size / bucket`` per orientation while keeping the long side exact.
+    ``bucket=stride`` gives the exact AutoShape canvas.
+
+    Returns (target_h, target_w).
+    """
+    g = size / max(w, h)
+    th = make_divisible(h * g, stride)
+    tw = make_divisible(w * g, stride)
+    th = make_divisible(th, bucket) if th < size else size
+    tw = make_divisible(tw, bucket) if tw < size else size
+    return th, tw
+
+
+def letterbox_v5_rect(img: np.ndarray, th: int, tw: int):
+    """Ultralytics ``letterbox(im, (th, tw), auto=False)``: bilinear
+    resize by ``r = min(th/h, tw/w)``, near-center 114-gray padding with
+    the round(d-0.1)/round(d+0.1) split.
+
+    Returns (canvas, r, pad_left, pad_top) for box un-mapping.
+    """
+    h, w = img.shape[:2]
+    r = min(th / h, tw / w)
+    nw, nh = int(round(w * r)), int(round(h * r))
+    resized = img if (nw, nh) == (w, h) else cv2.resize(
+        img, (nw, nh), interpolation=cv2.INTER_LINEAR)
+    dw, dh = (tw - nw) / 2, (th - nh) / 2
+    top, bottom = int(round(dh - 0.1)), int(round(dh + 0.1))
+    left, right = int(round(dw - 0.1)), int(round(dw + 0.1))
+    canvas = cv2.copyMakeBorder(resized, top, bottom, left, right,
+                                cv2.BORDER_CONSTANT,
+                                value=(V5_PAD_COLOR,) * 3)
+    return canvas, r, left, top
+
+
 class DetectorV5:
     def __init__(self, images: str, model_size: str = "L",
                  destination: str = "det",
@@ -61,7 +111,14 @@ class DetectorV5:
                  size: int = 640, confidence: float = 0.25,
                  iou_thresh: float = 0.45, max_det: int = 300,
                  num_classes: int = 80, batch_size: int = 1,
-                 compute_dtype=jnp.bfloat16):
+                 compute_dtype=jnp.bfloat16,
+                 rect: bool = False, rect_bucket: int = 64):
+        """``rect``: AutoShape's rectangular inference (pad to stride
+        multiples, not to a square — hub AutoShape semantics, the path
+        the reference actually rides at detect.py:277-285).  Off by
+        default; forces batch_size=1 (AutoShape itself is fed one image
+        per call by the reference loop).  ``rect_bucket``: short-side
+        quantum bounding the compiled-program count (see rect_shape)."""
         if model_size.upper() not in ("N", "S", "M", "L", "X"):
             raise Exception("Unknown YOLOv5 size input")
         self.cfg = YoloV5Config(model_size.lower(), num_classes)
@@ -71,7 +128,9 @@ class DetectorV5:
         self.confidence = confidence
         self.iou_thresh = iou_thresh
         self.max_det = max_det
-        self.batch_size = batch_size
+        self.rect = rect
+        self.rect_bucket = rect_bucket
+        self.batch_size = 1 if rect else batch_size
         self.classes = COCO80
         self.metrics: Dict[str, object] = {}
 
@@ -86,7 +145,7 @@ class DetectorV5:
             pred = decode_v5(fwd(p, x), nc)
             return nms_batch_v5(pred, nc, conf, iou, max_det=md)
 
-        self._detect = jax.jit(detect)
+        self._detect = jax.jit(detect)  # one program per canvas shape
 
     def _load_params(self, weights_path):
         if weights_path is None:
@@ -102,20 +161,28 @@ class DetectorV5:
         return paths
 
     def _prep_batch(self, chunk):
-        imgs, dims, canvases = [], [], []
+        imgs, dims, canvases, geoms = [], [], [], []
         for path in chunk:
             img = cv2.imread(path)
             if img is None:
                 raise FileNotFoundError(path)
             imgs.append(img)
             dims.append((img.shape[1], img.shape[0]))
-            canvases.append(letterbox_v5(img, self.size)[:, :, ::-1])
+            if self.rect:
+                th, tw = rect_shape(img.shape[1], img.shape[0], self.size,
+                                    bucket=self.rect_bucket)
+                canvas, r, left, top = letterbox_v5_rect(img, th, tw)
+                canvases.append(canvas[:, :, ::-1])
+                geoms.append((r, left, top))
+            else:
+                canvases.append(letterbox_v5(img, self.size)[:, :, ::-1])
+                geoms.append(None)
         batch = np.stack(canvases)  # uint8; normalized on device
         if len(chunk) < self.batch_size:  # pad tail to the static shape
             batch = np.concatenate(
                 [batch, np.repeat(batch[-1:],
                                   self.batch_size - len(chunk), 0)], 0)
-        return imgs, dims, np.ascontiguousarray(batch)
+        return imgs, dims, geoms, np.ascontiguousarray(batch)
 
     def __call__(self, verbose: bool = True) -> Dict[str, object]:
         os.makedirs(self.destination, exist_ok=True)
@@ -131,24 +198,24 @@ class DetectorV5:
             item = None
             if idx < len(chunks):
                 chunk = chunks[idx]
-                imgs, dims, batch = self._prep_batch(chunk)
+                imgs, dims, geoms, batch = self._prep_batch(chunk)
                 t0 = time.time()
                 out = self._detect(self.params, jnp.asarray(batch))
-                item = (chunk, imgs, dims, t0, out)
+                item = (chunk, imgs, dims, geoms, t0, out)
             if pending is not None:
                 self._drain(pending, palette, verbose)
             pending = item
         return self.metrics
 
     def _drain(self, pending, palette, verbose):
-        chunk, imgs, dims, t0, (boxes, valid) = pending
+        chunk, imgs, dims, geoms, t0, (boxes, valid) = pending
         boxes = np.asarray(boxes)  # host readback = true sync
         valid = np.asarray(valid)
         dt = (time.time() - t0) / len(chunk)
         for j, path in enumerate(chunk):
             name = os.path.basename(path)
             w, h = dims[j]
-            rows = self._unletterbox(boxes[j][valid[j]], w, h)
+            rows = self._unletterbox(boxes[j][valid[j]], w, h, geoms[j])
             self.metrics[name] = rows.tolist() if len(rows) else 0
             img = imgs[j]
             for r in rows:
@@ -160,8 +227,15 @@ class DetectorV5:
             if verbose:
                 print(f"{name:20s} {len(rows)} objects in {dt:6.3f}s")
 
-    def _unletterbox(self, rows: np.ndarray, w: int, h: int) -> np.ndarray:
+    def _unletterbox(self, rows: np.ndarray, w: int, h: int,
+                     geom=None) -> np.ndarray:
         if len(rows) == 0:
             return rows
+        if geom is not None:  # rect mode: (r, pad_left, pad_top)
+            r, left, top = geom
+            out = rows.copy()
+            out[:, [0, 2]] = np.clip((out[:, [0, 2]] - left) / r, 0, w)
+            out[:, [1, 3]] = np.clip((out[:, [1, 3]] - top) / r, 0, h)
+            return out
         return unletterbox_boxes(rows, w, h, self.size,
                                  params_fn=letterbox_params_round)

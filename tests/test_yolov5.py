@@ -227,3 +227,92 @@ def test_stream_cli_exposes_device_resize_and_depth():
         ["--source", "synthetic", "--device_resize",
          "--pipeline_depth", "2", "--top_k", "64"])
     assert a.device_resize and a.pipeline_depth == 2 and a.top_k == 64
+
+
+def test_rect_shape_autoshape_semantics():
+    """rect_shape reproduces AutoShape's stride-ceil canvas (long side =
+    size, short side ceil'd to the stride / bucket quantum)."""
+    from realtimeobjectdetection_tpu.pipeline.yolov5 import rect_shape
+    # 640x480 at size 640: g=1, short side 480 -> exact stride multiple
+    assert rect_shape(640, 480, 640, bucket=32) == (480, 640)
+    # 1280x720 at 640: g=0.5 -> 360 -> ceil32 = 384
+    assert rect_shape(1280, 720, 640, bucket=32) == (384, 640)
+    # bucket=64 quantizes the short side up, bounding program count
+    assert rect_shape(1280, 720, 640, bucket=64) == (384, 640)
+    assert rect_shape(1280, 700, 640, bucket=64) == (384, 640)
+    # portrait orientation mirrors
+    assert rect_shape(720, 1280, 640, bucket=32) == (640, 384)
+    # square stays square (rect == non-rect canvas)
+    assert rect_shape(500, 500, 640, bucket=64) == (640, 640)
+
+
+def test_rect_letterbox_geometry_round_trip():
+    """Canvas corners of the resized content map back to the original
+    image corners through the recorded (r, left, top)."""
+    cv2 = pytest.importorskip("cv2")
+    from realtimeobjectdetection_tpu.pipeline.yolov5 import (
+        letterbox_v5_rect, rect_shape)
+    rng = np.random.RandomState(1)
+    img = rng.randint(0, 255, (700, 1280, 3), np.uint8)
+    th, tw = rect_shape(1280, 700, 640, bucket=64)
+    canvas, r, left, top = letterbox_v5_rect(img, th, tw)
+    assert canvas.shape == (th, tw, 3)
+    # content extent inside the canvas
+    nw, nh = int(round(1280 * r)), int(round(700 * r))
+    # corner (left, top) -> (0, 0); (left+nw, top+nh) -> (w, h)
+    assert abs((left - left) / r - 0) < 1e-6
+    assert abs((left + nw - left) / r - 1280) < 1.0 / r
+    assert abs((top + nh - top) / r - 700) < 1.0 / r
+    # padding is the 114 gray
+    assert (canvas[0, :, :] == 114).all() or top == 0
+
+
+def test_detector_v5_rect_square_image_matches_nonrect(tmp_path):
+    """On a square image the AutoShape rect canvas IS the square canvas,
+    so both paths must produce identical metrics rows (the box-parity
+    gate for the rect feature on synthetic weights)."""
+    import os
+    cv2 = pytest.importorskip("cv2")
+    from realtimeobjectdetection_tpu.pipeline.yolov5 import DetectorV5
+    import jax.numpy as jnp
+    imgs = tmp_path / "imgs"
+    imgs.mkdir()
+    rng = np.random.RandomState(2)
+    cv2.imwrite(str(imgs / "sq.jpg"),
+                rng.randint(0, 255, (280, 280, 3), np.uint8))
+    kw = dict(model_size="s", size=320, confidence=0.25,
+              compute_dtype=jnp.float32)
+    m_sq = DetectorV5(str(imgs), destination=str(tmp_path / "d1"),
+                      **kw)(verbose=False)
+    m_rect = DetectorV5(str(imgs), destination=str(tmp_path / "d2"),
+                        rect=True, **kw)(verbose=False)
+    assert isinstance(m_sq["sq.jpg"], type(m_rect["sq.jpg"]))
+    if not isinstance(m_sq["sq.jpg"], int):
+        np.testing.assert_allclose(np.array(m_rect["sq.jpg"]),
+                                   np.array(m_sq["sq.jpg"]), atol=1e-3)
+
+
+def test_detector_v5_rect_nonsquare_runs_bucketed_canvas(tmp_path):
+    """Non-square input runs on the stride-rounded rectangular canvas
+    (not 320x320) and boxes come back in original-image coordinates."""
+    import os
+    cv2 = pytest.importorskip("cv2")
+    from realtimeobjectdetection_tpu.pipeline.yolov5 import DetectorV5
+    import jax.numpy as jnp
+    imgs = tmp_path / "imgs"
+    imgs.mkdir()
+    rng = np.random.RandomState(3)
+    cv2.imwrite(str(imgs / "wide.jpg"),
+                rng.randint(0, 255, (180, 320, 3), np.uint8))
+    det = DetectorV5(str(imgs), model_size="s", rect=True, size=320,
+                     destination=str(tmp_path / "d"), confidence=0.25,
+                     compute_dtype=jnp.float32)
+    _, _, geoms, batch = det._prep_batch([str(imgs / "wide.jpg")])
+    assert batch.shape[1] < 320 and batch.shape[2] == 320  # rect canvas
+    assert batch.shape[1] % 32 == 0
+    metrics = det(verbose=False)
+    rows = metrics["wide.jpg"]
+    if not isinstance(rows, int):
+        rows = np.array(rows)
+        assert (rows[:, [0, 2]] <= 320 + 1e-3).all()
+        assert (rows[:, [1, 3]] <= 180 + 1e-3).all()
