@@ -128,6 +128,10 @@ def detect_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--rect", action="store_true",
                    help="v5 only: AutoShape rectangular inference (pad to "
                         "stride multiples instead of a square canvas)")
+    p.add_argument("--quantize", default=None, choices=["w8", "w8a8"],
+                   help="int8 inference (requires --bn_mode fold): 'w8' = "
+                        "int8 weights only, 'w8a8' = full int8 convs on "
+                        "the int8 MXU")
     return p
 
 
@@ -142,7 +146,7 @@ def detect_cli(argv=None):
         "batch_size": a.batch_size, "bn_mode": a.bn_mode,
         "precision": a.precision, "top_k": a.top_k,
         "yolo_version": a.yolov, "yolov5_size": a.yolov5_size,
-        "yolov5_rect": a.rect,
+        "yolov5_rect": a.rect, "quantize": a.quantize,
     }
     return run_detect(params)
 

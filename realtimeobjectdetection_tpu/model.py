@@ -211,7 +211,8 @@ def _find_ladders(spec: GraphSpec) -> Dict[int, int]:
 
 def make_forward(spec: GraphSpec, bn_mode: str = "fold",
                  compute_dtype=jnp.float32, return_stats: bool = False,
-                 precision=None, scan_ladders: bool = False):
+                 precision=None, scan_ladders: bool = False,
+                 quantize: Optional[str] = None):
     """Build ``forward(params, x) -> [head0, head1, ...]`` (raw heads, NHWC).
 
     ``return_stats`` additionally returns per-conv batch statistics
@@ -225,11 +226,18 @@ def make_forward(spec: GraphSpec, bn_mode: str = "fold",
     over stacked params (identical numerics, much smaller HLO / faster
     compile).  Incompatible with ``return_stats`` (per-layer batch stats
     would be scan-carried); ignored for bn_mode="batch" with stats.
+
+    ``quantize``: ``"w8"`` or ``"w8a8"`` int8 inference over params
+    produced by :func:`..ops.quantize.quantize_folded_int8` (requires
+    bn_mode="fold"; see ops/quantize.py for semantics + drift gates).
     """
     assert bn_mode in ("fold", "running", "batch")
+    assert quantize in (None, "w8", "w8a8")
+    if quantize:
+        assert bn_mode == "fold", "int8 paths consume BN-folded params"
     live = spec.live_after()
     ladders = _find_ladders(spec) if scan_ladders and not return_stats \
-        else {}
+        and not quantize else {}
 
     def _ladder_scan(params, x, start: int, reps: int):
         """Run one residual ladder as a lax.scan over stacked params."""
@@ -294,8 +302,18 @@ def make_forward(spec: GraphSpec, bn_mode: str = "fold",
                 continue
             if isinstance(node, ConvSpec):
                 entry = params[f"node_{i}"]
-                y = _conv(prev, entry["w"], node.stride, node.pad,
-                          compute_dtype, precision)
+                if quantize == "w8":
+                    from .ops.quantize import conv_w8
+                    y = conv_w8(prev, entry["w_q"], entry["scale"],
+                                node.stride, node.pad, compute_dtype,
+                                precision)
+                elif quantize == "w8a8":
+                    from .ops.quantize import conv_w8a8
+                    y = conv_w8a8(prev, entry["w_q"], entry["scale"],
+                                  node.stride, node.pad)
+                else:
+                    y = _conv(prev, entry["w"], node.stride, node.pad,
+                              compute_dtype, precision)
                 if node.batch_normalize and bn_mode != "fold":
                     if bn_mode == "batch":
                         y, m, v = _batch_stats_bn(

@@ -80,6 +80,7 @@ class DetectorV3:
                  precision: Optional[str] = None,
                  scan_ladders: Optional[bool] = None,
                  use_pallas_nms: bool = False,
+                 quantize: Optional[str] = None,
                  mesh=None,
                  prefetch: int = 4):
         assert resolution % 32 == 0 and resolution > 32  # detect.py:51-52
@@ -118,8 +119,16 @@ class DetectorV3:
         self.spec = resolve_spec(cfg_path)
         self.params = self._load_params(weights_path, use_torch_weights)
         self.bn_mode = bn_mode
-        if bn_mode == "fold":
+        if quantize:
+            # int8 inference (ops/quantize.py): fold first, then quantize
+            if bn_mode != "fold":
+                raise ValueError("quantize requires bn_mode='fold'")
+            from ..ops.quantize import quantize_folded_int8
+            self.params = quantize_folded_int8(
+                self.spec, fold_batchnorm(self.spec, self.params))
+        elif bn_mode == "fold":
             self.params = fold_batchnorm(self.spec, self.params)
+        self.quantize = quantize
         self.params = jax.device_put(self.params)
         # precision: None = device default (bf16 MXU passes on TPU — the
         # fast path); "highest" = exact fp32 convs for bit-level parity
@@ -137,7 +146,8 @@ class DetectorV3:
         self._forward = make_forward(self.spec, bn_mode=bn_mode,
                                      compute_dtype=compute_dtype,
                                      precision=prec,
-                                     scan_ladders=scan_ladders)
+                                     scan_ladders=scan_ladders,
+                                     quantize=quantize)
         # multi-chip: shard the batch over a data mesh (the TPU-native
         # replacement for the reference's nn.DataParallel,
         # detect.py:177-183).  Auto-activates when the device count
