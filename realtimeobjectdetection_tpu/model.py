@@ -56,11 +56,14 @@ def fold_batchnorm(spec: GraphSpec, params: Dict) -> Dict:
     return out
 
 
-def _conv(x, w, stride: int, pad: int, compute_dtype, precision=None):
+def _conv(x, w, stride: int, pad: int, compute_dtype, precision=None,
+          out_dtype=jnp.float32):
     # fp32 path: full-precision output via preferred_element_type.
     # bf16 path: emit bf16 and upcast — the MXU accumulates fp32
     # internally either way, and mixed in/out dtypes break the conv
     # transpose rule under autodiff (training runs through this too).
+    # out_dtype=bfloat16 (inference fold path only) keeps the materialized
+    # activation bf16, halving the HBM traffic between layers.
     preferred = jnp.float32 if compute_dtype == jnp.float32 else None
     y = lax.conv_general_dilated(
         x.astype(compute_dtype), w.astype(compute_dtype),
@@ -70,7 +73,56 @@ def _conv(x, w, stride: int, pad: int, compute_dtype, precision=None):
         preferred_element_type=preferred,
         precision=precision,
     )
-    return y.astype(jnp.float32)
+    return y.astype(out_dtype)
+
+
+def _s2d_stem_weights(w):
+    """Transform a 3x3/stride-1 stem kernel [3,3,Cin,Cout] into the
+    equivalent space-to-depth kernel [3,3,4*Cin,4*Cout].
+
+    The raw stem conv (yolov3: 3->32 at 416², cfg block 1) runs at ~3/128
+    MXU lane occupancy.  Space-to-depth packs 2x2 input blocks into
+    channels ([B,H,W,C] -> [B,H/2,W/2,4C]) and computes all four output-
+    pixel parities as extra output channels, then depth-to-space restores
+    the exact original output.  4x the nominal FLOPs, but 12->128 channels
+    runs ~8x more efficiently on the MXU — a net win measured on-chip.
+
+    Derivation: output pixel (2i+di, 2j+dj) reads input rows
+    y = 2(i+dy)+ay with u = 2*dy+ay-di ∈ [-1,1]; taps outside map to
+    zeros.  Zero-padding the s2d tensor by 1 reproduces the original
+    1-pixel zero border exactly (the extra half-block rows are never
+    read by any in-range tap).
+    """
+    kh, kw, cin, cout = w.shape
+    assert (kh, kw) == (3, 3)
+    w2 = jnp.zeros((3, 3, 4 * cin, 4 * cout), w.dtype)
+    for di in range(2):
+        for dj in range(2):
+            for ay in range(2):
+                for ax in range(2):
+                    for dy in (-1, 0, 1):
+                        for dx in (-1, 0, 1):
+                            u = 2 * dy + ay - di
+                            v = 2 * dx + ax - dj
+                            if -1 <= u <= 1 and -1 <= v <= 1:
+                                ci = (ay * 2 + ax) * cin
+                                co = (di * 2 + dj) * cout
+                                w2 = w2.at[dy + 1, dx + 1,
+                                           ci:ci + cin,
+                                           co:co + cout].set(w[u + 1, v + 1])
+    return w2
+
+
+def _space_to_depth(x):
+    b, h, w, c = x.shape
+    return x.reshape(b, h // 2, 2, w // 2, 2, c) \
+        .transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+
+
+def _depth_to_space(x, cout):
+    b, h, w, _ = x.shape
+    return x.reshape(b, h, w, 2, 2, cout) \
+        .transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w, cout)
 
 
 def _batch_stats_bn(y, gamma, beta):
@@ -212,7 +264,9 @@ def _find_ladders(spec: GraphSpec) -> Dict[int, int]:
 def make_forward(spec: GraphSpec, bn_mode: str = "fold",
                  compute_dtype=jnp.float32, return_stats: bool = False,
                  precision=None, scan_ladders: bool = False,
-                 quantize: Optional[str] = None):
+                 quantize: Optional[str] = None,
+                 activation_dtype=None, head_dtype=None,
+                 s2d_stem: bool = False):
     """Build ``forward(params, x) -> [head0, head1, ...]`` (raw heads, NHWC).
 
     ``return_stats`` additionally returns per-conv batch statistics
@@ -230,11 +284,32 @@ def make_forward(spec: GraphSpec, bn_mode: str = "fold",
     ``quantize``: ``"w8"`` or ``"w8a8"`` int8 inference over params
     produced by :func:`..ops.quantize.quantize_folded_int8` (requires
     bn_mode="fold"; see ops/quantize.py for semantics + drift gates).
+
+    ``activation_dtype``: dtype the inter-layer activations are
+    materialized in (fold mode only).  ``jnp.bfloat16`` halves activation
+    HBM traffic — the dominant memory stream of a conv net — at a bounded
+    numeric drift (heads are always cast back to fp32 before decode;
+    drift gated by tests/test_forward_parity.py).  None keeps fp32.
     """
     assert bn_mode in ("fold", "running", "batch")
     assert quantize in (None, "w8", "w8a8")
     if quantize:
         assert bn_mode == "fold", "int8 paths consume BN-folded params"
+    act_dtype = activation_dtype or jnp.float32
+    if activation_dtype is not None:
+        assert bn_mode == "fold", \
+            "bf16 activation residency is an inference-fold-path knob"
+    # head_dtype: dtype the raw heads are returned in.  Default fp32 (the
+    # parity paths decode fp32); the serving fast path passes bf16 so
+    # decode_topk's reshape/concat/gather of the [B, N, 85] raw tensor
+    # moves half the HBM bytes (profiler: ~14 ms/batch at bs=256 fp32).
+    head_dtype = head_dtype or jnp.float32
+    if s2d_stem:
+        assert bn_mode == "fold", "s2d stem folds into conv weights"
+        n0 = spec.nodes[0]
+        assert (isinstance(n0, ConvSpec) and n0.kernel_size == 3
+                and n0.stride == 1 and n0.in_channels == 3), \
+            "s2d_stem expects a 3x3/1 3-channel stem conv"
     live = spec.live_after()
     ladders = _find_ladders(spec) if scan_ladders and not return_stats \
         and not quantize else {}
@@ -251,9 +326,11 @@ def make_forward(spec: GraphSpec, bn_mode: str = "fold",
 
             def body(h, ws):
                 w1, b1, w2, b2 = ws
-                y = _conv(h, w1, 1, 0, compute_dtype, precision) + b1
+                y = _conv(h, w1, 1, 0, compute_dtype, precision,
+                          act_dtype) + b1.astype(act_dtype)
                 y = jnp.where(y > 0, y, 0.1 * y)
-                y = _conv(y, w2, 1, 1, compute_dtype, precision) + b2
+                y = _conv(y, w2, 1, 1, compute_dtype, precision,
+                          act_dtype) + b2.astype(act_dtype)
                 y = jnp.where(y > 0, y, 0.1 * y)
                 return h + y, None
         else:
@@ -302,6 +379,23 @@ def make_forward(spec: GraphSpec, bn_mode: str = "fold",
                 continue
             if isinstance(node, ConvSpec):
                 entry = params[f"node_{i}"]
+                if s2d_stem and i == 0:
+                    cout = node.out_channels
+                    s = _space_to_depth(prev)
+                    w2 = _s2d_stem_weights(entry["w"])
+                    t = _conv(s, w2, 1, 1, compute_dtype, precision,
+                              act_dtype)
+                    y = _depth_to_space(t, cout)
+                    y = y + entry["b"][None, None, None, :].astype(y.dtype)
+                    if node.activation == "leaky":
+                        y = jnp.where(y > 0, y, 0.1 * y)
+                    outputs[i] = y
+                    prev = y
+                    idx += 1
+                    for j in list(outputs):
+                        if live[j] <= i:
+                            del outputs[j]
+                    continue
                 if quantize == "w8":
                     from .ops.quantize import conv_w8
                     y = conv_w8(prev, entry["w_q"], entry["scale"],
@@ -313,7 +407,7 @@ def make_forward(spec: GraphSpec, bn_mode: str = "fold",
                                   node.stride, node.pad)
                 else:
                     y = _conv(prev, entry["w"], node.stride, node.pad,
-                              compute_dtype, precision)
+                              compute_dtype, precision, act_dtype)
                 if node.batch_normalize and bn_mode != "fold":
                     if bn_mode == "batch":
                         y, m, v = _batch_stats_bn(
@@ -325,7 +419,7 @@ def make_forward(spec: GraphSpec, bn_mode: str = "fold",
                         y = (y - entry["bn_mean"]) * (entry["bn_gamma"] * inv) \
                             + entry["bn_beta"]
                 else:
-                    y = y + entry["b"][None, None, None, :]
+                    y = y + entry["b"][None, None, None, :].astype(y.dtype)
                 if node.activation == "leaky":
                     y = jnp.where(y > 0, y, 0.1 * y)
                 out = y
@@ -340,7 +434,7 @@ def make_forward(spec: GraphSpec, bn_mode: str = "fold",
             elif isinstance(node, ShortcutSpec):
                 out = prev + outputs[node.source]
             elif isinstance(node, YoloSpec):
-                heads.append(prev)
+                heads.append(prev.astype(head_dtype))
                 out = prev  # reference: outputs[i] = outputs[i-1]
             else:  # pragma: no cover
                 raise TypeError(node)

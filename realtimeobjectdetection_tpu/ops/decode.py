@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from ..cfg_parser import GraphSpec
 
-__all__ = ["decode_head", "decode_heads", "make_decoder"]
+__all__ = ["decode_head", "decode_heads", "make_decoder", "decode_topk"]
 
 
 def decode_head(head: jnp.ndarray, anchors: Sequence[Tuple[int, int]],
@@ -75,3 +75,86 @@ def make_decoder(spec: GraphSpec, input_dim: int, train: bool = False):
     def decoder(heads):
         return decode_heads(heads, spec, input_dim, train=train)
     return decoder
+
+
+def decode_topk(heads: List[jnp.ndarray], spec: GraphSpec, input_dim: int,
+                top_k: int, confidence: float = 0.0):
+    """Fused objectness-first selection: decode only the top-k rows.
+
+    ``decode_heads`` materializes the full ``[B, N, 5+C]`` decode (N =
+    10647 at 416² for yolov3; ~217 MB fp32 at batch 64) just for NMS to
+    keep top_k rows of it.  This path instead:
+
+    1. slices the raw objectness *logits* out of each head (a strided
+       slice, no math over the other 84 channels),
+    2. takes a global top-k over the concatenated ``[B, N]`` logits
+       (sigmoid is monotonic, so logit order == probability order — the
+       selected set and its ordering are identical to the full decode),
+    3. gathers the K raw rows plus their per-row cell offsets / anchors /
+       strides (trace-time numpy constants), and decodes only those.
+
+    Returns ``(pred [B, K, 5+C] decoded rows in objectness-descending
+    order, n_candidates [B] int32 rows with obj > confidence)`` —
+    feed straight into ``nms_batch(..., top_k=K)``; survivors are
+    identical to the full-decode path (tests pin this).
+
+    Corner-case deviation: when two logits saturate to the same fp32
+    sigmoid value (e.g. 20 vs 25 -> both 1.0), the full path (and the
+    reference, which sorts post-sigmoid values) tie-breaks by row index
+    while this path orders by raw logit.  Parity pipelines keep the full
+    decode; this path is the serving/bench fast path.
+    """
+    import numpy as np
+
+    yolos = spec.yolo_nodes
+    assert len(heads) == len(yolos)
+    b = heads[0].shape[0]
+    c = 5 + yolos[0].num_classes
+
+    raw_parts, obj_parts = [], []
+    gx_np, gy_np, aw_np, ah_np, st_np = [], [], [], [], []
+    for head, y in zip(heads, yolos):
+        _, h, w, _ = head.shape
+        a = len(y.anchors)
+        p = head.reshape(b, h * w * a, c)
+        raw_parts.append(p)
+        obj_parts.append(p[..., 4])
+        # per-row decode constants (numpy at trace time)
+        gx, gy = np.meshgrid(np.arange(w), np.arange(h))  # [h, w]
+        gx_np.append(np.repeat(gx.reshape(-1), a))
+        gy_np.append(np.repeat(gy.reshape(-1), a))
+        anc = np.asarray(y.anchors, np.float32)
+        aw_np.append(np.tile(anc[:, 0], h * w))
+        ah_np.append(np.tile(anc[:, 1], h * w))
+        st_np.append(np.full(h * w * a, input_dim // h, np.float32))
+
+    raw = jnp.concatenate(raw_parts, axis=1)        # [B, N, 5+C] (reshape)
+    # heads may arrive bf16 (make_forward head_dtype, halves the HBM
+    # traffic of this concat+gather); select on f32 logits, decode the
+    # gathered K rows in f32
+    obj_logits = jnp.concatenate(obj_parts, axis=1).astype(jnp.float32)
+    consts = jnp.asarray(np.stack([
+        np.concatenate(gx_np).astype(np.float32),
+        np.concatenate(gy_np).astype(np.float32),
+        np.concatenate(aw_np), np.concatenate(ah_np),
+        np.concatenate(st_np)], axis=1))             # [N, 5]
+
+    n = raw.shape[1]
+    k = min(top_k, n)
+    # strict > on probabilities == strict > on logits (both monotonic);
+    # counting on logits avoids a sigmoid over all N rows
+    if confidence > 0.0:
+        logit_thresh = float(np.log(confidence / (1.0 - confidence)))
+        n_cand = jnp.sum(obj_logits > logit_thresh, axis=1).astype(jnp.int32)
+    else:
+        n_cand = jnp.full((b,), n, jnp.int32)
+
+    _, idx = jax.lax.top_k(obj_logits, k)            # [B, K]
+    rows = jnp.take_along_axis(raw, idx[..., None], axis=1) \
+        .astype(jnp.float32)                         # [B, K, 5+C]
+    cst = consts[idx]                                # [B, K, 5]
+
+    xy = (jax.nn.sigmoid(rows[..., 0:2]) + cst[..., 0:2]) * cst[..., 4:5]
+    wh = jnp.exp(rows[..., 2:4]) * cst[..., 2:4]
+    objcls = jax.nn.sigmoid(rows[..., 4:])
+    return jnp.concatenate([xy, wh, objcls], axis=-1), n_cand

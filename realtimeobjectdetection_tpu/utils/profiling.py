@@ -101,3 +101,39 @@ def timed(label_fn: Optional[Callable] = None):
         return inner
 
     return wrap
+
+
+def conv_flops(spec, resolution: int = None) -> int:
+    """Total conv FLOPs (2*H*W*K^2*Cin*Cout) for one image at the given
+    resolution — the numerator of the MFU calculation in PERFORMANCE.md
+    and bench.py.  Pool/upsample/decode FLOPs are negligible beside the
+    convs and are excluded."""
+    from ..cfg_parser import (ConvSpec, MaxPoolSpec, RouteSpec,
+                              UpsampleSpec, YoloSpec)
+    h = w = resolution or spec.net.height
+    cur_h, cur_w = h, w
+    sizes = []
+    total = 0
+    for node in spec.nodes:
+        if isinstance(node, ConvSpec):
+            cur_h = (cur_h + 2 * node.pad - node.kernel_size) \
+                // node.stride + 1
+            cur_w = (cur_w + 2 * node.pad - node.kernel_size) \
+                // node.stride + 1
+            total += (2 * cur_h * cur_w * node.kernel_size ** 2
+                      * node.in_channels * node.out_channels)
+        elif isinstance(node, MaxPoolSpec):
+            if node.stride != 1:
+                cur_h = (cur_h - node.kernel_size) // node.stride + 1
+                cur_w = (cur_w - node.kernel_size) // node.stride + 1
+            elif node.kernel_size != 2:
+                p = node.kernel_size - 1
+                cur_h = (cur_h + p - node.kernel_size) // p + 1
+                cur_w = (cur_w + p - node.kernel_size) // p + 1
+        elif isinstance(node, UpsampleSpec):
+            cur_h *= node.stride
+            cur_w *= node.stride
+        elif isinstance(node, RouteSpec):
+            cur_h, cur_w = sizes[node.sources[0]]
+        sizes.append((cur_h, cur_w))
+    return total

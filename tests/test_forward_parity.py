@@ -171,3 +171,60 @@ def test_forward_and_nms_parity_at_608(name):
         np.testing.assert_array_equal(got[:, 6], ref_rows[:, 7])
         np.testing.assert_allclose(got[:, 4], ref_rows[:, 5], atol=1e-5)
         np.testing.assert_allclose(got[:, :4], ref_rows[:, 1:5], atol=1e-2)
+
+
+def test_s2d_stem_exact_on_tiny():
+    """Space-to-depth stem: numerically equivalent to the plain stem conv
+    (exact on the tiny net; see model._s2d_stem_weights)."""
+    import jax
+    from realtimeobjectdetection_tpu.model import fold_batchnorm
+    spec = yolov3_tiny_spec(width=160, height=160)
+    params, _ = load_darknet_weights(spec, synthetic_darknet_weights(spec, 0))
+    folded = fold_batchnorm(spec, params)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, 160, 160, 3).astype(np.float32))
+    a = jax.jit(make_forward(spec, bn_mode="fold"))(folded, x)
+    b = jax.jit(make_forward(spec, bn_mode="fold", s2d_stem=True))(folded, x)
+    for ha, hb in zip(a, b):
+        np.testing.assert_allclose(np.asarray(hb), np.asarray(ha),
+                                   atol=2e-5)
+
+
+def test_s2d_stem_yolov3_bounded_drift():
+    """Full yolov3 with the s2d stem: only fp32 reassociation drift on
+    sane-scale (bench) weights."""
+    import jax
+    from realtimeobjectdetection_tpu.model import fold_batchnorm
+    from realtimeobjectdetection_tpu.models import yolov3_spec
+    from realtimeobjectdetection_tpu.testing import bench_params
+    spec = yolov3_spec(width=160, height=160)
+    folded = fold_batchnorm(spec, bench_params(spec, "yolov3"))
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.rand(1, 160, 160, 3).astype(np.float32))
+    a = jax.jit(make_forward(spec, bn_mode="fold"))(folded, x)
+    b = jax.jit(make_forward(spec, bn_mode="fold", s2d_stem=True))(folded, x)
+    for ha, hb in zip(a, b):
+        ha, hb = np.asarray(ha), np.asarray(hb)
+        rel = np.abs(ha - hb) / (np.abs(ha) + 1e-2)
+        assert rel.max() < 5e-3, rel.max()
+
+
+def test_head_dtype_bf16_matches_fp32_selection():
+    """decode_topk on bf16 heads: same candidate selection as decoding
+    the same bf16 values in fp32 (the head cast is the only change)."""
+    import jax
+    from realtimeobjectdetection_tpu.model import fold_batchnorm
+    from realtimeobjectdetection_tpu.ops.decode import decode_topk
+    spec = yolov3_tiny_spec(width=160, height=160)
+    params, _ = load_darknet_weights(spec, synthetic_darknet_weights(spec, 0))
+    folded = fold_batchnorm(spec, params)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, 160, 160, 3).astype(np.float32))
+    heads_bf = jax.jit(make_forward(spec, bn_mode="fold",
+                                    head_dtype=jnp.bfloat16))(folded, x)
+    heads_up = [h.astype(jnp.float32) for h in heads_bf]
+    pa, na = decode_topk(heads_bf, spec, 160, 64, 0.5)
+    pb, nb = decode_topk(heads_up, spec, 160, 64, 0.5)
+    np.testing.assert_array_equal(np.asarray(na), np.asarray(nb))
+    np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                               rtol=1e-5, atol=1e-5)

@@ -282,3 +282,49 @@ def test_nms_dense_candidates_match_reference(name):
     np.testing.assert_allclose(got[:, 4], ref[:, 5], atol=1e-5)
     np.testing.assert_allclose(got[:, 5], ref[:, 6], atol=1e-5)
     np.testing.assert_allclose(got[:, :4], ref[:, 1:5], atol=1e-2)
+
+
+@pytest.mark.parametrize("k", [64, 128, 200, 512, 1024])
+def test_blocked_suppression_equals_scan_oracle(k):
+    """The blocked O(K/128)-step suppression must produce bit-identical
+    survivors to the K-step scan oracle on dense random candidate sets
+    (heavy overlap, many classes, mixed validity, non-multiple-of-128 K)."""
+    from realtimeobjectdetection_tpu.ops.nms import _greedy_suppress
+    rng = np.random.RandomState(k)
+    cx, cy = rng.uniform(30, 390, (2, k))
+    w, h = rng.uniform(15, 150, (2, k))
+    corners = jnp.asarray(
+        np.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], 1)
+        .astype(np.float32))
+    cls = jnp.asarray(rng.randint(0, 7, k))
+    valid = jnp.asarray(rng.rand(k) > 0.3)
+    for plus_one, ge in [(True, True), (False, False)]:
+        ref = np.asarray(_greedy_suppress(corners, cls, valid, 0.5,
+                                          plus_one, ge, use_pallas=False,
+                                          algorithm="scan"))
+        got = np.asarray(_greedy_suppress(corners, cls, valid, 0.5,
+                                          plus_one, ge, use_pallas=False,
+                                          algorithm="blocked"))
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_blocked_suppression_adversarial_chains():
+    """Long alternating suppression chains (worst case for the fixpoint
+    iteration): a line of same-class boxes where each overlaps only its
+    neighbor, so greedy keeps every other box."""
+    from realtimeobjectdetection_tpu.ops.nms import _greedy_suppress
+    n = 300  # crosses two block boundaries
+    step = 18.0  # 60-px boxes shifted 18px: IoU(+1) = 43/79 ~ 0.544
+    cx = 50 + step * np.arange(n)
+    corners = jnp.asarray(np.stack(
+        [cx - 30, np.full(n, 80.0), cx + 30, np.full(n, 140.0)],
+        1).astype(np.float32))
+    cls = jnp.zeros(n, jnp.int32)
+    valid = jnp.ones(n, bool)
+    ref = np.asarray(_greedy_suppress(corners, cls, valid, 0.5, True, True,
+                                      use_pallas=False, algorithm="scan"))
+    got = np.asarray(_greedy_suppress(corners, cls, valid, 0.5, True, True,
+                                      use_pallas=False,
+                                      algorithm="blocked"))
+    np.testing.assert_array_equal(got, ref)
+    assert ref[0] and not ref[1] and ref[2]  # alternating survivors
