@@ -38,6 +38,7 @@ def run_detect(detector_params: dict):
         for k in ("yolov5_input_size", "yolov5_confidence", "yolov5_nms",
                   "yolov5_rect"):
             detector_params.pop(k, None)
+        detector_params.setdefault("fused_decode", False)
         detector = DetectorV3(**detector_params)
     else:
         raise Exception("Unknown YOLO version !!")
@@ -132,6 +133,10 @@ def detect_arg_parser() -> argparse.ArgumentParser:
                    help="int8 inference (requires --bn_mode fold): 'w8' = "
                         "int8 weights only, 'w8a8' = full int8 convs on "
                         "the int8 MXU")
+    p.add_argument("--fused_decode", action="store_true",
+                   help="serving fast path: decode only the top_k "
+                        "objectness rows (ops/decode.decode_topk) instead "
+                        "of the full [B, N, 85] tensor")
     return p
 
 
@@ -147,6 +152,7 @@ def detect_cli(argv=None):
         "precision": a.precision, "top_k": a.top_k,
         "yolo_version": a.yolov, "yolov5_size": a.yolov5_size,
         "yolov5_rect": a.rect, "quantize": a.quantize,
+        "fused_decode": a.fused_decode,
     }
     return run_detect(params)
 

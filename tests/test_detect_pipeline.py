@@ -189,3 +189,19 @@ def test_rendered_images_deterministic_and_pixel_diff_waived(tmp_path,
     pa = os.path.join(a, "det_yolov3-tiny_dog.jpg")
     pb = os.path.join(b, "det_yolov3-tiny_dog.jpg")
     assert open(pa, "rb").read() == open(pb, "rb").read()
+
+
+def test_fused_decode_detector_matches_full(tmp_path, tiny_weights):
+    """The decode_topk serving fast path must reproduce the full-decode
+    metrics rows end-to-end (fold mode)."""
+    kw = dict(images=os.path.join(IMGS, "dog.jpg"),
+              cfg_path="yolov3-tiny", weights_path=tiny_weights,
+              bn_mode="fold", confidence=0.6, top_k=512)
+    m_full = DetectorV3(destination=str(tmp_path / "a"), **kw)(verbose=False)
+    m_fused = DetectorV3(destination=str(tmp_path / "b"),
+                         fused_decode=True, **kw)(verbose=False)
+    a, b = m_full["dog.jpg"], m_fused["dog.jpg"]
+    assert isinstance(a, type(b))
+    if not isinstance(a, int):
+        np.testing.assert_allclose(np.array(b), np.array(a),
+                                   rtol=1e-5, atol=1e-4)
