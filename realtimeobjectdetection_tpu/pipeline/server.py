@@ -53,7 +53,8 @@ class DetectionService:
                  num_classes: int = 80, top_k: int = 128,
                  batch_size: int = 8, batch_window_ms: float = 5.0,
                  bn_mode: str = "fold", compute_dtype=jnp.bfloat16,
-                 class_names: Optional[List[str]] = None):
+                 class_names: Optional[List[str]] = None,
+                 fused_decode: bool = True):
         self.spec = spec
         self.resolution = resolution
         self.batch_size = batch_size
@@ -62,17 +63,30 @@ class DetectionService:
         if bn_mode == "fold":
             params = fold_batchnorm(spec, params)
         self.params = jax.device_put(params)
+        # serving fast path (PERFORMANCE.md): bf16 activation/head
+        # residency + decode_topk — identical survivors, less HBM
+        fast = fused_decode and bn_mode == "fold" \
+            and compute_dtype == jnp.bfloat16
         fwd = make_forward(spec, bn_mode=bn_mode,
                            compute_dtype=compute_dtype,
-                           scan_ladders=bn_mode in ("fold", "running"))
+                           scan_ladders=bn_mode in ("fold", "running"),
+                           activation_dtype=jnp.bfloat16 if fast else None,
+                           head_dtype=jnp.bfloat16 if fast else None)
 
         def detect(p, x):
             x = x.astype(jnp.float32) / 255.0
-            pred = decode_heads(fwd(p, x), spec, resolution)
+            heads = fwd(p, x)
+            if fused_decode:
+                from ..ops.decode import decode_topk
+                pred, _ = decode_topk(heads, spec, resolution, top_k,
+                                      confidence=confidence)
+            else:
+                pred = decode_heads(heads, spec, resolution)
             return nms_batch(pred, num_classes, confidence, nms_thresh,
                              top_k=top_k)
 
         self._detect = jax.jit(detect)
+        self.ready = False
         self._q: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
         self._worker = threading.Thread(target=self._batch_loop,
@@ -83,6 +97,7 @@ class DetectionService:
         x = np.zeros((self.batch_size, self.resolution, self.resolution, 3),
                      np.uint8)
         np.asarray(self._detect(self.params, jnp.asarray(x))[0])
+        self.ready = True
 
     def close(self):
         self._stop.set()
@@ -157,6 +172,15 @@ def _make_handler(service: DetectionService):
                     "resolution": service.resolution,
                     "batch_size": service.batch_size,
                 })
+            elif self.path == "/readyz":
+                # readiness: the jitted program is compiled and warmed
+                # (first compile through the axon service takes minutes —
+                # load balancers must not route traffic before this)
+                if service.ready:
+                    self._json(200, {"ready": True})
+                else:
+                    self._json(503, {"ready": False,
+                                     "reason": "model warming up"})
             else:
                 self._json(404, {"error": "unknown path"})
 

@@ -87,3 +87,11 @@ def test_bad_requests(server):
     assert status == 404
     status, _ = _request(server, "POST", "/detect", b"")
     assert status == 400
+
+
+def test_readyz(server):
+    import json
+    from urllib.request import urlopen
+    host, port = server
+    with urlopen(f"http://{host}:{port}/readyz") as r:
+        assert json.loads(r.read())["ready"] is True
