@@ -228,3 +228,23 @@ def test_head_dtype_bf16_matches_fp32_selection():
     np.testing.assert_array_equal(np.asarray(na), np.asarray(nb))
     np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_decode_topk_per_head_matches_global():
+    """Both fused decode variants select the same rows (see
+    ops/decode.decode_topk_per_head for the on-chip A/B record)."""
+    import jax
+    from realtimeobjectdetection_tpu.model import fold_batchnorm
+    from realtimeobjectdetection_tpu.ops.decode import (decode_topk,
+                                                        decode_topk_per_head)
+    spec = yolov3_tiny_spec(width=160, height=160)
+    params, _ = load_darknet_weights(spec, synthetic_darknet_weights(spec, 0))
+    folded = fold_batchnorm(spec, params)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, 160, 160, 3).astype(np.float32))
+    heads = jax.jit(make_forward(spec, bn_mode="fold"))(folded, x)
+    pa, na = decode_topk(heads, spec, 160, 64, 0.5)
+    pb, nb = decode_topk_per_head(heads, spec, 160, 64, 0.5)
+    np.testing.assert_array_equal(np.asarray(na), np.asarray(nb))
+    np.testing.assert_allclose(np.asarray(pb), np.asarray(pa),
+                               rtol=1e-5, atol=1e-5)
