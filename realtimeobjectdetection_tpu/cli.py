@@ -173,6 +173,12 @@ def train_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--fine_tune", dest="resume", action="store_true",
                    help="Resume from checkpoint")
     p.add_argument("--dataset", default="COCO", choices=["COCO", "VOC"])
+    p.add_argument("--ema", dest="ema_decay", default=None, type=float,
+                   help="EMA decay for deploy weights (e.g. 0.999); "
+                        "validation and .weights exports use the EMA")
+    p.add_argument("--best_on", default="auto",
+                   choices=["auto", "f_score", "loss", "map"],
+                   help="metric for the best-checkpoint tier")
     return p
 
 
@@ -182,6 +188,7 @@ def train_cli(argv=None):
         "cfg_path": a.cfg_file, "weights_path": a.weights_file,
         "epochs": a.epoch, "batch_size": a.bs, "resolution": a.reso,
         "confidence": a.conf, "resume": a.resume,
+        "ema_decay": a.ema_decay, "best_on": a.best_on,
     }
     train_params = {"annotation_dir": a.xml, "img_dir": a.images,
                     "dataset_type": a.dataset}

@@ -38,8 +38,26 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
-def init_train_state(params, optimizer) -> TrainState:
+class EmaTrainState(NamedTuple):
+    """TrainState + an exponential moving average of the weights.
+
+    EMA weights are the standard deploy/eval artifact for detection
+    training (the reference has no equivalent; production framework
+    surface).  Kept as a separate NamedTuple so plain TrainState
+    checkpoints stay byte-compatible."""
+    params: Dict[str, Dict[str, jnp.ndarray]]
+    opt_state: Any
+    step: jnp.ndarray
+    ema_params: Dict[str, Dict[str, jnp.ndarray]]
+
+
+def init_train_state(params, optimizer, ema_decay=None):
     params = jax.tree_util.tree_map(jnp.asarray, params)
+    if ema_decay is not None:
+        return EmaTrainState(params=params,
+                             opt_state=optimizer.init(params),
+                             step=jnp.zeros((), jnp.int32),
+                             ema_params=params)
     return TrainState(params=params, opt_state=optimizer.init(params),
                       step=jnp.zeros((), jnp.int32))
 
@@ -67,7 +85,8 @@ def make_train_step(spec: GraphSpec, optimizer, resolution: int = 416,
                     remat: bool = False,
                     augment: bool = False, aug_seed: int = 0,
                     aug_kwargs: Optional[Dict] = None,
-                    input_resolution: Optional[int] = None):
+                    input_resolution: Optional[int] = None,
+                    ema_decay: Optional[float] = None):
     """Build ``step(state, images, boxes, box_mask) -> (state, loss)``.
 
     ``images``: [B, H, W, 3]; ``boxes``: [B, M, 5+C] padded gt rows;
@@ -123,6 +142,14 @@ def make_train_step(spec: GraphSpec, optimizer, resolution: int = 416,
             # n ~ 1e4..1e6 the correction is negligible, so one factor
             # per net is an accepted approximation (documented)
             params = _update_running_stats(params, stats, b * h * w)
+        if ema_decay is not None:
+            # debias-free EMA over the full params tree (incl. BN stats)
+            ema = jax.tree_util.tree_map(
+                lambda e, q: ema_decay * e + (1.0 - ema_decay) * q,
+                state.ema_params, params)
+            return EmaTrainState(params=params, opt_state=opt_state,
+                                 step=state.step + 1,
+                                 ema_params=ema), loss
         return TrainState(params=params, opt_state=opt_state,
                           step=state.step + 1), loss
 

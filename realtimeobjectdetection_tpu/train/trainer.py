@@ -45,7 +45,8 @@ from ..models.zoo import get_spec
 from ..parallel.mesh import make_mesh, shard_train_step
 from ..weights import (export_darknet_weights, init_params,
                        load_darknet_weights)
-from .step import TrainState, init_train_state, make_train_step
+from .step import (EmaTrainState, TrainState, init_train_state,
+                   make_train_step)
 
 __all__ = ["DarknetTrainer"]
 
@@ -64,7 +65,9 @@ class DarknetTrainer:
                  multiscale: bool = False,
                  multiscale_scales=(352, 416, 480),
                  multiscale_every: int = 10,
-                 prewarm: bool = True):
+                 prewarm: bool = True,
+                 ema_decay: Optional[float] = None,
+                 best_on: str = "auto"):
         assert isinstance(epochs, int) and isinstance(batch_size, int)
         assert resolution % 32 == 0
         self.cfg_path = cfg_path
@@ -96,10 +99,20 @@ class DarknetTrainer:
             self.optimizer = optax.sgd(lr, momentum=0.9)
         else:
             self.optimizer = optax.adam(lr)  # reference: Adam (train.py:57)
+        # ema_decay: maintain an exponential moving average of the
+        # weights in the train step; validation, best-checkpoint metrics
+        # and the .weights export then use the EMA weights (the standard
+        # deploy artifact — beyond the reference's surface).
+        # best_on: "auto" (= f_score with a validator, loss without),
+        # "f_score", "loss", or "map" (all-class mAP@0.5; needs the
+        # validator's dataset dirs).
+        self.ema_decay = ema_decay
+        assert best_on in ("auto", "f_score", "loss", "map")
+        self.best_on = best_on
         self._step_kwargs = dict(
             class_filter=class_filter, compute_dtype=compute_dtype,
             remat=remat, augment=augment, aug_seed=seed,
-            input_resolution=self.resolution)
+            input_resolution=self.resolution, ema_decay=ema_decay)
         self.step_fn = make_train_step(
             self.spec, self.optimizer, resolution=self.resolution,
             **self._step_kwargs)
@@ -145,7 +158,8 @@ class DarknetTrainer:
             self.step_jit = jax.jit(self.step_fn)
         self._step_cache[self.resolution] = self.step_jit
 
-        self.state = init_train_state(params, self.optimizer)
+        self.state = init_train_state(params, self.optimizer,
+                                      ema_decay=ema_decay)
         if resume:
             self.restore(os.path.join(self.out_dir, "training_output"))
         print("\nTrainer is ready!!\n")
@@ -166,13 +180,21 @@ class DarknetTrainer:
 
     # ------------------------------------------------------------------
     # checkpointing (orbax pytree + darknet .weights export)
+    @property
+    def eval_params(self):
+        """Weights used for validation / export: EMA when enabled."""
+        if isinstance(self.state, EmaTrainState):
+            return self.state.ema_params
+        return self.state.params
+
     def save(self, name: str):
         import orbax.checkpoint as ocp
         path = os.path.abspath(os.path.join(self.out_dir, name))
         ckptr = ocp.PyTreeCheckpointer()
         ckptr.save(path, jax.device_get(self.state), force=True)
-        # interop: raw Darknet weights next to the pytree
-        params = jax.device_get(self.state.params)
+        # interop: raw Darknet weights next to the pytree (EMA weights
+        # when enabled — the deploy artifact)
+        params = jax.device_get(self.eval_params)
         blob = export_darknet_weights(self.spec, params,
                                       seen=int(self.state.step))
         with open(path + ".weights", "wb") as f:
@@ -184,11 +206,12 @@ class DarknetTrainer:
         ckptr = ocp.PyTreeCheckpointer()
         template = jax.device_get(self.state)
         restored = ckptr.restore(path, item=template)
-        self.state = jax.device_put(TrainState(*restored))
+        self.state = jax.device_put(type(self.state)(*restored))
 
     # ------------------------------------------------------------------
     def get_validator(self, annotation_dir: str, img_dir: str):
         from ..eval.validator import DarknetValidator
+        self._valid_dirs = (annotation_dir, img_dir)  # for best_on="map"
         self.validator = DarknetValidator(annotation_dir, img_dir,
                                           confidence=self.confidence,
                                           resolution=self.resolution)
@@ -281,13 +304,28 @@ class DarknetTrainer:
             if self.validator is None:
                 metric, higher_better = running_loss, False
             else:
-                self.validator.validate_model(self.spec, self.state.params,
+                self.validator.validate_model(self.spec, self.eval_params,
                                               verbose=verbose)
                 self.history["train_precision"].append(
                     self.validator.precision)
                 self.history["train_recall"].append(self.validator.recall)
                 self.history["train_f_score"].append(self.validator.f_score)
-                metric, higher_better = self.validator.f_score, True
+                if self.best_on == "map":
+                    # all-class COCO-style mAP@0.5 as the checkpoint
+                    # metric (beyond the reference's person-only F-score)
+                    from ..eval.validator import validate_map
+                    ann, imgs = self._valid_dirs
+                    scores = validate_map(
+                        ann, imgs, self.spec, self.eval_params,
+                        confidence=self.confidence,
+                        resolution=self.resolution, verbose=verbose)
+                    self.history.setdefault("train_map50", []).append(
+                        scores["mAP@0.5"])
+                    metric, higher_better = scores["mAP@0.5"], True
+                elif self.best_on == "loss":
+                    metric, higher_better = running_loss, False
+                else:
+                    metric, higher_better = self.validator.f_score, True
             # NaN metrics (e.g. zero detections early in training) never
             # become or beat the best — the checkpoint tier tracks the
             # first/most-improved *finite* metric

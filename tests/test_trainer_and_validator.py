@@ -420,3 +420,53 @@ def test_training_actually_learns():
                     and int(rows[0, 6]) == 0:
                 hits += 1
     assert hits >= 3, hits
+
+
+def test_ema_training_and_checkpoint(tmp_path):
+    """EMA weights: maintained in the step, used for validation + the
+    .weights export, and round-tripped through orbax checkpoints."""
+    import jax
+    from realtimeobjectdetection_tpu.train.trainer import DarknetTrainer
+    from realtimeobjectdetection_tpu.train.step import EmaTrainState
+    from realtimeobjectdetection_tpu.testing import make_synthetic_coco
+    from realtimeobjectdetection_tpu.weights import load_darknet_weights
+    from realtimeobjectdetection_tpu.models import get_spec
+    ann, imgs = make_synthetic_coco(tmp_path, n_images=4)
+    out = str(tmp_path / "w")
+    trainer = DarknetTrainer("yolov3-tiny", epochs=1, batch_size=2,
+                             resolution=160, out_dir=out, mesh=False,
+                             max_boxes=8, ema_decay=0.9)
+    assert isinstance(trainer.state, EmaTrainState)
+    trainer.train(ann, imgs, dataset_type="COCO", verbose=False)
+    p = np.asarray(trainer.state.params["node_0"]["w"])
+    e = np.asarray(trainer.state.ema_params["node_0"]["w"])
+    assert not np.allclose(p, e)  # EMA lags the raw weights
+    assert np.isfinite(e).all()
+    # exported .weights == EMA weights
+    spec = get_spec("yolov3-tiny", width=160, height=160)
+    restored, _ = load_darknet_weights(
+        spec, os.path.join(out, "training_output.weights"))
+    np.testing.assert_allclose(np.asarray(restored["node_0"]["w"]), e,
+                               atol=1e-6)
+    # resume restores the 4-field state
+    trainer2 = DarknetTrainer("yolov3-tiny", epochs=1, batch_size=2,
+                              resolution=160, out_dir=out, mesh=False,
+                              max_boxes=8, ema_decay=0.9, resume=True)
+    np.testing.assert_allclose(
+        np.asarray(trainer2.state.ema_params["node_0"]["w"]), e, atol=1e-6)
+    assert int(trainer2.state.step) == int(trainer.state.step)
+
+
+def test_best_on_map_checkpointing(tmp_path):
+    """best_on='map': the checkpoint metric is all-class mAP@0.5 from the
+    validation set, recorded in history."""
+    from realtimeobjectdetection_tpu.train.trainer import DarknetTrainer
+    from realtimeobjectdetection_tpu.testing import make_synthetic_coco
+    ann, imgs = make_synthetic_coco(tmp_path, n_images=4)
+    trainer = DarknetTrainer("yolov3-tiny", epochs=1, batch_size=2,
+                             resolution=160, out_dir=str(tmp_path / "w"),
+                             mesh=False, max_boxes=8, best_on="map")
+    trainer.get_validator(ann, imgs)
+    hist = trainer.train(ann, imgs, dataset_type="COCO", verbose=False)
+    assert "train_map50" in hist and len(hist["train_map50"]) == 1
+    assert 0.0 <= hist["train_map50"][0] <= 1.0
