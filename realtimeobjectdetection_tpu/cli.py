@@ -455,6 +455,10 @@ def export_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--weights", dest="weights_file", default=None, type=str)
     p.add_argument("--dst", required=True, type=str)
     p.add_argument("--batch_size", default=8, type=int)
+    p.add_argument("--batch_sizes", default=None, type=str,
+                   help="comma list (e.g. 1,8,32): export a multi-batch-"
+                        "size bundle instead of one program; the loader "
+                        "dispatches each call to the smallest fitting size")
     p.add_argument("--reso", default=416, type=int)
     p.add_argument("--confidence", default=0.6, type=float)
     p.add_argument("--nms_thresh", default=0.5, type=float)
@@ -472,9 +476,17 @@ def export_cli(argv=None):
         params, _ = load_darknet_weights(spec, a.weights_file)
     else:
         params = init_params(spec)
-    meta = save_detector(a.dst, spec, params, batch_size=a.batch_size,
-                         resolution=a.reso, confidence=a.confidence,
-                         nms_thresh=a.nms_thresh, top_k=a.top_k)
+    if a.batch_sizes:
+        from .pipeline.export import save_detector_bundle
+        sizes = tuple(int(b) for b in a.batch_sizes.split(","))
+        meta = save_detector_bundle(
+            a.dst, spec, params, batch_sizes=sizes,
+            resolution=a.reso, confidence=a.confidence,
+            nms_thresh=a.nms_thresh, top_k=a.top_k)
+    else:
+        meta = save_detector(a.dst, spec, params, batch_size=a.batch_size,
+                             resolution=a.reso, confidence=a.confidence,
+                             nms_thresh=a.nms_thresh, top_k=a.top_k)
     print(f"wrote {a.dst}: {meta}")
     return 0
 

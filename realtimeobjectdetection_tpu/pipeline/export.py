@@ -26,9 +26,11 @@ from ..model import fold_batchnorm, make_forward
 from ..ops.decode import decode_heads
 from ..ops.nms import nms_batch
 
-__all__ = ["save_detector", "load_detector"]
+__all__ = ["save_detector", "load_detector", "save_detector_bundle",
+           "load_detector_bundle"]
 
 _MAGIC = b"RODTPU1\n"
+_MAGIC2 = b"RODTPU2\n"  # multi-batch-size bundle
 
 
 def save_detector(path: str, spec: GraphSpec, params,
@@ -79,12 +81,105 @@ class _LoadedDetector:
         return self._exported.call(jnp.asarray(x, jnp.uint8))
 
 
-def load_detector(path: str) -> _LoadedDetector:
+def load_detector(path: str):
     with open(path, "rb") as f:
         magic = f.read(len(_MAGIC))
+        if magic == _MAGIC2:
+            return _load_bundle_body(f)
         if magic != _MAGIC:
             raise ValueError(f"{path!r} is not a rodtpu export")
         (mlen,) = struct.unpack("<I", f.read(4))
         meta = json.loads(f.read(mlen))
         blob = f.read()
     return _LoadedDetector(jexport.deserialize(blob), meta)
+
+
+# ----------------------------------------------------------------------
+# multi-batch-size bundle: one artifact, several compiled batch shapes.
+# Serving traffic is bursty; padding every request up to one big static
+# batch wastes device time at low load, while one small batch throttles
+# bursts.  The bundle ships programs for a ladder of batch sizes and the
+# loader dispatches each call to the smallest program that fits (padding
+# the tail, slicing the result back).
+
+def save_detector_bundle(path: str, spec: GraphSpec, params,
+                         batch_sizes=(1, 8, 32), **kw) -> dict:
+    """Export the detect program at several static batch sizes into one
+    artifact.  ``kw`` = the save_detector knobs (resolution, confidence,
+    nms_thresh, num_classes, top_k, compute_dtype, fold, platforms)."""
+    import io
+    import os
+    import tempfile
+
+    batch_sizes = sorted(set(int(b) for b in batch_sizes))
+    blobs, metas = [], []
+    for bs in batch_sizes:
+        tmp = tempfile.NamedTemporaryFile(delete=False)
+        tmp.close()
+        try:
+            metas.append(save_detector(tmp.name, spec, params,
+                                       batch_size=bs, **kw))
+            with open(tmp.name, "rb") as f:
+                f.read(len(_MAGIC))
+                (mlen,) = struct.unpack("<I", f.read(4))
+                f.read(mlen)
+                blobs.append(f.read())
+        finally:
+            os.unlink(tmp.name)
+    meta = dict(metas[0])
+    meta["batch_sizes"] = batch_sizes
+    del meta["batch_size"]
+    meta_bytes = json.dumps(meta).encode()
+    with open(path, "wb") as f:
+        f.write(_MAGIC2)
+        f.write(struct.pack("<I", len(meta_bytes)))
+        f.write(meta_bytes)
+        for blob in blobs:
+            f.write(struct.pack("<Q", len(blob)))
+            f.write(blob)
+    return meta
+
+
+class _LoadedBundle:
+    """Dispatches each call to the smallest exported batch size >= B."""
+
+    def __init__(self, exported_by_bs, meta):
+        self._by_bs = exported_by_bs  # {bs: Exported}, ascending keys
+        self.meta = meta
+        self.batch_sizes = sorted(exported_by_bs)
+
+    def __call__(self, x):
+        import numpy as np
+        x = jnp.asarray(x, jnp.uint8)
+        b = x.shape[0]
+        fits = [bs for bs in self.batch_sizes if bs >= b]
+        if not fits:
+            raise ValueError(
+                f"batch {b} exceeds the largest exported size "
+                f"{self.batch_sizes[-1]}; split the batch or re-export")
+        bs = fits[0]
+        if bs != b:
+            pad = jnp.repeat(x[-1:], bs - b, axis=0)  # repeat, not zeros:
+            # zero frames would be fine for folded BN but repeating the
+            # last real image keeps any BN mode safe
+            x = jnp.concatenate([x, pad], axis=0)
+        out = self._by_bs[bs].call(x)
+        return jax.tree_util.tree_map(lambda a: a[:b], out)
+
+
+def _load_bundle_body(f) -> _LoadedBundle:
+    (mlen,) = struct.unpack("<I", f.read(4))
+    meta = json.loads(f.read(mlen))
+    by_bs = {}
+    for bs in meta["batch_sizes"]:
+        (blen,) = struct.unpack("<Q", f.read(8))
+        by_bs[bs] = jexport.deserialize(f.read(blen))
+    return _LoadedBundle(by_bs, meta)
+
+
+def load_detector_bundle(path: str) -> _LoadedBundle:
+    with open(path, "rb") as f:
+        magic = f.read(len(_MAGIC2))
+        if magic != _MAGIC2:
+            raise ValueError(f"{path!r} is not a rodtpu bundle")
+        return _load_bundle_body(f)

@@ -1,6 +1,7 @@
 """AOT export: save the full detect program, reload, identical outputs."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from realtimeobjectdetection_tpu.models import get_spec
@@ -51,3 +52,44 @@ def test_export_bad_magic(tmp_path):
     import pytest
     with pytest.raises(ValueError, match="not a rodtpu export"):
         load_detector(str(p))
+
+
+def test_bundle_multi_batch_dispatch(tmp_path):
+    """One artifact, several batch shapes: calls dispatch to the smallest
+    fitting program, tails are padded and sliced back, numerics match the
+    single-size export."""
+    import jax.numpy as jnp
+    from realtimeobjectdetection_tpu.models import get_spec
+    from realtimeobjectdetection_tpu.weights import init_params
+    from realtimeobjectdetection_tpu.pipeline.export import (
+        load_detector, load_detector_bundle, save_detector,
+        save_detector_bundle)
+    spec = get_spec("yolov3-tiny", width=160, height=160)
+    params = init_params(spec, 0)
+    kw = dict(resolution=160, confidence=0.4, top_k=32,
+              compute_dtype=jnp.float32)
+    bpath = str(tmp_path / "tiny.bundle")
+    meta = save_detector_bundle(bpath, spec, params,
+                                batch_sizes=(1, 4), **kw)
+    assert meta["batch_sizes"] == [1, 4]
+    det = load_detector_bundle(bpath)
+    # load_detector auto-detects bundles too
+    assert load_detector(bpath).batch_sizes == [1, 4]
+
+    rng = np.random.RandomState(0)
+    x3 = rng.randint(0, 256, (3, 160, 160, 3), np.uint8)
+    boxes, valid = det(x3)               # pads 3 -> 4, slices back
+    assert boxes.shape[0] == 3 and valid.shape[0] == 3
+
+    # numerics equal the plain single-size export at bs=4
+    spath = str(tmp_path / "tiny4.stablehlo")
+    save_detector(spath, spec, params, batch_size=4, **kw)
+    single = load_detector(spath)
+    x4 = rng.randint(0, 256, (4, 160, 160, 3), np.uint8)
+    b_a, v_a = det(x4)
+    b_b, v_b = single(x4)
+    np.testing.assert_array_equal(np.asarray(v_a), np.asarray(v_b))
+    np.testing.assert_allclose(np.asarray(b_a), np.asarray(b_b))
+
+    with pytest.raises(ValueError, match="exceeds"):
+        det(rng.randint(0, 256, (5, 160, 160, 3), np.uint8))
