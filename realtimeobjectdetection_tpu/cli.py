@@ -32,7 +32,8 @@ def run_detect(detector_params: dict):
             confidence=detector_params.get("yolov5_confidence", 0.25),
             iou_thresh=detector_params.get("yolov5_nms", 0.45),
             batch_size=detector_params.get("batch_size", 1),
-            rect=detector_params.get("yolov5_rect", False))
+            rect=detector_params.get("yolov5_rect", False),
+            fused_decode=detector_params.get("fused_decode", False))
     elif version == 3:
         from .pipeline.detector import DetectorV3
         for k in ("yolov5_input_size", "yolov5_confidence", "yolov5_nms",

@@ -32,7 +32,8 @@ import numpy as np
 from jax import lax
 
 __all__ = ["YoloV5Config", "yolov5_config", "init_yolov5_params",
-           "make_yolov5_forward", "decode_v5", "params_from_ultralytics",
+           "make_yolov5_forward", "decode_v5", "decode_v5_topk",
+           "params_from_ultralytics",
            "load_v5_checkpoint", "V5_ANCHORS", "V5_STRIDES"]
 
 V5_ANCHORS = (
@@ -250,6 +251,60 @@ def decode_v5(heads: List[jnp.ndarray], num_classes: int,
         out = jnp.concatenate([xy, wh, p[..., 4:]], -1)
         parts.append(out.reshape(b, h * w * a, c))
     return jnp.concatenate(parts, axis=1)
+
+
+def decode_v5_topk(heads: List[jnp.ndarray], num_classes: int,
+                   top_k: int, conf_thresh: float,
+                   anchors=V5_ANCHORS, strides=V5_STRIDES):
+    """Fused v5 selection: score every row by ultralytics confidence
+    (``sigmoid(obj) * max(sigmoid(cls))`` — the max is taken on logits,
+    sigmoid is monotonic) without materializing the [B, N, 5+C] decode,
+    then decode only the top-k rows.  Rows failing the AutoShape gate
+    (``obj > th and conf > th``) score -1 so they can never displace a
+    real candidate.  Feed the result into ``nms_batch_v5(top_k=K)`` —
+    survivors identical to the full decode_v5 path (tested).
+    """
+    b = heads[0].shape[0]
+    c = 5 + num_classes
+
+    raw_parts, score_parts = [], []
+    gxs, gys, aws, ahs, sts = [], [], [], [], []
+    for head, anc, stride in zip(heads, anchors, strides):
+        _, h, w, _ = head.shape
+        a = len(anc)
+        p = head.reshape(b, h * w * a, c)
+        raw_parts.append(p)
+        obj = jax.nn.sigmoid(p[..., 4].astype(jnp.float32))
+        cls_best = jax.nn.sigmoid(
+            jnp.max(p[..., 5:].astype(jnp.float32), axis=-1))
+        conf = obj * cls_best
+        valid = (obj > conf_thresh) & (conf > conf_thresh)
+        score_parts.append(jnp.where(valid, conf, -1.0))
+        gx, gy = np.meshgrid(np.arange(w), np.arange(h))
+        gxs.append(np.repeat(gx.reshape(-1), a))
+        gys.append(np.repeat(gy.reshape(-1), a))
+        anc_np = np.asarray(anc, np.float32)
+        aws.append(np.tile(anc_np[:, 0], h * w))
+        ahs.append(np.tile(anc_np[:, 1], h * w))
+        sts.append(np.full(h * w * a, float(stride), np.float32))
+
+    raw = jnp.concatenate(raw_parts, axis=1)
+    scores = jnp.concatenate(score_parts, axis=1)
+    consts = jnp.asarray(np.stack(
+        [np.concatenate(gxs).astype(np.float32),
+         np.concatenate(gys).astype(np.float32),
+         np.concatenate(aws), np.concatenate(ahs),
+         np.concatenate(sts)], axis=1))
+
+    k = min(top_k, raw.shape[1])
+    _, idx = jax.lax.top_k(scores, k)
+    rows = jnp.take_along_axis(raw, idx[..., None], axis=1) \
+        .astype(jnp.float32)
+    cst = consts[idx]
+    p = jax.nn.sigmoid(rows)
+    xy = (p[..., 0:2] * 2.0 - 0.5 + cst[..., 0:2]) * cst[..., 4:5]
+    wh = jnp.square(p[..., 2:4] * 2.0) * cst[..., 2:4]
+    return jnp.concatenate([xy, wh, p[..., 4:]], axis=-1)
 
 
 # ---------------------------------------------------------------------------

@@ -112,7 +112,8 @@ class DetectorV5:
                  iou_thresh: float = 0.45, max_det: int = 300,
                  num_classes: int = 80, batch_size: int = 1,
                  compute_dtype=jnp.bfloat16,
-                 rect: bool = False, rect_bucket: int = 64):
+                 rect: bool = False, rect_bucket: int = 64,
+                 fused_decode: bool = False, top_k: int = 512):
         """``rect``: AutoShape's rectangular inference (pad to stride
         multiples, not to a square — hub AutoShape semantics, the path
         the reference actually rides at detect.py:277-285).  Off by
@@ -138,11 +139,18 @@ class DetectorV5:
         self.params = jax.device_put(self.params)
         fwd = make_yolov5_forward(self.cfg, compute_dtype=compute_dtype)
         nc, conf, iou, md = num_classes, confidence, iou_thresh, max_det
+        tk = top_k
 
         def detect(p, x):
             # uint8 in, normalized on device (quarter the tunnel traffic)
             x = x.astype(jnp.float32) / 255.0
-            pred = decode_v5(fwd(p, x), nc)
+            heads = fwd(p, x)
+            if fused_decode:
+                from ..models.yolov5 import decode_v5_topk
+                pred = decode_v5_topk(heads, nc, tk, conf)
+                return nms_batch_v5(pred, nc, conf, iou, top_k=tk,
+                                    max_det=md)
+            pred = decode_v5(heads, nc)
             return nms_batch_v5(pred, nc, conf, iou, max_det=md)
 
         self._detect = jax.jit(detect)  # one program per canvas shape

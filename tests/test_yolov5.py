@@ -316,3 +316,49 @@ def test_detector_v5_rect_nonsquare_runs_bucketed_canvas(tmp_path):
         rows = np.array(rows)
         assert (rows[:, [0, 2]] <= 320 + 1e-3).all()
         assert (rows[:, [1, 3]] <= 180 + 1e-3).all()
+
+
+def test_decode_v5_topk_matches_full_path():
+    """Fused v5 selection: NMS survivors identical to the full decode."""
+    import jax, jax.numpy as jnp
+    from realtimeobjectdetection_tpu.models.yolov5 import (
+        YoloV5Config, decode_v5, decode_v5_topk, init_yolov5_params,
+        make_yolov5_forward)
+    from realtimeobjectdetection_tpu.ops.nms import nms_batch_v5
+    cfg = YoloV5Config("n")
+    params = init_yolov5_params(cfg, seed=0)
+    fwd = jax.jit(make_yolov5_forward(cfg, compute_dtype=jnp.float32))
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, 320, 320, 3).astype(np.float32))
+    heads = fwd(params, x)
+    full = decode_v5(heads, 80)
+    b_a, v_a = nms_batch_v5(full, 80, 0.25, 0.45, top_k=256, max_det=50)
+    pred_k = decode_v5_topk(heads, 80, 256, 0.25)
+    b_b, v_b = nms_batch_v5(pred_k, 80, 0.25, 0.45, top_k=256, max_det=50)
+    np.testing.assert_array_equal(np.asarray(v_a), np.asarray(v_b))
+    ka = np.asarray(b_a)[np.asarray(v_a)]
+    kb = np.asarray(b_b)[np.asarray(v_b)]
+    np.testing.assert_allclose(kb, ka, rtol=1e-5, atol=1e-4)
+
+
+def test_detector_v5_fused_pipeline(tmp_path):
+    cv2 = pytest.importorskip("cv2")
+    import os
+    import jax.numpy as jnp
+    from realtimeobjectdetection_tpu.pipeline.yolov5 import DetectorV5
+    imgs = tmp_path / "imgs"
+    imgs.mkdir()
+    rng = np.random.RandomState(4)
+    cv2.imwrite(str(imgs / "a.jpg"),
+                rng.randint(0, 255, (240, 320, 3), np.uint8))
+    kw = dict(model_size="n", size=320, confidence=0.25,
+              compute_dtype=jnp.float32)
+    m_full = DetectorV5(str(imgs), destination=str(tmp_path / "d1"),
+                        **kw)(verbose=False)
+    m_fused = DetectorV5(str(imgs), destination=str(tmp_path / "d2"),
+                         fused_decode=True, **kw)(verbose=False)
+    a, b = m_full["a.jpg"], m_fused["a.jpg"]
+    assert isinstance(a, type(b))
+    if not isinstance(a, int):
+        np.testing.assert_allclose(np.array(b), np.array(a),
+                                   rtol=1e-4, atol=1e-3)
