@@ -109,7 +109,7 @@ def bench_tpu(model: str, reso: int, batch: int, iters: int,
               conf: float = 0.6, top_k: int = 512,
               fused: bool = True, act_bf16: bool = True,
               quantize: str = None, pallas_nms: bool = False,
-              s2d: bool = False) -> dict:
+              s2d: bool = False, trace_dir: str = None) -> dict:
     import jax
     import jax.numpy as jnp
     from realtimeobjectdetection_tpu.models import get_spec
@@ -170,6 +170,13 @@ def bench_tpu(model: str, reso: int, batch: int, iters: int,
     # warmup
     for _ in range(3):
         np.asarray(jd(fparams, x)[0])
+    if trace_dir:
+        # device-side op breakdown (parse with xprof framework_op_stats;
+        # see PERFORMANCE.md "what the device time is spent on")
+        with jax.profiler.trace(trace_dir):
+            for _ in range(4):
+                r = jd(fparams, x)
+            np.asarray(r[0])
     # steady-state serving pattern: keep `depth` batches in flight so the
     # host<->device round trip overlaps execution; every result is still
     # read back in full (honest end-to-end throughput)
@@ -213,6 +220,9 @@ def main():
                     help="materialize fp32 activations")
     ap.add_argument("--quantize", default=None, choices=["w8", "w8a8"])
     ap.add_argument("--pallas-nms", action="store_true")
+    ap.add_argument("--trace", default=None, type=str,
+                    help="capture a jax.profiler trace into this dir "
+                         "(4 warmed iterations)")
     ap.add_argument("--s2d", action="store_true",
                     help="space-to-depth stem (measured 10.6 ms/batch "
                          "SLOWER device-side at bs=256 - off by default)")
@@ -231,7 +241,7 @@ def main():
                   depth=args.depth, conf=args.conf, top_k=args.top_k,
                   fused=args.fused, act_bf16=args.act_bf16,
                   quantize=args.quantize, pallas_nms=args.pallas_nms,
-                  s2d=args.s2d)
+                  s2d=args.s2d, trace_dir=args.trace)
     print(f"[bench] {args.model} reso={args.reso} bs={args.batch} "
           f"{args.dtype}{' ' + args.quantize if args.quantize else ''}: "
           f"{r['ms_per_batch']:.2f} ms/batch, {r['fps']:.1f} fps, "
