@@ -117,9 +117,11 @@ class DetectorV5:
         """``rect``: AutoShape's rectangular inference (pad to stride
         multiples, not to a square — hub AutoShape semantics, the path
         the reference actually rides at detect.py:277-285).  Off by
-        default; forces batch_size=1 (AutoShape itself is fed one image
-        per call by the reference loop).  ``rect_bucket``: short-side
-        quantum bounding the compiled-program count (see rect_shape)."""
+        default.  With ``batch_size > 1`` images are grouped by their
+        bucketed canvas shape and batched *within* each group — NMS is
+        per-image, so batching cannot change any image's boxes, only
+        amortize dispatch.  ``rect_bucket``: short-side quantum bounding
+        the compiled-program count (see rect_shape)."""
         if model_size.upper() not in ("N", "S", "M", "L", "X"):
             raise Exception("Unknown YOLOv5 size input")
         self.cfg = YoloV5Config(model_size.lower(), num_classes)
@@ -131,7 +133,7 @@ class DetectorV5:
         self.max_det = max_det
         self.rect = rect
         self.rect_bucket = rect_bucket
-        self.batch_size = 1 if rect else batch_size
+        self.batch_size = batch_size
         self.classes = COCO80
         self.metrics: Dict[str, object] = {}
 
@@ -168,6 +170,20 @@ class DetectorV5:
         paths.extend(glob.glob(os.path.join(self.images_dir, "*.png")))
         return paths
 
+    def _rect_groups(self, paths: List[str]) -> List[List[str]]:
+        """Group images by their bucketed rect canvas so a batch shares
+        one static shape (one compiled program per canvas, images of the
+        same aspect bucket ride it together).  Dims come from the image
+        header (PIL lazy open) — no full decode."""
+        from PIL import Image
+        groups: Dict[tuple, List[str]] = {}
+        for p in paths:
+            with Image.open(p) as im:
+                w, h = im.size
+            key = rect_shape(w, h, self.size, bucket=self.rect_bucket)
+            groups.setdefault(key, []).append(p)
+        return list(groups.values())
+
     def _prep_batch(self, chunk):
         imgs, dims, canvases, geoms = [], [], [], []
         for path in chunk:
@@ -201,7 +217,11 @@ class DetectorV5:
         # host render/IO overlaps device compute (same pattern as
         # DetectorV3.__call__)
         pending = None
-        chunks = [paths[s:s + bs] for s in range(0, len(paths), bs)]
+        if self.rect and bs > 1:
+            chunks = [g[s:s + bs] for g in self._rect_groups(paths)
+                      for s in range(0, len(g), bs)]
+        else:
+            chunks = [paths[s:s + bs] for s in range(0, len(paths), bs)]
         for idx in range(len(chunks) + 1):
             item = None
             if idx < len(chunks):

@@ -362,3 +362,59 @@ def test_detector_v5_fused_pipeline(tmp_path):
     if not isinstance(a, int):
         np.testing.assert_allclose(np.array(b), np.array(a),
                                    rtol=1e-4, atol=1e-3)
+
+
+def test_detector_v5_rect_batched_matches_bs1(tmp_path):
+    """Rect batching groups images by canvas bucket; per-image results
+    must be identical to rect bs=1 (NMS is per-image, so batching is
+    result-invariant — ROADMAP 7)."""
+    cv2 = pytest.importorskip("cv2")
+    import jax.numpy as jnp
+    from realtimeobjectdetection_tpu.pipeline.yolov5 import DetectorV5
+    imgs = tmp_path / "imgs"
+    imgs.mkdir()
+    rng = np.random.RandomState(7)
+    # two wide (same bucket), one tall, one odd-size wide -> 2+ buckets,
+    # one group with a batched chunk and one padded tail
+    for name, (h, w) in [("w1.jpg", (180, 320)), ("w2.jpg", (170, 300)),
+                         ("t1.jpg", (320, 180)), ("w3.jpg", (160, 310))]:
+        cv2.imwrite(str(imgs / name),
+                    rng.randint(0, 255, (h, w, 3), np.uint8))
+    kw = dict(model_size="n", size=320, confidence=0.25, rect=True,
+              compute_dtype=jnp.float32)
+    m1 = DetectorV5(str(imgs), destination=str(tmp_path / "d1"),
+                    batch_size=1, **kw)(verbose=False)
+    m2 = DetectorV5(str(imgs), destination=str(tmp_path / "d2"),
+                    batch_size=2, **kw)(verbose=False)
+    assert set(m1) == set(m2) == {"w1.jpg", "w2.jpg", "t1.jpg", "w3.jpg"}
+    for k in m1:
+        assert isinstance(m1[k], type(m2[k]))
+        if not isinstance(m1[k], int):
+            np.testing.assert_allclose(np.array(m2[k]), np.array(m1[k]),
+                                       rtol=1e-4, atol=1e-3)
+
+
+def test_rect_groups_share_canvas(tmp_path):
+    cv2 = pytest.importorskip("cv2")
+    import jax.numpy as jnp
+    from realtimeobjectdetection_tpu.pipeline.yolov5 import (DetectorV5,
+                                                             rect_shape)
+    imgs = tmp_path / "imgs"
+    imgs.mkdir()
+    rng = np.random.RandomState(8)
+    for name, (h, w) in [("a.jpg", (180, 320)), ("b.jpg", (172, 300)),
+                         ("c.jpg", (320, 180))]:
+        cv2.imwrite(str(imgs / name),
+                    rng.randint(0, 255, (h, w, 3), np.uint8))
+    det = DetectorV5(str(imgs), model_size="n", size=320, rect=True,
+                     batch_size=4, destination=str(tmp_path / "d"),
+                     compute_dtype=jnp.float32)
+    groups = det._rect_groups(det.list_images())
+    for g in groups:
+        shapes = set()
+        for p in g:
+            img = cv2.imread(p)
+            shapes.add(rect_shape(img.shape[1], img.shape[0], 320,
+                                  bucket=det.rect_bucket))
+        assert len(shapes) == 1
+    assert sum(len(g) for g in groups) == 3 and len(groups) == 2
