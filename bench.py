@@ -192,7 +192,8 @@ def bench_tpu(model: str, reso: int, batch: int, iters: int,
 
     gflop = conv_flops(spec, reso) / 1e9
     tflops = fps * gflop / 1000.0
-    peak = PEAK_TFLOPS["int8" if quantize == "w8a8" else dtype_name]
+    peak = PEAK_TFLOPS["int8" if quantize in ("w8a8", "w8a8_pallas")
+                       else dtype_name]
     return {"fps": fps, "ms_per_batch": dt / iters * 1000,
             "compile_s": compile_s, "finite": finite,
             "cands_mean": float(cands.mean()),
@@ -218,7 +219,8 @@ def main():
                     help="full decode_heads instead of decode_topk")
     ap.add_argument("--no-act-bf16", dest="act_bf16", action="store_false",
                     help="materialize fp32 activations")
-    ap.add_argument("--quantize", default=None, choices=["w8", "w8a8"])
+    ap.add_argument("--quantize", default=None,
+                    choices=["w8", "w8a8", "w8a8_pallas"])
     ap.add_argument("--pallas-nms", action="store_true")
     ap.add_argument("--trace", default=None, type=str,
                     help="capture a jax.profiler trace into this dir "

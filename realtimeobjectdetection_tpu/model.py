@@ -292,9 +292,16 @@ def make_forward(spec: GraphSpec, bn_mode: str = "fold",
     drift gated by tests/test_forward_parity.py).  None keeps fp32.
     """
     assert bn_mode in ("fold", "running", "batch")
-    assert quantize in (None, "w8", "w8a8")
+    assert quantize in (None, "w8", "w8a8", "w8a8_pallas")
     if quantize:
         assert bn_mode == "fold", "int8 paths consume BN-folded params"
+    if quantize == "w8a8_pallas":
+        # int8-MXU path: eligible convs via the Pallas tap-matmul kernel
+        # (model_int8.py); same quantize_folded_int8 params as w8/w8a8
+        from .model_int8 import make_forward_int8
+        return make_forward_int8(
+            spec, compute_dtype=activation_dtype or jnp.bfloat16,
+            head_dtype=head_dtype)
     act_dtype = activation_dtype or jnp.float32
     if activation_dtype is not None:
         assert bn_mode == "fold", \

@@ -106,3 +106,51 @@ def test_detector_quantized_end_to_end(tmp_path):
     with pytest.raises(ValueError):
         DetectorV3(images=".", destination=".", cfg_path="yolov3-tiny",
                    weights_path=None, bn_mode="batch", quantize="w8")
+
+
+def test_w8a8_pallas_drift_bounded(tiny_case):
+    """Pallas int8-MXU path (model_int8.py, interpret mode on CPU):
+    per-block dynamic activation scales are finer-grained than w8a8's
+    per-tensor scale, so the same drift gates must hold."""
+    from realtimeobjectdetection_tpu.model_int8 import make_forward_int8
+    spec, folded, x = tiny_case
+    ref = _decoded(spec, folded, x)
+    q = quantize_folded_int8(spec, folded)
+    fwd = make_forward_int8(spec, compute_dtype=jnp.float32,
+                            interpret=True)
+    got = np.asarray(decode_heads(fwd(q, x), spec, 416))
+    assert np.isfinite(got).all()
+    assert np.abs(got[..., 4:] - ref[..., 4:]).max() < 0.10
+    cand = ref[..., 4] > 0.6
+    rel_wh = np.abs(got[..., 2:4] / np.maximum(ref[..., 2:4], 1e-3) - 1)
+    assert rel_wh[cand].max() < 0.20
+    assert ((got[..., 4] > 0.6) == (ref[..., 4] > 0.6)).mean() > 0.99
+
+
+def test_w8a8_pallas_full_yolov3_ladders(tiny_case):
+    """Full yolov3 through the int8 builder: ladder scans + fused skips
+    + NHWC fallbacks all compose.  Synthetic darknet-53 weights drive
+    raw head logits to ~1e5 (a pathological dynamic range no trained
+    net has), so this gates *composition* — a wiring bug gives O(1)
+    relative garbage, quantization gives a few percent — while the
+    tiny-net test above holds the tight accuracy gates."""
+    spec = get_spec("yolov3")
+    params, _ = load_darknet_weights(spec, synthetic_darknet_weights(spec, 1))
+    folded = fold_batchnorm(spec, params)
+    q = quantize_folded_int8(spec, folded)
+    from realtimeobjectdetection_tpu.model_int8 import make_forward_int8
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(1, 416, 416, 3).astype(np.float32))
+    h_ref = make_forward(spec, bn_mode="fold",
+                         compute_dtype=jnp.float32)(folded, x)
+    fwd = make_forward_int8(spec, compute_dtype=jnp.float32,
+                            interpret=True)
+    h_q = fwd(q, x)
+    for a, b in zip(h_ref, h_q):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.isfinite(b).all()
+        rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-9)
+        assert rel < 0.15, rel
+    ref = np.asarray(decode_heads(h_ref, spec, 416))
+    got = np.asarray(decode_heads(h_q, spec, 416))
+    assert ((got[..., 4] > 0.6) == (ref[..., 4] > 0.6)).mean() > 0.9
