@@ -130,10 +130,16 @@ def detect_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--rect", action="store_true",
                    help="v5 only: AutoShape rectangular inference (pad to "
                         "stride multiples instead of a square canvas)")
-    p.add_argument("--quantize", default=None, choices=["w8", "w8a8"],
+    p.add_argument("--quantize", default=None,
+                   choices=["w8", "w8a8", "w8a8_pallas"],
                    help="int8 inference (requires --bn_mode fold): 'w8' = "
-                        "int8 weights only, 'w8a8' = full int8 convs on "
-                        "the int8 MXU")
+                        "int8 weights only, 'w8a8' = full int8 convs via "
+                        "XLA, 'w8a8_pallas' = the Pallas int8-MXU tap-"
+                        "matmul kernel (ops/pallas/conv_int8.py)")
+    p.add_argument("--host_prep", default="cv2", choices=["cv2", "native"],
+                   help="host letterbox backend: cv2 (golden bit-parity) "
+                        "or the in-repo C++ bicubic (native/letterbox.cpp,"
+                        " threaded, no-OpenCV fast path)")
     p.add_argument("--fused_decode", action="store_true",
                    help="serving fast path: decode only the top_k "
                         "objectness rows (ops/decode.decode_topk) instead "
@@ -153,7 +159,7 @@ def detect_cli(argv=None):
         "precision": a.precision, "top_k": a.top_k,
         "yolo_version": a.yolov, "yolov5_size": a.yolov5_size,
         "yolov5_rect": a.rect, "quantize": a.quantize,
-        "fused_decode": a.fused_decode,
+        "fused_decode": a.fused_decode, "host_prep": a.host_prep,
     }
     return run_detect(params)
 

@@ -159,7 +159,7 @@ def _quantize(xin):
 
 
 def _kernel3(*refs, lay: FlatLayout, cin: int, neg_slope, out_dtype,
-             has_skip: bool):
+             has_skip: bool, im2col: bool):
     if has_skip:
         top, cur, bot, w_ref, sw_ref, b_ref, skip_ref, y_ref = refs
     else:
@@ -167,15 +167,22 @@ def _kernel3(*refs, lay: FlatLayout, cin: int, neg_slope, out_dtype,
         skip_ref = None
     xin = jnp.concatenate([top[:], cur[:], bot[:]], axis=0)
     xq, amax = _quantize(xin)
-    acc = jnp.zeros((lay.tm, w_ref.shape[1]), jnp.int32)
-    t = 0
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
+    taps = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    if im2col:
+        # one deep-K matmul: VMEM-concat the 9 shifted operands so the
+        # MXU pipeline never drains between taps (K = 9*C_in)
+        cols = [lax.slice(xq, (lay.gr + dy * lay.wp + dx, 0),
+                          (lay.gr + dy * lay.wp + dx + lay.tm, cin))
+                for dy, dx in taps]
+        acc = jnp.dot(jnp.concatenate(cols, axis=1), w_ref[:],
+                      preferred_element_type=jnp.int32)
+    else:
+        acc = jnp.zeros((lay.tm, w_ref.shape[1]), jnp.int32)
+        for t, (dy, dx) in enumerate(taps):
             start = lay.gr + dy * lay.wp + dx
             a = lax.slice(xq, (start, 0), (start + lay.tm, cin))
             acc = acc + jnp.dot(a, w_ref[t * cin:(t + 1) * cin, :],
                                 preferred_element_type=jnp.int32)
-            t += 1
     _epilogue(acc, amax, sw_ref, b_ref, skip_ref, lay, neg_slope,
               out_dtype, y_ref)
 
@@ -197,7 +204,7 @@ def conv_flat_int8(x_flat: jnp.ndarray, w_q: jnp.ndarray,
                    s_w: jnp.ndarray, bias: jnp.ndarray, lay: FlatLayout,
                    k: int = 3, act: str = "leaky",
                    skip: Optional[jnp.ndarray] = None,
-                   out_dtype=jnp.bfloat16,
+                   out_dtype=jnp.bfloat16, im2col: bool = True,
                    interpret: bool = False) -> jnp.ndarray:
     """One w8a8 conv over the flat layout.
 
@@ -257,9 +264,11 @@ def conv_flat_int8(x_flat: jnp.ndarray, w_q: jnp.ndarray,
                                      memory_space=pltpu.VMEM))
         args.append(skip)
 
-    kernel = functools.partial(kern, lay=lay, cin=cin,
-                               neg_slope=neg_slope, out_dtype=out_dtype,
-                               has_skip=skip is not None)
+    kw = dict(lay=lay, cin=cin, neg_slope=neg_slope,
+              out_dtype=out_dtype, has_skip=skip is not None)
+    if k == 3:
+        kw["im2col"] = im2col
+    kernel = functools.partial(kern, **kw)
     flops = 2 * lay.rows * k * k * cin * cout
     return pl.pallas_call(
         kernel,

@@ -83,8 +83,15 @@ class DetectorV3:
                  quantize: Optional[str] = None,
                  fused_decode: bool = False,
                  mesh=None,
-                 prefetch: int = 4):
+                 prefetch: int = 4,
+                 host_prep: str = "cv2"):
         assert resolution % 32 == 0 and resolution > 32  # detect.py:51-52
+        # host_prep: "cv2" = INTER_CUBIC via OpenCV (bit-parity with the
+        # reference goldens); "native" = the in-repo C++ fixed-point
+        # bicubic (native/letterbox.cpp, threaded across the batch,
+        # within +-1 u8 LSB of cv2) — the no-OpenCV fast path
+        assert host_prep in ("cv2", "native")
+        self.host_prep = host_prep
         self.images = images
         self.destination = destination
         self.cfg_path = cfg_path
@@ -246,8 +253,14 @@ class DetectorV3:
                         raise FileNotFoundError(os.path.join(self.images, n))
                     imgs.append(img)
                     dims.append((img.shape[1], img.shape[0]))  # (w, h)
-                    prepped.append(prep_image_host_u8(img, self.resolution))
-                batch = np.concatenate(prepped, axis=0)
+                    if self.host_prep != "native":
+                        prepped.append(
+                            prep_image_host_u8(img, self.resolution))
+                if self.host_prep == "native":
+                    from ..native import letterbox_batch_native
+                    batch = letterbox_batch_native(imgs, self.resolution)
+                else:
+                    batch = np.concatenate(prepped, axis=0)
                 if len(chunk) < bs:
                     # pad the trailing batch to the static shape by
                     # repeating the last real image: zero frames would
