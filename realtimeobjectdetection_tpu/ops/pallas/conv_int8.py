@@ -169,8 +169,11 @@ def _kernel3(*refs, lay: FlatLayout, cin: int, neg_slope, out_dtype,
     xq, amax = _quantize(xin)
     taps = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
     if im2col:
-        # one deep-K matmul: VMEM-concat the 9 shifted operands so the
-        # MXU pipeline never drains between taps (K = 9*C_in)
+        # one deep-K matmul via a VMEM im2col concat.  Measured on the
+        # v5e axon stack (2026-08-16): Mosaic FAILS to compile this
+        # variant at every yolov3 ladder shape (remote tpu_compile_helper
+        # exit 1 on the lane-axis concat + K=9*C_in dot), so the 9-dot
+        # accumulation below is the default; kept for newer toolchains.
         cols = [lax.slice(xq, (lay.gr + dy * lay.wp + dx, 0),
                           (lay.gr + dy * lay.wp + dx + lay.tm, cin))
                 for dy, dx in taps]
@@ -204,7 +207,7 @@ def conv_flat_int8(x_flat: jnp.ndarray, w_q: jnp.ndarray,
                    s_w: jnp.ndarray, bias: jnp.ndarray, lay: FlatLayout,
                    k: int = 3, act: str = "leaky",
                    skip: Optional[jnp.ndarray] = None,
-                   out_dtype=jnp.bfloat16, im2col: bool = True,
+                   out_dtype=jnp.bfloat16, im2col: bool = False,
                    interpret: bool = False) -> jnp.ndarray:
     """One w8a8 conv over the flat layout.
 
