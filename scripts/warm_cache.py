@@ -27,7 +27,7 @@ def main():
     t0 = time.time()
     # the bench/serving configs (compiles and runs a few iters each)
     for model, bs in [("yolov3", 256), ("yolov3-tiny", 64)]:
-        r = bench_tpu(model, 416, bs, 4, "bfloat16", depth=1)
+        r = bench_tpu(model, 416, bs, 4, "bfloat16", depth=1, windows=1)
         print(f"warmed {model} bs={bs}: compile {r['compile_s']:.0f}s")
 
     if args.train:
