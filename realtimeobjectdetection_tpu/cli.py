@@ -20,6 +20,7 @@ def run_detect(detector_params: dict):
     version = detector_params.pop("yolo_version", 3)
     v5_size = detector_params.pop("yolov5_size", "L")
     if version == 5:
+        import jax.numpy as jnp
         from .pipeline.yolov5 import DetectorV5
         # AutoShape-parity defaults (640 / 0.25 / 0.45) unless the
         # v5-specific keys override them; the converted checkpoint flows
@@ -33,11 +34,13 @@ def run_detect(detector_params: dict):
             iou_thresh=detector_params.get("yolov5_nms", 0.45),
             batch_size=detector_params.get("batch_size", 1),
             rect=detector_params.get("yolov5_rect", False),
-            fused_decode=detector_params.get("fused_decode", False))
+            fused_decode=detector_params.get("fused_decode", False),
+            activation_dtype=(jnp.bfloat16 if detector_params.get(
+                "act_bf16", False) else None))
     elif version == 3:
         from .pipeline.detector import DetectorV3
         for k in ("yolov5_input_size", "yolov5_confidence", "yolov5_nms",
-                  "yolov5_rect"):
+                  "yolov5_rect", "act_bf16"):
             detector_params.pop(k, None)
         detector_params.setdefault("fused_decode", False)
         detector = DetectorV3(**detector_params)
@@ -144,6 +147,10 @@ def detect_arg_parser() -> argparse.ArgumentParser:
                    help="serving fast path: decode only the top_k "
                         "objectness rows (ops/decode.decode_topk) instead "
                         "of the full [B, N, 85] tensor")
+    p.add_argument("--act_bf16", action="store_true",
+                   help="v5 only: bf16 inter-layer activation residency "
+                        "(halves activation HBM traffic; small bounded "
+                        "box drift vs the fp32 default)")
     return p
 
 
@@ -160,6 +167,7 @@ def detect_cli(argv=None):
         "yolo_version": a.yolov, "yolov5_size": a.yolov5_size,
         "yolov5_rect": a.rect, "quantize": a.quantize,
         "fused_decode": a.fused_decode, "host_prep": a.host_prep,
+        "act_bf16": a.act_bf16,
     }
     return run_detect(params)
 

@@ -145,37 +145,43 @@ def init_yolov5_params(cfg: YoloV5Config, seed: int = 0) -> Dict:
 # forward
 # ---------------------------------------------------------------------------
 
-def _conv(x, p, stride=1, compute_dtype=jnp.bfloat16, act=True):
+def _conv(x, p, stride=1, compute_dtype=jnp.bfloat16, act=True,
+          out_dtype=jnp.float32):
     k = p["w"].shape[0]
     pad = (k - 1) // 2 if k != 6 else 2   # stem 6x6/2 uses pad 2
     preferred = jnp.float32 if compute_dtype == jnp.float32 else None
+    # out_dtype=bfloat16 keeps the materialized activation (bias + SiLU
+    # included) in bf16 — halves every inter-layer HBM transfer, same
+    # trade as make_forward(activation_dtype=...) on the darknet side.
+    # The MXU still accumulates fp32 internally either way.
     y = lax.conv_general_dilated(
         x.astype(compute_dtype), jnp.asarray(p["w"]).astype(compute_dtype),
         (stride, stride), [(pad, pad), (pad, pad)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=preferred).astype(jnp.float32)
-    y = y + jnp.asarray(p["b"])[None, None, None, :]
+        preferred_element_type=preferred).astype(out_dtype)
+    y = y + jnp.asarray(p["b"])[None, None, None, :].astype(out_dtype)
     if act:
         y = y * jax.nn.sigmoid(y)  # SiLU
     return y
 
 
-def _bottleneck(x, p, shortcut, dtype):
-    y = _conv(x, p["cv1"], 1, dtype)
-    y = _conv(y, p["cv2"], 1, dtype)
+def _bottleneck(x, p, shortcut, dtype, odt=jnp.float32):
+    y = _conv(x, p["cv1"], 1, dtype, out_dtype=odt)
+    y = _conv(y, p["cv2"], 1, dtype, out_dtype=odt)
     return x + y if shortcut else y
 
 
-def _c3(x, p, shortcut, dtype):
-    y1 = _conv(x, p["cv1"], 1, dtype)
+def _c3(x, p, shortcut, dtype, odt=jnp.float32):
+    y1 = _conv(x, p["cv1"], 1, dtype, out_dtype=odt)
     for bp in p["m"]:
-        y1 = _bottleneck(y1, bp, shortcut, dtype)
-    y2 = _conv(x, p["cv2"], 1, dtype)
-    return _conv(jnp.concatenate([y1, y2], -1), p["cv3"], 1, dtype)
+        y1 = _bottleneck(y1, bp, shortcut, dtype, odt)
+    y2 = _conv(x, p["cv2"], 1, dtype, out_dtype=odt)
+    return _conv(jnp.concatenate([y1, y2], -1), p["cv3"], 1, dtype,
+                 out_dtype=odt)
 
 
-def _sppf(x, p, dtype, k=5):
-    y = _conv(x, p["cv1"], 1, dtype)
+def _sppf(x, p, dtype, k=5, odt=jnp.float32):
+    y = _conv(x, p["cv1"], 1, dtype, out_dtype=odt)
     pool = lambda t: lax.reduce_window(t, -jnp.inf, lax.max,
                                        (1, k, k, 1), (1, 1, 1, 1),
                                        [(0, 0), (k // 2, k // 2),
@@ -183,7 +189,8 @@ def _sppf(x, p, dtype, k=5):
     y1 = pool(y)
     y2 = pool(y1)
     y3 = pool(y2)
-    return _conv(jnp.concatenate([y, y1, y2, y3], -1), p["cv2"], 1, dtype)
+    return _conv(jnp.concatenate([y, y1, y2, y3], -1), p["cv2"], 1, dtype,
+                 out_dtype=odt)
 
 
 def _upsample2(x):
@@ -194,36 +201,49 @@ def _upsample2(x):
     return x.reshape(b, h * 2, w * 2, c)
 
 
-def make_yolov5_forward(cfg: YoloV5Config, compute_dtype=jnp.bfloat16):
-    """Build ``forward(params, x) -> [p3, p4, p5]`` raw heads (NHWC)."""
+def make_yolov5_forward(cfg: YoloV5Config, compute_dtype=jnp.bfloat16,
+                        activation_dtype=None, head_dtype=None):
+    """Build ``forward(params, x) -> [p3, p4, p5]`` raw heads (NHWC).
+
+    ``activation_dtype``: dtype of the materialized inter-layer
+    activations (bias + SiLU included).  None = float32 (the parity
+    default, matching torch fp32 modules); ``jnp.bfloat16`` halves every
+    inter-layer HBM transfer — the serving fast path, same trade as
+    ``make_forward(activation_dtype=...)`` on the darknet side.
+    ``head_dtype``: dtype of the returned raw heads (None = float32).
+    """
+    odt = activation_dtype or jnp.float32
+    hdt = head_dtype or jnp.float32
 
     def forward(p, x):
         dt = compute_dtype
-        x = _conv(x, p["m0"], 2, dt)
-        x = _conv(x, p["m1"], 2, dt)
-        x = _c3(x, p["m2"], True, dt)
-        x = _conv(x, p["m3"], 2, dt)
-        p3 = _c3(x, p["m4"], True, dt)
-        x = _conv(p3, p["m5"], 2, dt)
-        p4 = _c3(x, p["m6"], True, dt)
-        x = _conv(p4, p["m7"], 2, dt)
-        x = _c3(x, p["m8"], True, dt)
-        p5 = _sppf(x, p["m9"], dt)
+        x = _conv(x, p["m0"], 2, dt, out_dtype=odt)
+        x = _conv(x, p["m1"], 2, dt, out_dtype=odt)
+        x = _c3(x, p["m2"], True, dt, odt)
+        x = _conv(x, p["m3"], 2, dt, out_dtype=odt)
+        p3 = _c3(x, p["m4"], True, dt, odt)
+        x = _conv(p3, p["m5"], 2, dt, out_dtype=odt)
+        p4 = _c3(x, p["m6"], True, dt, odt)
+        x = _conv(p4, p["m7"], 2, dt, out_dtype=odt)
+        x = _c3(x, p["m8"], True, dt, odt)
+        p5 = _sppf(x, p["m9"], dt, odt=odt)
 
-        t5 = _conv(p5, p["m10"], 1, dt)                       # 512
+        t5 = _conv(p5, p["m10"], 1, dt, out_dtype=odt)        # 512
         x = jnp.concatenate([_upsample2(t5), p4], -1)
-        f4 = _c3(x, p["m13"], False, dt)
-        t4 = _conv(f4, p["m14"], 1, dt)                       # 256
+        f4 = _c3(x, p["m13"], False, dt, odt)
+        t4 = _conv(f4, p["m14"], 1, dt, out_dtype=odt)        # 256
         x = jnp.concatenate([_upsample2(t4), p3], -1)
-        out3 = _c3(x, p["m17"], False, dt)                    # P3/8
-        x = jnp.concatenate([_conv(out3, p["m18"], 2, dt), t4], -1)
-        out4 = _c3(x, p["m20"], False, dt)                    # P4/16
-        x = jnp.concatenate([_conv(out4, p["m21"], 2, dt), t5], -1)
-        out5 = _c3(x, p["m23"], False, dt)                    # P5/32
+        out3 = _c3(x, p["m17"], False, dt, odt)               # P3/8
+        x = jnp.concatenate([_conv(out3, p["m18"], 2, dt, out_dtype=odt),
+                             t4], -1)
+        out4 = _c3(x, p["m20"], False, dt, odt)               # P4/16
+        x = jnp.concatenate([_conv(out4, p["m21"], 2, dt, out_dtype=odt),
+                             t5], -1)
+        out5 = _c3(x, p["m23"], False, dt, odt)               # P5/32
 
-        h3 = _conv(out3, p["m24"]["0"], 1, dt, act=False)
-        h4 = _conv(out4, p["m24"]["1"], 1, dt, act=False)
-        h5 = _conv(out5, p["m24"]["2"], 1, dt, act=False)
+        h3 = _conv(out3, p["m24"]["0"], 1, dt, act=False, out_dtype=hdt)
+        h4 = _conv(out4, p["m24"]["1"], 1, dt, act=False, out_dtype=hdt)
+        h5 = _conv(out5, p["m24"]["2"], 1, dt, act=False, out_dtype=hdt)
         return [h3, h4, h5]
 
     return forward

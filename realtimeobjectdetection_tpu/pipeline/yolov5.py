@@ -113,7 +113,8 @@ class DetectorV5:
                  num_classes: int = 80, batch_size: int = 1,
                  compute_dtype=jnp.bfloat16,
                  rect: bool = False, rect_bucket: int = 64,
-                 fused_decode: bool = False, top_k: int = 512):
+                 fused_decode: bool = False, top_k: int = 512,
+                 activation_dtype=None):
         """``rect``: AutoShape's rectangular inference (pad to stride
         multiples, not to a square — hub AutoShape semantics, the path
         the reference actually rides at detect.py:277-285).  Off by
@@ -139,7 +140,12 @@ class DetectorV5:
 
         self.params = self._load_params(weights_path)
         self.params = jax.device_put(self.params)
-        fwd = make_yolov5_forward(self.cfg, compute_dtype=compute_dtype)
+        # activation_dtype=jnp.bfloat16: bf16 inter-layer residency (the
+        # serving fast path, halves activation HBM traffic; drift gated
+        # by tests/test_yolov5.py::test_v5_act_bf16_drift_bounded).
+        # None = fp32 activations, the AutoShape-parity default.
+        fwd = make_yolov5_forward(self.cfg, compute_dtype=compute_dtype,
+                                  activation_dtype=activation_dtype)
         nc, conf, iou, md = num_classes, confidence, iou_thresh, max_det
         tk = top_k
 

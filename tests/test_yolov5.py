@@ -418,3 +418,36 @@ def test_rect_groups_share_canvas(tmp_path):
                                   bucket=det.rect_bucket))
         assert len(shapes) == 1
     assert sum(len(g) for g in groups) == 3 and len(groups) == 2
+
+
+def test_v5_act_bf16_drift_bounded():
+    """bf16 activation residency (DetectorV5(activation_dtype=bf16), the
+    serving fast path) must stay within bounded drift of the fp32-
+    residency path on decoded boxes — regression net mirroring the
+    darknet-side test_bf16_fast_path_drift_bounded."""
+    cfg = YoloV5Config("s")
+    params = init_yolov5_params(cfg, 0)
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 320, 320, 3),
+                    jnp.float32)
+    f32 = jax.jit(make_yolov5_forward(cfg, compute_dtype=jnp.bfloat16))
+    b16 = jax.jit(make_yolov5_forward(cfg, compute_dtype=jnp.bfloat16,
+                                      activation_dtype=jnp.bfloat16))
+    a = np.asarray(decode_v5(f32(params, x), 80))
+    b = np.asarray(decode_v5(b16(params, x), 80))
+    # probabilities: small absolute drift; coords: bounded pixel drift
+    assert np.abs(a[..., 4:] - b[..., 4:]).max() < 0.05
+    assert np.median(np.abs(a[..., :2] - b[..., :2])) < 1.0
+
+
+def test_v5_act_bf16_default_unchanged():
+    """activation_dtype=None must be bit-identical to the pre-option
+    forward (fp32 residency): the parity default cannot move."""
+    cfg = YoloV5Config("s")
+    params = init_yolov5_params(cfg, 0)
+    x = jnp.asarray(np.random.RandomState(1).rand(1, 320, 320, 3),
+                    jnp.float32)
+    f = jax.jit(make_yolov5_forward(cfg, compute_dtype=jnp.float32))
+    g = jax.jit(make_yolov5_forward(cfg, compute_dtype=jnp.float32,
+                                    activation_dtype=None, head_dtype=None))
+    for ha, hb in zip(f(params, x), g(params, x)):
+        np.testing.assert_array_equal(np.asarray(ha), np.asarray(hb))
