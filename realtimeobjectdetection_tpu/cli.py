@@ -359,11 +359,16 @@ def stream_cli(argv=None):
 
 def serve_arg_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Detection HTTP server (TPU)")
-    p.add_argument("--cfg", dest="cfg_file", default="yolov3-tiny", type=str)
+    p.add_argument("--cfg", dest="cfg_file", default="yolov3-tiny", type=str,
+                   help="darknet zoo name / .cfg path, or yolov5{n,s,m,l,x}"
+                        " for the native v5 graph")
     p.add_argument("--weights", dest="weights_file", default=None, type=str)
-    p.add_argument("--reso", default=416, type=int)
-    p.add_argument("--confidence", default=0.6, type=float)
-    p.add_argument("--nms_thresh", default=0.5, type=float)
+    p.add_argument("--reso", default=None, type=int,
+                   help="input canvas (default 416 darknet / 640 v5)")
+    p.add_argument("--confidence", default=None, type=float,
+                   help="default 0.6 darknet / 0.25 v5")
+    p.add_argument("--nms_thresh", default=None, type=float,
+                   help="default 0.5 darknet / 0.45 v5 IoU")
     p.add_argument("--batch_size", default=8, type=int)
     p.add_argument("--host", default="0.0.0.0", type=str)
     p.add_argument("--port", default=8000, type=int)
@@ -371,21 +376,30 @@ def serve_arg_parser() -> argparse.ArgumentParser:
 
 
 def serve_cli(argv=None):
-    import os
     a = serve_arg_parser().parse_args(argv)
-    from .models.zoo import resolve_spec
-    from .weights import init_params, load_darknet_weights
-    from .pipeline.server import DetectionService, serve
+    from .pipeline.server import DetectionService, DetectionServiceV5, serve
 
-    spec = resolve_spec(a.cfg_file)
-    if a.weights_file:
-        params, _ = load_darknet_weights(spec, a.weights_file)
+    if a.cfg_file.lower().startswith("yolov5"):
+        service = DetectionServiceV5(
+            model_size=a.cfg_file[6:] or "s",
+            weights_path=a.weights_file,
+            size=a.reso or 640,
+            confidence=a.confidence if a.confidence is not None else 0.25,
+            iou_thresh=a.nms_thresh if a.nms_thresh is not None else 0.45,
+            batch_size=a.batch_size)
     else:
-        params = init_params(spec)
-    service = DetectionService(spec, params, resolution=a.reso,
-                               confidence=a.confidence,
-                               nms_thresh=a.nms_thresh,
-                               batch_size=a.batch_size)
+        from .models.zoo import resolve_spec
+        from .weights import init_params, load_darknet_weights
+        spec = resolve_spec(a.cfg_file)
+        if a.weights_file:
+            params, _ = load_darknet_weights(spec, a.weights_file)
+        else:
+            params = init_params(spec)
+        service = DetectionService(
+            spec, params, resolution=a.reso or 416,
+            confidence=a.confidence if a.confidence is not None else 0.6,
+            nms_thresh=a.nms_thresh if a.nms_thresh is not None else 0.5,
+            batch_size=a.batch_size)
     return serve(service, a.host, a.port)
 
 

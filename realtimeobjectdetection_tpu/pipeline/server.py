@@ -42,7 +42,7 @@ from ..ops.decode import decode_heads
 from ..ops.letterbox import prep_image_host_u8, unletterbox_boxes
 from ..ops.nms import nms_batch
 
-__all__ = ["DetectionService", "serve"]
+__all__ = ["DetectionService", "DetectionServiceV5", "serve"]
 
 
 class DetectionService:
@@ -86,12 +86,25 @@ class DetectionService:
                              top_k=top_k)
 
         self._detect = jax.jit(detect)
+        self.cls_col = 6   # row layout [x1,y1,x2,y2,obj,cls_conf,cls]
+        self._start_worker()
+
+    def _start_worker(self):
         self.ready = False
         self._q: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
         self._worker = threading.Thread(target=self._batch_loop,
                                         daemon=True)
         self._worker.start()
+
+    def describe(self) -> Dict:
+        return {"model_nodes": len(self.spec.nodes),
+                "resolution": self.resolution,
+                "batch_size": self.batch_size}
+
+    def _prep(self, img_bgr: np.ndarray) -> np.ndarray:
+        """Host letterbox -> uint8 canvas at self.resolution."""
+        return prep_image_host_u8(img_bgr, self.resolution)[0]
 
     def warmup(self):
         x = np.zeros((self.batch_size, self.resolution, self.resolution, 3),
@@ -137,7 +150,7 @@ class DetectionService:
     def detect_image(self, img_bgr: np.ndarray) -> np.ndarray:
         """Synchronous single-image API -> rows in original pixels."""
         h, w = img_bgr.shape[:2]
-        canvas = prep_image_host_u8(img_bgr, self.resolution)[0]
+        canvas = self._prep(img_bgr)
         result: "queue.Queue" = queue.Queue(maxsize=1)
         self._q.put((canvas, (w, h), result.put))
         rows, dims, err = result.get()
@@ -147,8 +160,78 @@ class DetectionService:
 
     def _unletterbox(self, rows: np.ndarray, w: int, h: int) -> np.ndarray:
         if rows is None or len(rows) == 0:
-            return np.zeros((0, 7), np.float32)
+            return np.zeros((0, self.cls_col + 1), np.float32)
         return unletterbox_boxes(rows, w, h, self.resolution)
+
+
+class DetectionServiceV5(DetectionService):
+    """Micro-batching backend for the native YOLOv5 graph.
+
+    Same queue/batcher machinery as :class:`DetectionService`; swaps in
+    the v5 forward (bf16 activation residency + fused decode_v5_topk by
+    default — the serving fast path), AutoShape's square letterbox
+    (114-gray, round() extents) and its box rescale.  Rows are the
+    ultralytics layout ``[x1,y1,x2,y2,conf,cls]``.
+    """
+
+    def __init__(self, model_size: str = "s", weights_path=None,
+                 size: int = 640, confidence: float = 0.25,
+                 iou_thresh: float = 0.45, max_det: int = 300,
+                 top_k: int = 512, num_classes: int = 80,
+                 batch_size: int = 8, batch_window_ms: float = 5.0,
+                 compute_dtype=jnp.bfloat16, fused_decode: bool = True,
+                 activation_dtype=jnp.bfloat16,
+                 class_names: Optional[List[str]] = None):
+        from ..models.yolov5 import (YoloV5Config, decode_v5, decode_v5_topk,
+                                     init_yolov5_params, load_v5_checkpoint,
+                                     make_yolov5_forward)
+        from ..ops.nms import nms_batch_v5
+
+        self.cfg = YoloV5Config(model_size.lower(), num_classes)
+        self.resolution = size
+        self.batch_size = batch_size
+        self.batch_window_s = batch_window_ms / 1000.0
+        self.classes = class_names or COCO80
+        if weights_path is None:
+            params = init_yolov5_params(self.cfg, seed=0)
+        else:
+            params = load_v5_checkpoint(self.cfg, weights_path)
+        self.params = jax.device_put(params)
+        fwd = make_yolov5_forward(self.cfg, compute_dtype=compute_dtype,
+                                  activation_dtype=activation_dtype,
+                                  head_dtype=activation_dtype)
+        nc, conf, iou, md, tk = (num_classes, confidence, iou_thresh,
+                                 max_det, top_k)
+
+        def detect(p, x):
+            x = x.astype(jnp.float32) / 255.0
+            heads = fwd(p, x)
+            if fused_decode:
+                pred = decode_v5_topk(heads, nc, tk, conf)
+            else:
+                pred = decode_v5([h.astype(jnp.float32) for h in heads], nc)
+            return nms_batch_v5(pred, nc, conf, iou, top_k=tk, max_det=md)
+
+        self._detect = jax.jit(detect)
+        self.cls_col = 5   # ultralytics rows [x1,y1,x2,y2,conf,cls]
+        self._start_worker()
+
+    def describe(self) -> Dict:
+        return {"model": f"yolov5{self.cfg.size}",
+                "resolution": self.resolution,
+                "batch_size": self.batch_size}
+
+    def _prep(self, img_bgr: np.ndarray) -> np.ndarray:
+        from .yolov5 import letterbox_v5
+        return np.ascontiguousarray(
+            letterbox_v5(img_bgr, self.resolution)[:, :, ::-1])
+
+    def _unletterbox(self, rows: np.ndarray, w: int, h: int) -> np.ndarray:
+        from ..ops.letterbox import letterbox_params_round
+        if rows is None or len(rows) == 0:
+            return np.zeros((0, 6), np.float32)
+        return unletterbox_boxes(rows, w, h, self.resolution,
+                                 params_fn=letterbox_params_round)
 
 
 def _make_handler(service: DetectionService):
@@ -166,12 +249,7 @@ def _make_handler(service: DetectionService):
 
         def do_GET(self):
             if self.path == "/healthz":
-                self._json(200, {
-                    "status": "ok",
-                    "model_nodes": len(service.spec.nodes),
-                    "resolution": service.resolution,
-                    "batch_size": service.batch_size,
-                })
+                self._json(200, dict(status="ok", **service.describe()))
             elif self.path == "/readyz":
                 # readiness: the jitted program is compiled and warmed
                 # (first compile through the axon service takes minutes —
@@ -206,7 +284,8 @@ def _make_handler(service: DetectionService):
                 return
             self._json(200, {
                 "boxes": rows.tolist(),
-                "class_names": [service.classes[int(r[6])] for r in rows],
+                "class_names": [service.classes[int(r[service.cls_col])]
+                                for r in rows],
                 "latency_ms": round((time.time() - t0) * 1000, 2),
             })
 

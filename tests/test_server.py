@@ -95,3 +95,39 @@ def test_readyz(server):
     host, port = server
     with urlopen(f"http://{host}:{port}/readyz") as r:
         assert json.loads(r.read())["ready"] is True
+
+
+@pytest.fixture(scope="module")
+def server_v5():
+    from realtimeobjectdetection_tpu.pipeline.server import DetectionServiceV5
+    service = DetectionServiceV5(model_size="n", size=192, batch_size=2,
+                                 compute_dtype=jnp.float32,
+                                 activation_dtype=None, top_k=32,
+                                 confidence=0.3)
+    httpd = serve(service, host="127.0.0.1", port=0, block=False)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield httpd.server_address
+    httpd.shutdown()
+    service.close()
+
+
+def test_v5_healthz_and_detect(server_v5):
+    status, data = _request(server_v5, "GET", "/healthz")
+    assert status == 200 and data["model"] == "yolov5n"
+    assert data["resolution"] == 192
+    rng = np.random.RandomState(2)
+    img = rng.randint(0, 255, (120, 160, 3), np.uint8)
+    ok, jpg = cv2.imencode(".jpg", img)
+    status, data = _request(server_v5, "POST", "/detect", bytes(jpg))
+    assert status == 200 and "boxes" in data
+    for row, name in zip(data["boxes"], data["class_names"]):
+        # ultralytics rows [x1,y1,x2,y2,conf,cls] in original pixels
+        assert len(row) == 6
+        assert isinstance(name, str)
+        assert 0 <= row[0] <= 160 and 0 <= row[1] <= 120
+
+
+def test_v5_readyz(server_v5):
+    status, data = _request(server_v5, "GET", "/readyz")
+    assert status == 200 and data["ready"] is True
