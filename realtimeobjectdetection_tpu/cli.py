@@ -199,6 +199,17 @@ def train_arg_parser() -> argparse.ArgumentParser:
 
 def train_cli(argv=None):
     a = train_arg_parser().parse_args(argv)
+    if a.cfg_file.lower().startswith("yolov5"):
+        # native v5 training (beyond the reference, which can only
+        # consume frozen hub checkpoints): ultralytics loss semantics,
+        # same datasets/checkpoint tiers (train/v5.TrainerV5)
+        from .train.v5 import TrainerV5
+        tr = TrainerV5(model_size=a.cfg_file[6:] or "s", epochs=a.epoch,
+                       batch_size=a.bs,
+                       resolution=a.reso if a.reso != 416 else 640,
+                       resume=a.resume, ema_decay=a.ema_decay)
+        tr.train(a.xml, a.images, dataset_type=a.dataset)
+        return 0
     trainer_params = {
         "cfg_path": a.cfg_file, "weights_path": a.weights_file,
         "epochs": a.epoch, "batch_size": a.bs, "resolution": a.reso,

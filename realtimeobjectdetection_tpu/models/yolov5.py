@@ -16,9 +16,13 @@ Numerics notes: BatchNorm eps=1e-3 (ultralytics convention, vs 1e-5 in
 Darknet); activation SiLU; v5 decode ``xy=(2σ-0.5+grid)·stride``,
 ``wh=(2σ)²·anchor``, confidence = objectness · class score.
 
-Inference-only BN (folded at load): v5 training in this framework uses
-the Darknet family; the v5 path exists for detection parity with the
-reference's hub pipeline.
+BN: inference params carry folded ``{"w","b"}`` conv entries (the
+converter folds the checkpoint's BN).  Training uses
+``init_yolov5_params(batch_norm=True)`` entries ``{"w", "bn_gamma",
+"bn_beta", "bn_mean", "bn_var"}`` — batch-stats BN in the train step
+(running stats maintained with ultralytics momentum 0.03), foldable to
+the inference layout with :func:`fold_v5_batchnorm`.  Detect heads
+(m24) are plain biased convs in both layouts, as in ultralytics.
 """
 
 from __future__ import annotations
@@ -33,8 +37,9 @@ from jax import lax
 
 __all__ = ["YoloV5Config", "yolov5_config", "init_yolov5_params",
            "make_yolov5_forward", "decode_v5", "decode_v5_topk",
-           "params_from_ultralytics",
-           "load_v5_checkpoint", "V5_ANCHORS", "V5_STRIDES"]
+           "params_from_ultralytics", "fold_v5_batchnorm",
+           "load_v5_checkpoint", "V5_ANCHORS", "V5_STRIDES",
+           "BN_MOMENTUM_V5"]
 
 V5_ANCHORS = (
     ((10, 13), (16, 30), (33, 23)),      # P3/8
@@ -43,6 +48,7 @@ V5_ANCHORS = (
 )
 V5_STRIDES = (8, 16, 32)
 BN_EPS_V5 = 1e-3
+BN_MOMENTUM_V5 = 0.03  # ultralytics BatchNorm2d(momentum=0.03)
 
 _MULTIPLES = {
     "n": (0.33, 0.25), "s": (0.33, 0.50), "m": (0.67, 0.75),
@@ -78,67 +84,111 @@ def yolov5_config(size: str = "l", num_classes: int = 80) -> YoloV5Config:
 # parameter construction
 # ---------------------------------------------------------------------------
 
-def _conv_param(rng, c1, c2, k):
+def _conv_param(rng, c1, c2, k, bn=False):
     fan_in = c1 * k * k
     w = rng.normal(0, np.sqrt(2.0 / fan_in), (k, k, c1, c2))
+    if bn:  # training layout: conv (no bias) + BatchNorm2d(eps=1e-3)
+        return {"w": w.astype(np.float32),
+                "bn_gamma": np.ones(c2, np.float32),
+                "bn_beta": np.zeros(c2, np.float32),
+                "bn_mean": np.zeros(c2, np.float32),
+                "bn_var": np.ones(c2, np.float32)}
     return {"w": w.astype(np.float32),
             "b": np.zeros(c2, np.float32)}  # BN folded: bias slot
 
 
-def _bottleneck_params(rng, c1, c2, e=1.0):
+def _bottleneck_params(rng, c1, c2, e=1.0, bn=False):
     c_ = int(c2 * e)
-    return {"cv1": _conv_param(rng, c1, c_, 1),
-            "cv2": _conv_param(rng, c_, c2, 3)}
+    return {"cv1": _conv_param(rng, c1, c_, 1, bn),
+            "cv2": _conv_param(rng, c_, c2, 3, bn)}
 
 
-def _c3_params(rng, c1, c2, n, e=0.5):
+def _c3_params(rng, c1, c2, n, e=0.5, bn=False):
     c_ = int(c2 * e)
     return {
-        "cv1": _conv_param(rng, c1, c_, 1),
-        "cv2": _conv_param(rng, c1, c_, 1),
-        "cv3": _conv_param(rng, 2 * c_, c2, 1),
-        "m": [_bottleneck_params(rng, c_, c_, 1.0) for _ in range(n)],
+        "cv1": _conv_param(rng, c1, c_, 1, bn),
+        "cv2": _conv_param(rng, c1, c_, 1, bn),
+        "cv3": _conv_param(rng, 2 * c_, c2, 1, bn),
+        "m": [_bottleneck_params(rng, c_, c_, 1.0, bn) for _ in range(n)],
     }
 
 
-def _sppf_params(rng, c1, c2):
+def _sppf_params(rng, c1, c2, bn=False):
     c_ = c1 // 2
-    return {"cv1": _conv_param(rng, c1, c_, 1),
-            "cv2": _conv_param(rng, c_ * 4, c2, 1)}
+    return {"cv1": _conv_param(rng, c1, c_, 1, bn),
+            "cv2": _conv_param(rng, c_ * 4, c2, 1, bn)}
 
 
-def init_yolov5_params(cfg: YoloV5Config, seed: int = 0) -> Dict:
-    """Random fold-BN parameter pytree, keys = ultralytics module index."""
+def init_yolov5_params(cfg: YoloV5Config, seed: int = 0,
+                       batch_norm: bool = False) -> Dict:
+    """Random parameter pytree, keys = ultralytics module index.
+
+    ``batch_norm=False``: folded inference layout (``{"w","b"}``).
+    ``batch_norm=True``: training layout — every Conv carries BN params
+    (the Detect heads m24 stay plain biased convs, as in ultralytics)
+    and the head biases get the ultralytics prior init
+    (obj ≈ log(8/(640/stride)²), cls ≈ log(0.6/(nc-0.99))) so training
+    starts with sane objectness/class probabilities.
+    """
+    bn = batch_norm
     rng = np.random.RandomState(seed)
     ch = cfg.ch
     d = cfg.depths
     hd = cfg.head_depth
     p: Dict[str, object] = {}
-    p["m0"] = _conv_param(rng, 3, ch[0], 6)                 # stem 6x6/2
-    p["m1"] = _conv_param(rng, ch[0], ch[1], 3)             # /4
-    p["m2"] = _c3_params(rng, ch[1], ch[1], d[0])
-    p["m3"] = _conv_param(rng, ch[1], ch[2], 3)             # /8
-    p["m4"] = _c3_params(rng, ch[2], ch[2], d[1])           # -> P3
-    p["m5"] = _conv_param(rng, ch[2], ch[3], 3)             # /16
-    p["m6"] = _c3_params(rng, ch[3], ch[3], d[2])           # -> P4
-    p["m7"] = _conv_param(rng, ch[3], ch[4], 3)             # /32
-    p["m8"] = _c3_params(rng, ch[4], ch[4], d[3])
-    p["m9"] = _sppf_params(rng, ch[4], ch[4])
+    p["m0"] = _conv_param(rng, 3, ch[0], 6, bn)             # stem 6x6/2
+    p["m1"] = _conv_param(rng, ch[0], ch[1], 3, bn)         # /4
+    p["m2"] = _c3_params(rng, ch[1], ch[1], d[0], bn=bn)
+    p["m3"] = _conv_param(rng, ch[1], ch[2], 3, bn)         # /8
+    p["m4"] = _c3_params(rng, ch[2], ch[2], d[1], bn=bn)    # -> P3
+    p["m5"] = _conv_param(rng, ch[2], ch[3], 3, bn)         # /16
+    p["m6"] = _c3_params(rng, ch[3], ch[3], d[2], bn=bn)    # -> P4
+    p["m7"] = _conv_param(rng, ch[3], ch[4], 3, bn)         # /32
+    p["m8"] = _c3_params(rng, ch[4], ch[4], d[3], bn=bn)
+    p["m9"] = _sppf_params(rng, ch[4], ch[4], bn)
     # PAN head
-    p["m10"] = _conv_param(rng, ch[4], ch[3], 1)
-    p["m13"] = _c3_params(rng, ch[3] * 2, ch[3], hd)
-    p["m14"] = _conv_param(rng, ch[3], ch[2], 1)
-    p["m17"] = _c3_params(rng, ch[2] * 2, ch[2], hd)        # -> P3 out
-    p["m18"] = _conv_param(rng, ch[2], ch[2], 3)            # down
-    p["m20"] = _c3_params(rng, ch[2] * 2, ch[3], hd)        # -> P4 out
-    p["m21"] = _conv_param(rng, ch[3], ch[3], 3)            # down
-    p["m23"] = _c3_params(rng, ch[3] * 2, ch[4], hd)        # -> P5 out
+    p["m10"] = _conv_param(rng, ch[4], ch[3], 1, bn)
+    p["m13"] = _c3_params(rng, ch[3] * 2, ch[3], hd, bn=bn)
+    p["m14"] = _conv_param(rng, ch[3], ch[2], 1, bn)
+    p["m17"] = _c3_params(rng, ch[2] * 2, ch[2], hd, bn=bn)  # -> P3 out
+    p["m18"] = _conv_param(rng, ch[2], ch[2], 3, bn)         # down
+    p["m20"] = _c3_params(rng, ch[2] * 2, ch[3], hd, bn=bn)  # -> P4 out
+    p["m21"] = _conv_param(rng, ch[3], ch[3], 3, bn)         # down
+    p["m23"] = _c3_params(rng, ch[3] * 2, ch[4], hd, bn=bn)  # -> P5 out
     p["m24"] = {                                             # Detect
         "0": _conv_param(rng, ch[2], cfg.no, 1),
         "1": _conv_param(rng, ch[3], cfg.no, 1),
         "2": _conv_param(rng, ch[4], cfg.no, 1),
     }
+    if batch_norm:  # ultralytics Detect._initialize_biases
+        nc = cfg.num_classes
+        for i, stride in enumerate(V5_STRIDES):
+            b = p["m24"][str(i)]["b"].reshape(3, 5 + nc)
+            b[:, 4] += math.log(8.0 / (640.0 / stride) ** 2)
+            b[:, 5:] += math.log(0.6 / (nc - 0.99)) if nc > 1 else 0.0
+            p["m24"][str(i)]["b"] = b.reshape(-1)
     return p
+
+
+def fold_v5_batchnorm(params):
+    """Fold training-layout BN params into the inference ``{"w","b"}``
+    layout (running stats + affine -> conv scale/bias; mirrors the
+    darknet-side fold_batchnorm and the ultralytics fuse())."""
+    if isinstance(params, list):
+        return [fold_v5_batchnorm(q) for q in params]
+    if not isinstance(params, dict):
+        return params
+    if "bn_gamma" in params:
+        w = jnp.asarray(params["w"])
+        gamma = jnp.asarray(params["bn_gamma"])
+        beta = jnp.asarray(params["bn_beta"])
+        mean = jnp.asarray(params["bn_mean"])
+        var = jnp.asarray(params["bn_var"])
+        scale = gamma * lax.rsqrt(var + BN_EPS_V5)
+        return {"w": w * scale[None, None, None, :],
+                "b": beta - mean * scale}
+    return {k: fold_v5_batchnorm(v) if k != "w" and k != "b"
+            else jnp.asarray(v) for k, v in params.items()}
 
 
 # ---------------------------------------------------------------------------
@@ -146,7 +196,7 @@ def init_yolov5_params(cfg: YoloV5Config, seed: int = 0) -> Dict:
 # ---------------------------------------------------------------------------
 
 def _conv(x, p, stride=1, compute_dtype=jnp.bfloat16, act=True,
-          out_dtype=jnp.float32):
+          out_dtype=jnp.float32, bn="fold", stats=None, name=""):
     k = p["w"].shape[0]
     pad = (k - 1) // 2 if k != 6 else 2   # stem 6x6/2 uses pad 2
     preferred = jnp.float32 if compute_dtype == jnp.float32 else None
@@ -159,29 +209,55 @@ def _conv(x, p, stride=1, compute_dtype=jnp.bfloat16, act=True,
         (stride, stride), [(pad, pad), (pad, pad)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=preferred).astype(out_dtype)
-    y = y + jnp.asarray(p["b"])[None, None, None, :].astype(out_dtype)
+    if "bn_gamma" in p:  # training layout: BatchNorm2d(eps=1e-3)
+        gamma = jnp.asarray(p["bn_gamma"])
+        beta = jnp.asarray(p["bn_beta"])
+        if bn == "batch":
+            yf = y.astype(jnp.float32)
+            mean = jnp.mean(yf, axis=(0, 1, 2))
+            var = jnp.mean(jnp.square(yf - mean[None, None, None, :]),
+                           axis=(0, 1, 2))
+            if stats is not None:
+                stats[name] = (mean, var)
+        else:  # "running"
+            mean, var = jnp.asarray(p["bn_mean"]), jnp.asarray(p["bn_var"])
+        inv = lax.rsqrt(var + BN_EPS_V5)
+        y = ((y - mean.astype(out_dtype))
+             * (gamma * inv).astype(out_dtype)
+             + beta.astype(out_dtype))
+    else:
+        y = y + jnp.asarray(p["b"])[None, None, None, :].astype(out_dtype)
     if act:
         y = y * jax.nn.sigmoid(y)  # SiLU
     return y
 
 
-def _bottleneck(x, p, shortcut, dtype, odt=jnp.float32):
-    y = _conv(x, p["cv1"], 1, dtype, out_dtype=odt)
-    y = _conv(y, p["cv2"], 1, dtype, out_dtype=odt)
+def _bottleneck(x, p, shortcut, dtype, odt=jnp.float32, bn="fold",
+                stats=None, name=""):
+    y = _conv(x, p["cv1"], 1, dtype, out_dtype=odt, bn=bn, stats=stats,
+              name=name + ".cv1")
+    y = _conv(y, p["cv2"], 1, dtype, out_dtype=odt, bn=bn, stats=stats,
+              name=name + ".cv2")
     return x + y if shortcut else y
 
 
-def _c3(x, p, shortcut, dtype, odt=jnp.float32):
-    y1 = _conv(x, p["cv1"], 1, dtype, out_dtype=odt)
-    for bp in p["m"]:
-        y1 = _bottleneck(y1, bp, shortcut, dtype, odt)
-    y2 = _conv(x, p["cv2"], 1, dtype, out_dtype=odt)
+def _c3(x, p, shortcut, dtype, odt=jnp.float32, bn="fold", stats=None,
+        name=""):
+    y1 = _conv(x, p["cv1"], 1, dtype, out_dtype=odt, bn=bn, stats=stats,
+               name=name + ".cv1")
+    for j, bp in enumerate(p["m"]):
+        y1 = _bottleneck(y1, bp, shortcut, dtype, odt, bn, stats,
+                         f"{name}.m{j}")
+    y2 = _conv(x, p["cv2"], 1, dtype, out_dtype=odt, bn=bn, stats=stats,
+               name=name + ".cv2")
     return _conv(jnp.concatenate([y1, y2], -1), p["cv3"], 1, dtype,
-                 out_dtype=odt)
+                 out_dtype=odt, bn=bn, stats=stats, name=name + ".cv3")
 
 
-def _sppf(x, p, dtype, k=5, odt=jnp.float32):
-    y = _conv(x, p["cv1"], 1, dtype, out_dtype=odt)
+def _sppf(x, p, dtype, k=5, odt=jnp.float32, bn="fold", stats=None,
+          name=""):
+    y = _conv(x, p["cv1"], 1, dtype, out_dtype=odt, bn=bn, stats=stats,
+              name=name + ".cv1")
     pool = lambda t: lax.reduce_window(t, -jnp.inf, lax.max,
                                        (1, k, k, 1), (1, 1, 1, 1),
                                        [(0, 0), (k // 2, k // 2),
@@ -190,7 +266,7 @@ def _sppf(x, p, dtype, k=5, odt=jnp.float32):
     y2 = pool(y1)
     y3 = pool(y2)
     return _conv(jnp.concatenate([y, y1, y2, y3], -1), p["cv2"], 1, dtype,
-                 out_dtype=odt)
+                 out_dtype=odt, bn=bn, stats=stats, name=name + ".cv2")
 
 
 def _upsample2(x):
@@ -202,7 +278,9 @@ def _upsample2(x):
 
 
 def make_yolov5_forward(cfg: YoloV5Config, compute_dtype=jnp.bfloat16,
-                        activation_dtype=None, head_dtype=None):
+                        activation_dtype=None, head_dtype=None,
+                        bn_mode: str = "fold",
+                        return_stats: bool = False):
     """Build ``forward(params, x) -> [p3, p4, p5]`` raw heads (NHWC).
 
     ``activation_dtype``: dtype of the materialized inter-layer
@@ -211,40 +289,52 @@ def make_yolov5_forward(cfg: YoloV5Config, compute_dtype=jnp.bfloat16,
     inter-layer HBM transfer — the serving fast path, same trade as
     ``make_forward(activation_dtype=...)`` on the darknet side.
     ``head_dtype``: dtype of the returned raw heads (None = float32).
+
+    ``bn_mode``: "fold" consumes the inference ``{"w","b"}`` layout;
+    "batch"/"running" consume the training layout (see
+    ``init_yolov5_params(batch_norm=True)``) with batch-stats or
+    running-stats BatchNorm.  With ``return_stats=True`` (training) the
+    forward returns ``(heads, {name: (mean, var)})`` for the running-
+    stat update in train/v5.py.
     """
+    assert bn_mode in ("fold", "batch", "running")
     odt = activation_dtype or jnp.float32
     hdt = head_dtype or jnp.float32
 
     def forward(p, x):
         dt = compute_dtype
-        x = _conv(x, p["m0"], 2, dt, out_dtype=odt)
-        x = _conv(x, p["m1"], 2, dt, out_dtype=odt)
-        x = _c3(x, p["m2"], True, dt, odt)
-        x = _conv(x, p["m3"], 2, dt, out_dtype=odt)
-        p3 = _c3(x, p["m4"], True, dt, odt)
-        x = _conv(p3, p["m5"], 2, dt, out_dtype=odt)
-        p4 = _c3(x, p["m6"], True, dt, odt)
-        x = _conv(p4, p["m7"], 2, dt, out_dtype=odt)
-        x = _c3(x, p["m8"], True, dt, odt)
-        p5 = _sppf(x, p["m9"], dt, odt=odt)
+        stats = {} if return_stats and bn_mode == "batch" else None
+        kw = dict(bn=bn_mode, stats=stats)
+        x = _conv(x, p["m0"], 2, dt, out_dtype=odt, name="m0", **kw)
+        x = _conv(x, p["m1"], 2, dt, out_dtype=odt, name="m1", **kw)
+        x = _c3(x, p["m2"], True, dt, odt, bn_mode, stats, "m2")
+        x = _conv(x, p["m3"], 2, dt, out_dtype=odt, name="m3", **kw)
+        p3 = _c3(x, p["m4"], True, dt, odt, bn_mode, stats, "m4")
+        x = _conv(p3, p["m5"], 2, dt, out_dtype=odt, name="m5", **kw)
+        p4 = _c3(x, p["m6"], True, dt, odt, bn_mode, stats, "m6")
+        x = _conv(p4, p["m7"], 2, dt, out_dtype=odt, name="m7", **kw)
+        x = _c3(x, p["m8"], True, dt, odt, bn_mode, stats, "m8")
+        p5 = _sppf(x, p["m9"], dt, odt=odt, bn=bn_mode, stats=stats,
+                   name="m9")
 
-        t5 = _conv(p5, p["m10"], 1, dt, out_dtype=odt)        # 512
+        t5 = _conv(p5, p["m10"], 1, dt, out_dtype=odt, name="m10", **kw)
         x = jnp.concatenate([_upsample2(t5), p4], -1)
-        f4 = _c3(x, p["m13"], False, dt, odt)
-        t4 = _conv(f4, p["m14"], 1, dt, out_dtype=odt)        # 256
+        f4 = _c3(x, p["m13"], False, dt, odt, bn_mode, stats, "m13")
+        t4 = _conv(f4, p["m14"], 1, dt, out_dtype=odt, name="m14", **kw)
         x = jnp.concatenate([_upsample2(t4), p3], -1)
-        out3 = _c3(x, p["m17"], False, dt, odt)               # P3/8
-        x = jnp.concatenate([_conv(out3, p["m18"], 2, dt, out_dtype=odt),
-                             t4], -1)
-        out4 = _c3(x, p["m20"], False, dt, odt)               # P4/16
-        x = jnp.concatenate([_conv(out4, p["m21"], 2, dt, out_dtype=odt),
-                             t5], -1)
-        out5 = _c3(x, p["m23"], False, dt, odt)               # P5/32
+        out3 = _c3(x, p["m17"], False, dt, odt, bn_mode, stats, "m17")
+        x = jnp.concatenate([_conv(out3, p["m18"], 2, dt, out_dtype=odt,
+                                   name="m18", **kw), t4], -1)
+        out4 = _c3(x, p["m20"], False, dt, odt, bn_mode, stats, "m20")
+        x = jnp.concatenate([_conv(out4, p["m21"], 2, dt, out_dtype=odt,
+                                   name="m21", **kw), t5], -1)
+        out5 = _c3(x, p["m23"], False, dt, odt, bn_mode, stats, "m23")
 
         h3 = _conv(out3, p["m24"]["0"], 1, dt, act=False, out_dtype=hdt)
         h4 = _conv(out4, p["m24"]["1"], 1, dt, act=False, out_dtype=hdt)
         h5 = _conv(out5, p["m24"]["2"], 1, dt, act=False, out_dtype=hdt)
-        return [h3, h4, h5]
+        heads = [h3, h4, h5]
+        return (heads, stats) if stats is not None else heads
 
     return forward
 

@@ -1,0 +1,412 @@
+"""YOLOv5 training: ultralytics-semantics loss + jittable train step.
+
+The reference never trains v5 — it consumes ultralytics checkpoints via
+torch.hub (/root/reference/detect.py:258).  A complete framework must be
+able to train the model family it serves, so this module implements the
+ultralytics v6.x ``ComputeLoss``/``build_targets`` semantics TPU-first:
+the per-gt Python loops and boolean-mask indexing of the original become
+fixed-shape candidate tensors (``[B, M, A, S]`` — M padded gt rows, A=3
+anchors, S=5 cell slots) with validity masks, so the whole step is one
+XLA program shardable with the same ('data','space') mesh as the
+darknet step (parallel/mesh.shard_train_step).
+
+Semantics implemented (ultralytics yolov5 utils/loss.py, v6.x defaults):
+
+* anchor filter: keep (gt, anchor) iff ``max(wh/anchor, anchor/wh) <
+  anchor_t`` (4.0) — no best-anchor argmax, all passing anchors train;
+* cell slots: center + the four half-cell-offset neighbors with the
+  exact ultralytics gates (``gxy%1 < 0.5 & gxy > 1`` and the inverse-
+  coordinate mirror), ``gij = floor(gxy - offset)`` so the xy target
+  lives in (-0.5, 1.5) matching ``sigmoid*2-0.5``;
+* box: CIoU between decoded pred (``xy=2σ-0.5``, ``wh=(2σ)²·anchor``)
+  and the gt in grid units, ``lbox = mean(1 - CIoU)`` per layer;
+* obj: BCE over the full grid against ``tobj`` = CIoU (detached,
+  clamped ≥0) scattered at assigned cells, weighted by the layer
+  balance [4.0, 1.0, 0.4];
+* cls: BCE at assigned rows vs one-hot (cp=1, cn=0), only when nc > 1;
+* weights box 0.05 / obj 1.0·(imgsz/640)² / cls 0.5·nc/80, total
+  scaled by the batch size (ultralytics returns loss * bs).
+
+Deviation (documented): where several assignments land on the same
+(cell, anchor), ultralytics' in-order writes keep the last gt's IoU in
+``tobj``; the scatter here keeps the max.  lbox/lcls count duplicates
+exactly like ultralytics (every assignment row contributes).
+
+Gt boxes ride the repo-wide training convention (train/step.py): padded
+``[B, M, 5+C]`` rows, xywh center-format in PIXELS at the train
+resolution, col 4 objectness flag, cols 5: one-hot class.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models.yolov5 import (BN_MOMENTUM_V5, V5_ANCHORS, V5_STRIDES,
+                             YoloV5Config, make_yolov5_forward)
+from .step import EmaTrainState, TrainState, init_train_state
+
+__all__ = ["build_targets_v5", "yolo_loss_v5", "make_train_step_v5",
+           "update_running_stats_v5", "TrainerV5"]
+
+# ultralytics hyp.scratch-low.yaml defaults
+ANCHOR_T = 4.0
+BALANCE = (4.0, 1.0, 0.4)
+W_BOX, W_OBJ, W_CLS = 0.05, 1.0, 0.5
+
+# cell-slot offsets (in cells, scaled by g=0.5): center, left, up,
+# right, down — ultralytics ComputeLoss.build_targets `off` table
+_OFFSETS = np.array([[0.0, 0.0], [0.5, 0.0], [0.0, 0.5],
+                     [-0.5, 0.0], [0.0, -0.5]], np.float32)
+
+
+def _ciou(pxy, pwh, txy, twh, eps=1e-7):
+    """CIoU on xywh boxes (grid units) — ultralytics metrics.bbox_iou."""
+    px1, px2 = pxy[..., 0] - pwh[..., 0] / 2, pxy[..., 0] + pwh[..., 0] / 2
+    py1, py2 = pxy[..., 1] - pwh[..., 1] / 2, pxy[..., 1] + pwh[..., 1] / 2
+    tx1, tx2 = txy[..., 0] - twh[..., 0] / 2, txy[..., 0] + twh[..., 0] / 2
+    ty1, ty2 = txy[..., 1] - twh[..., 1] / 2, txy[..., 1] + twh[..., 1] / 2
+    iw = jnp.clip(jnp.minimum(px2, tx2) - jnp.maximum(px1, tx1), 0)
+    ih = jnp.clip(jnp.minimum(py2, ty2) - jnp.maximum(py1, ty1), 0)
+    inter = iw * ih
+    union = (pwh[..., 0] * pwh[..., 1] + twh[..., 0] * twh[..., 1]
+             - inter + eps)
+    iou = inter / union
+    cw = jnp.maximum(px2, tx2) - jnp.minimum(px1, tx1)
+    ch = jnp.maximum(py2, ty2) - jnp.minimum(py1, ty1)
+    c2 = cw * cw + ch * ch + eps
+    rho2 = (jnp.square(txy[..., 0] - pxy[..., 0])
+            + jnp.square(txy[..., 1] - pxy[..., 1]))
+    v = (4.0 / np.pi ** 2) * jnp.square(
+        jnp.arctan(twh[..., 0] / (twh[..., 1] + eps))
+        - jnp.arctan(pwh[..., 0] / (pwh[..., 1] + eps)))
+    alpha = v / (v - iou + (1.0 + eps))
+    alpha = jax.lax.stop_gradient(alpha)  # ultralytics: alpha no-grad
+    return iou - (rho2 / c2 + v * alpha)
+
+
+def _bce_logits(logits, targets, reduce=None):
+    """Numerically-stable BCEWithLogits (mean if reduce='mean')."""
+    l = jnp.clip(logits, -60, 60)
+    loss = jnp.maximum(l, 0) - l * targets + jnp.log1p(jnp.exp(-jnp.abs(l)))
+    return loss.mean() if reduce == "mean" else loss
+
+
+def build_targets_v5(boxes: jnp.ndarray, box_mask: jnp.ndarray,
+                     grid: int, stride: int,
+                     anchors_px, anchor_t: float = ANCHOR_T):
+    """One layer's fixed-shape assignment tensors.
+
+    Returns dict of ``[B, M, A, S]``-shaped arrays: ``valid`` mask,
+    ``flat`` index into the ``G*G*A`` decode-ordered grid, ``txy``
+    (gxy - gij, the sigmoid*2-0.5 regression target), ``twh`` (gt wh in
+    grid units), ``anc`` (anchor wh in grid units), ``cls`` (int class).
+    """
+    b, m = boxes.shape[0], boxes.shape[1]
+    anc = jnp.asarray(np.asarray(anchors_px, np.float32) / stride)  # [A,2]
+    a = anc.shape[0]
+    s = _OFFSETS.shape[0]
+
+    gxy = boxes[..., 0:2] / stride                     # [B, M, 2]
+    gwh = boxes[..., 2:4] / stride
+    cls = jnp.argmax(boxes[..., 5:], axis=-1)          # [B, M]
+
+    r = gwh[:, :, None, :] / anc[None, None, :, :]     # [B, M, A, 2]
+    anc_ok = jnp.max(jnp.maximum(r, 1.0 / r), axis=-1) < anchor_t
+    gt_ok = box_mask & (boxes[..., 4] > 0) \
+        & (gwh[..., 0] > 0) & (gwh[..., 1] > 0)        # [B, M]
+
+    off = jnp.asarray(_OFFSETS)                        # [S, 2]
+    gij = jnp.floor(gxy[:, :, None, :] - off[None, None, :, :])  # [B,M,S,2]
+    fx, fy = gxy[..., 0] % 1.0, gxy[..., 1] % 1.0
+    gx, gy = gxy[..., 0], gxy[..., 1]
+    slot_ok = jnp.stack([
+        jnp.ones_like(fx, bool),
+        (fx < 0.5) & (gx > 1.0),                         # left
+        (fy < 0.5) & (gy > 1.0),                         # up
+        ((grid - gx) % 1.0 < 0.5) & (grid - gx > 1.0),   # right
+        ((grid - gy) % 1.0 < 0.5) & (grid - gy > 1.0),   # down
+    ], axis=-1)                                          # [B, M, S]
+    in_bounds = ((gij[..., 0] >= 0) & (gij[..., 0] < grid)
+                 & (gij[..., 1] >= 0) & (gij[..., 1] < grid))  # [B,M,S]
+
+    valid = (gt_ok[:, :, None, None] & anc_ok[:, :, :, None]
+             & (slot_ok & in_bounds)[:, :, None, :])     # [B, M, A, S]
+
+    gij_c = jnp.clip(gij, 0, grid - 1).astype(jnp.int32)  # [B, M, S, 2]
+    cell = gij_c[..., 1] * grid + gij_c[..., 0]           # [B, M, S]
+    flat = (cell[:, :, None, :] * a
+            + jnp.arange(a, dtype=jnp.int32)[None, None, :, None])
+    txy = gxy[:, :, None, None, :] - gij_c[:, :, None, :, :]  # [B,M,1,S,2]
+    txy = jnp.broadcast_to(txy, (b, m, a, s, 2))
+    twh = jnp.broadcast_to(gwh[:, :, None, None, :], (b, m, a, s, 2))
+    anc_b = jnp.broadcast_to(anc[None, None, :, None, :], (b, m, a, s, 2))
+    cls_b = jnp.broadcast_to(cls[:, :, None, None], (b, m, a, s))
+    return {"valid": valid, "flat": flat, "txy": txy, "twh": twh,
+            "anc": anc_b, "cls": cls_b}
+
+
+def yolo_loss_v5(heads: List[jnp.ndarray], boxes: jnp.ndarray,
+                 box_mask: jnp.ndarray, num_classes: int,
+                 resolution: int, anchors=V5_ANCHORS,
+                 strides=V5_STRIDES) -> Tuple[jnp.ndarray, Dict]:
+    """Total ultralytics-semantics loss over the three detect layers."""
+    b = heads[0].shape[0]
+    c = 5 + num_classes
+    lbox = lobj = lcls = 0.0
+    for li, (head, anc, stride) in enumerate(zip(heads, anchors, strides)):
+        g = head.shape[1]
+        a = len(anc)
+        p = head.reshape(b, g * g * a, c).astype(jnp.float32)
+        t = build_targets_v5(boxes, box_mask, g, stride, anc)
+        valid = t["valid"].reshape(b, -1)                 # [B, K]
+        flat = t["flat"].reshape(b, -1)
+        k = flat.shape[1]
+
+        rows = jnp.take_along_axis(p, flat[..., None], axis=1)  # [B,K,c]
+        pxy = jax.nn.sigmoid(rows[..., 0:2]) * 2.0 - 0.5
+        pwh = jnp.square(jax.nn.sigmoid(rows[..., 2:4]) * 2.0) \
+            * t["anc"].reshape(b, k, 2)
+        iou = _ciou(pxy, pwh, t["txy"].reshape(b, k, 2),
+                    t["twh"].reshape(b, k, 2))            # [B, K]
+        n = jnp.maximum(valid.sum(), 1)
+        lbox = lbox + (jnp.where(valid, 1.0 - iou, 0.0).sum() / n)
+
+        # obj targets: detached CIoU (gr=1), max at collisions
+        tobj_upd = jnp.where(
+            valid, jnp.clip(jax.lax.stop_gradient(iou), 0.0), -1.0)
+        tobj = jnp.zeros((b, g * g * a), jnp.float32)
+        tobj = tobj.at[jnp.arange(b)[:, None], flat].max(tobj_upd)
+        lobj = lobj + _bce_logits(p[..., 4], tobj, "mean") * BALANCE[li]
+
+        if num_classes > 1:
+            onehot = jax.nn.one_hot(t["cls"].reshape(b, k), num_classes)
+            ce = _bce_logits(rows[..., 5:], onehot)       # [B, K, nc]
+            lcls = lcls + (jnp.where(valid[..., None], ce, 0.0).sum()
+                           / (n * num_classes))
+
+    w_obj = W_OBJ * (resolution / 640.0) ** 2
+    total = (lbox * W_BOX + lobj * w_obj
+             + lcls * W_CLS * num_classes / 80.0) * b
+    return total, {"box": lbox, "obj": lobj, "cls": lcls}
+
+
+def _walk(tree, path: str):
+    node = tree
+    for seg in path.split("."):
+        if isinstance(node, dict) and seg in node:
+            node = node[seg]
+        else:  # bottleneck list: "m<j>" inside a C3
+            node = node["m"][int(seg[1:])]
+    return node
+
+
+def update_running_stats_v5(params, stats: Dict, n_per_channel: int,
+                            momentum: float = BN_MOMENTUM_V5):
+    """Running-mean/var update (ultralytics BatchNorm2d momentum 0.03,
+    unbiased variance for the running estimate, like torch)."""
+    unbias = n_per_channel / max(n_per_channel - 1, 1)
+    new = _deep_copy_containers(params)  # containers copied, leaves shared
+    for path, (mean, var) in stats.items():
+        entry = _walk(new, path)
+        entry["bn_mean"] = (1 - momentum) * entry["bn_mean"] \
+            + momentum * mean
+        entry["bn_var"] = (1 - momentum) * entry["bn_var"] \
+            + momentum * var * unbias
+    return new
+
+
+def _deep_copy_containers(node):
+    """Copy dict/list structure (leaves shared) so in-place path updates
+    don't alias the input pytree."""
+    if isinstance(node, dict):
+        return {k: _deep_copy_containers(v) for k, v in node.items()}
+    if isinstance(node, list):
+        return [_deep_copy_containers(v) for v in node]
+    return node
+
+
+def make_train_step_v5(cfg: YoloV5Config, optimizer,
+                       resolution: int = 640,
+                       compute_dtype=jnp.float32,
+                       update_bn_stats: bool = True,
+                       ema_decay: Optional[float] = None):
+    """Build ``step(state, images, boxes, box_mask) -> (state, loss)``
+    for the native v5 graph — same contract as train/step.py's darknet
+    step, so ``parallel.mesh.shard_train_step`` shards it unchanged.
+
+    ``images``: [B, H, W, 3] float 0-1; ``boxes``: [B, M, 5+C] padded gt
+    rows (pixels at ``resolution``); ``box_mask``: [B, M] bool.
+    """
+    fwd = make_yolov5_forward(cfg, compute_dtype=compute_dtype,
+                              bn_mode="batch", return_stats=True)
+    nc = cfg.num_classes
+
+    def step(state, images, boxes, box_mask):
+        def loss_fn(params):
+            heads, stats = fwd(params, images)
+            loss, parts = yolo_loss_v5(heads, boxes, box_mask, nc,
+                                       resolution)
+            return loss, stats
+
+        (loss, stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        if update_bn_stats:
+            bsz, h, w = images.shape[0], images.shape[1], images.shape[2]
+            params = update_running_stats_v5(params, stats, bsz * h * w)
+        if ema_decay is not None:
+            ema = jax.tree_util.tree_map(
+                lambda e, q: ema_decay * e + (1.0 - ema_decay) * q,
+                state.ema_params, params)
+            return EmaTrainState(params=params, opt_state=opt_state,
+                                 step=state.step + 1,
+                                 ema_params=ema), loss
+        return TrainState(params=params, opt_state=opt_state,
+                          step=state.step + 1), loss
+
+    return step
+
+
+class TrainerV5:
+    """Epoch-loop trainer for the native YOLOv5 graph.
+
+    Mirrors DarknetTrainer's surface (same loaders, three checkpoint
+    tiers ``weight_epoch<N>`` / ``checkpoint`` (best) / ``training_
+    output``, orbax pytrees, optional EMA, optional ('data','space')
+    mesh) for the model family the reference can only consume as a
+    frozen hub checkpoint.  The folded deploy artifact is written next
+    to each pytree as ``<name>.npz`` (inference layout, loadable by
+    ``DetectorV5(weights_path=...)``).
+    """
+
+    def __init__(self, model_size: str = "s", epochs: int = 10,
+                 batch_size: int = 16, resolution: int = 640,
+                 num_classes: int = 80, lr: float = 1e-3,
+                 out_dir: str = "weights_v5", max_boxes: int = 64,
+                 seed: int = 42, mesh=None, spatial: bool = False,
+                 compute_dtype=jnp.float32, resume: bool = False,
+                 ema_decay: Optional[float] = None):
+        from ..models.yolov5 import init_yolov5_params
+        from ..parallel.mesh import make_mesh, shard_train_step
+        assert resolution % 32 == 0
+        self.cfg = YoloV5Config(model_size.lower(), num_classes)
+        self.epochs = epochs
+        self.batch_size = batch_size
+        self.resolution = int(resolution)
+        self.out_dir = out_dir
+        self.max_boxes = max_boxes
+        self.seed = seed
+        self.ema_decay = ema_decay
+        self.history: Dict[str, List[float]] = {}
+
+        params = init_yolov5_params(self.cfg, seed, batch_norm=True)
+        self.optimizer = optax.adam(lr)
+        self.step_fn = make_train_step_v5(
+            self.cfg, self.optimizer, resolution=self.resolution,
+            compute_dtype=compute_dtype, ema_decay=ema_decay)
+        if mesh is None:
+            n = len(jax.devices())
+            self.mesh = make_mesh() if (n > 1 and batch_size % n == 0) \
+                else None
+        else:
+            self.mesh = mesh or None
+        if self.mesh is not None:
+            self.step_jit = shard_train_step(self.step_fn, self.mesh,
+                                             spatial=spatial)
+        else:
+            self.step_jit = jax.jit(self.step_fn)
+        self.state = init_train_state(params, self.optimizer,
+                                      ema_decay=ema_decay)
+        if resume:
+            import os
+            self.restore(os.path.join(self.out_dir, "training_output"))
+
+    @property
+    def eval_params(self):
+        if isinstance(self.state, EmaTrainState):
+            return self.state.ema_params
+        return self.state.params
+
+    def save(self, name: str):
+        import os
+        import orbax.checkpoint as ocp
+        from ..models.yolov5 import fold_v5_batchnorm
+        path = os.path.abspath(os.path.join(self.out_dir, name))
+        ocp.PyTreeCheckpointer().save(path, jax.device_get(self.state),
+                                      force=True)
+        # deploy artifact: folded inference params, flat npz
+        folded = jax.device_get(fold_v5_batchnorm(self.eval_params))
+        flat = {}
+
+        def _dump(node, prefix):
+            # "/"-separated keys: the models.yolov5._unflatten layout, so
+            # DetectorV5(weights_path=<this .npz>) loads it directly
+            if isinstance(node, dict):
+                for k, v in node.items():
+                    _dump(v, f"{prefix}/{k}" if prefix else k)
+            elif isinstance(node, list):  # C3 "m" stacks
+                for j, v in enumerate(node):
+                    _dump(v, f"{prefix}/{j}")
+            else:
+                flat[prefix] = np.asarray(node)
+
+        _dump(folded, "")
+        np.savez(path + ".npz", **flat)
+
+    def restore(self, path: str):
+        import os
+        import orbax.checkpoint as ocp
+        path = os.path.abspath(path)
+        template = jax.device_get(self.state)
+        restored = ocp.PyTreeCheckpointer().restore(path, item=template)
+        self.state = jax.device_put(type(self.state)(*restored))
+
+    def train(self, annotation_dir: str, img_dir: str,
+              dataset_type: str = "COCO", verbose: bool = True):
+        import os
+        import time
+        from ..data.coco import COCODataset
+        from ..data.loader import padded_batches
+        from ..data.voc import VOCDataset
+        from .trainer import DarknetTrainer
+        os.makedirs(self.out_dir, exist_ok=True)
+        if dataset_type.upper() == "VOC":
+            dataset = VOCDataset(annotation_dir, img_dir, self.resolution)
+        else:
+            dataset = COCODataset(annotation_dir, img_dir, self.resolution)
+        batch_num = max(1, (len(dataset) + self.batch_size - 1)
+                        // self.batch_size)
+        self.history.setdefault("train_loss", [])
+        best = None
+        for epoch in range(1, self.epochs + 1):
+            t0 = time.time()
+            running = 0.0
+            for b, (images, boxes, mask) in enumerate(padded_batches(
+                    dataset, self.batch_size, self.max_boxes,
+                    shuffle=True, seed=self.seed, epoch=epoch)):
+                self.state, loss = self.step_jit(
+                    self.state, jnp.asarray(images), jnp.asarray(boxes),
+                    jnp.asarray(mask))
+                loss = float(loss)
+                running += loss
+                if verbose:
+                    DarknetTrainer.progress_bar(epoch, b + 1, batch_num,
+                                                loss)
+            self.save(f"weight_epoch{epoch}")
+            if not np.isnan(running) and (best is None or running < best):
+                best = running
+                self.save("checkpoint")
+            self.history["train_loss"].append(running / batch_num)
+            if verbose:
+                print(f"\n\tAverage Epoch Loss: {running / batch_num}")
+                DarknetTrainer.epoch_eta(t0, time.time(),
+                                         self.epochs - epoch)
+        self.save("training_output")
+        return self.history

@@ -1,0 +1,209 @@
+"""YOLOv5 training: target assignment semantics, loss, learning, BN fold,
+sharded step.  The reference never trains v5 (hub checkpoints only,
+/root/reference/detect.py:258); these tests pin the ultralytics
+ComputeLoss/build_targets semantics the native implementation replicates
+(anchor ratio gate, 3-cell neighbor assignment, CIoU/BCE terms)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from realtimeobjectdetection_tpu.models.yolov5 import (
+    YoloV5Config, fold_v5_batchnorm, init_yolov5_params,
+    make_yolov5_forward)
+from realtimeobjectdetection_tpu.train.step import init_train_state
+from realtimeobjectdetection_tpu.train.v5 import (build_targets_v5,
+                                                  make_train_step_v5,
+                                                  yolo_loss_v5)
+
+
+def _gt(batch=1, m=4):
+    boxes = np.zeros((batch, m, 85), np.float32)
+    mask = np.zeros((batch, m), bool)
+    return boxes, mask
+
+
+def test_build_targets_cell_slots():
+    """Center + exactly the two ultralytics neighbor cells: fx<0.5 picks
+    the left cell, fy>0.5 picks the cell below (utils/loss.py offsets)."""
+    stride, grid = 8, 12
+    boxes, mask = _gt()
+    # gxy = (10.3, 5.7) at stride 8; wh == anchor 0 (10, 13) exactly
+    boxes[0, 0] = 0
+    boxes[0, 0, 0:4] = [10.3 * stride, 5.7 * stride, 10, 13]
+    boxes[0, 0, 4] = 1.0
+    boxes[0, 0, 5 + 7] = 1.0
+    mask[0, 0] = True
+    t = build_targets_v5(jnp.asarray(boxes), jnp.asarray(mask), grid,
+                         stride, ((10, 13), (16, 30), (33, 23)))
+    valid = np.asarray(t["valid"])[0, 0]   # [A, S]
+    flat = np.asarray(t["flat"])[0, 0]
+    # anchor 0 matches exactly; anchors 1/2 pass the <4.0 ratio gate too
+    # (16/10=1.6, 33/10=3.3) — all ratios under anchor_t participate
+    assert valid[0, 0] and valid[1, 0] and valid[2, 0]
+    # slots: center, left (fx=0.3<0.5), NOT up (fy=0.7), NOT right, down
+    assert list(valid[0]) == [True, True, False, False, True]
+    a = 3
+    assert flat[0, 0] == (5 * grid + 10) * a + 0        # center (10, 5)
+    assert flat[0, 1] == (5 * grid + 9) * a + 0         # left   (9, 5)
+    assert flat[0, 4] == (6 * grid + 10) * a + 0        # below  (10, 6)
+    # xy regression target lives in (-0.5, 1.5)
+    txy = np.asarray(t["txy"])[0, 0, 0]
+    assert np.allclose(txy[0], [0.3, 0.7], atol=1e-5)
+    assert np.allclose(txy[1], [1.3, 0.7], atol=1e-5)   # left cell frame
+    assert np.allclose(txy[4], [0.3, -0.3], atol=1e-5)  # below-cell frame
+
+
+def test_build_targets_anchor_ratio_gate():
+    """max(wh/anchor, anchor/wh) >= 4 excludes the anchor."""
+    stride, grid = 8, 12
+    boxes, mask = _gt()
+    boxes[0, 0, 0:4] = [40, 40, 10 * 8 * 4.5, 13 * 8]  # w 4.5x anchor0 w
+    boxes[0, 0, 4] = 1.0
+    boxes[0, 0, 5] = 1.0
+    mask[0, 0] = True
+    t = build_targets_v5(jnp.asarray(boxes), jnp.asarray(mask), grid,
+                         stride, ((10, 13), (16, 30), (33, 23)))
+    valid = np.asarray(t["valid"])[0, 0]
+    assert not valid[0].any()      # anchor 0 gated out by the ratio
+    assert not valid[1].any()      # 360/16 = 22.5 — gated
+    # 360 px wide at stride 8 = 45 cells vs anchor 2 w 33/8: also gated
+    assert not valid[2].any()
+
+
+def test_padded_rows_do_not_contribute():
+    boxes, mask = _gt(batch=2, m=6)
+    boxes[0, 0, 0:4] = [48, 48, 30, 30]
+    boxes[0, 0, 4] = 1.0
+    boxes[0, 0, 5] = 1.0
+    mask[0, 0] = True
+    # row 1 has plausible numbers but mask False -> must be ignored
+    boxes[0, 1] = boxes[0, 0]
+    heads = [jnp.zeros((2, g, g, 255), jnp.float32) for g in (12, 6, 3)]
+    l_with, _ = yolo_loss_v5(heads, jnp.asarray(boxes), jnp.asarray(mask),
+                             80, 96)
+    mask2 = mask.copy()
+    mask2[0, 1] = True
+    l_dup, _ = yolo_loss_v5(heads, jnp.asarray(boxes), jnp.asarray(mask2),
+                            80, 96)
+    assert np.isfinite(float(l_with))
+    # the duplicate row changes the loss -> masking is load-bearing
+    assert float(l_with) != pytest.approx(float(l_dup))
+
+
+def test_v5_step_learns_and_updates_bn():
+    """Full step: loss decreases over a few iterations on a fixed batch,
+    BN running stats move (momentum 0.03), step counter increments."""
+    cfg = YoloV5Config("n")
+    params = init_yolov5_params(cfg, 0, batch_norm=True)
+    opt = optax.adam(1e-3)
+    step = jax.jit(make_train_step_v5(cfg, opt, resolution=96))
+    state = init_train_state(params, opt)
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(4, 96, 96, 3), jnp.float32)
+    boxes, mask = _gt(batch=4, m=8)
+    boxes[:, :2, 0:2] = rng.uniform(20, 76, (4, 2, 2))
+    boxes[:, :2, 2:4] = rng.uniform(12, 48, (4, 2, 2))
+    boxes[:, :2, 4] = 1.0
+    boxes[:, :2, 5] = 1.0
+    mask[:, :2] = True
+    s, loss0 = step(state, images, jnp.asarray(boxes), jnp.asarray(mask))
+    losses = [float(loss0)]
+    for _ in range(12):
+        s, loss = step(s, images, jnp.asarray(boxes), jnp.asarray(mask))
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0] * 0.9
+    assert int(s.step) == 13
+    assert float(jnp.abs(jnp.asarray(s.params["m0"]["bn_mean"])).max()) > 0
+
+
+def test_fold_after_training_matches_running():
+    """fold_v5_batchnorm(trained params) == running-stats forward."""
+    cfg = YoloV5Config("n")
+    params = init_yolov5_params(cfg, 3, batch_norm=True)
+    opt = optax.sgd(1e-3)
+    step = jax.jit(make_train_step_v5(cfg, opt, resolution=96))
+    state = init_train_state(params, opt)
+    rng = np.random.RandomState(1)
+    images = jnp.asarray(rng.rand(2, 96, 96, 3), jnp.float32)
+    boxes, mask = _gt(batch=2, m=4)
+    boxes[:, 0, 0:4] = [48, 48, 24, 24]
+    boxes[:, 0, 4] = 1.0
+    boxes[:, 0, 5] = 1.0
+    mask[:, 0] = True
+    s, _ = step(state, images, jnp.asarray(boxes), jnp.asarray(mask))
+
+    x = jnp.asarray(rng.rand(1, 96, 96, 3), jnp.float32)
+    f_run = jax.jit(make_yolov5_forward(cfg, jnp.float32,
+                                        bn_mode="running"))
+    f_fold = jax.jit(make_yolov5_forward(cfg, jnp.float32,
+                                         bn_mode="fold"))
+    hr = f_run(s.params, x)
+    hf = f_fold(fold_v5_batchnorm(s.params), x)
+    for a, b in zip(hr, hf):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-2, rtol=1e-3)
+
+
+def test_v5_step_shards_over_mesh(cpu_devices):
+    """The v5 step rides the same ('data','space') mesh machinery as the
+    darknet step (parallel/mesh.shard_train_step, unchanged)."""
+    from realtimeobjectdetection_tpu.parallel.mesh import (make_mesh,
+                                                           shard_train_step)
+    cfg = YoloV5Config("n")
+    params = init_yolov5_params(cfg, 0, batch_norm=True)
+    opt = optax.adam(1e-3)
+    step = make_train_step_v5(cfg, opt, resolution=96)
+    mesh = make_mesh(8, data=4, space=2)
+    sharded = shard_train_step(step, mesh, spatial=True)
+    state = init_train_state(params, opt)
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(8, 96, 96, 3), jnp.float32)
+    boxes, mask = _gt(batch=8, m=4)
+    boxes[:, 0, 0:4] = [48, 48, 30, 30]
+    boxes[:, 0, 4] = 1.0
+    boxes[:, 0, 5] = 1.0
+    mask[:, 0] = True
+    with mesh:
+        s2, loss = sharded(state, images, jnp.asarray(boxes),
+                           jnp.asarray(mask))
+    assert np.isfinite(float(loss))
+    assert int(s2.step) == 1
+
+
+def test_trainer_v5_end_to_end(tmp_path):
+    """TrainerV5: two epochs on a synthetic COCO set — loss history,
+    three checkpoint tiers + folded .npz deploy artifact, resume."""
+    from realtimeobjectdetection_tpu.testing import make_synthetic_coco
+    from realtimeobjectdetection_tpu.train.v5 import TrainerV5
+    ann, imgs = make_synthetic_coco(tmp_path, n_images=4,
+                                    img_size=(96, 128))
+    out = str(tmp_path / "w5")
+    tr = TrainerV5(model_size="n", epochs=2, batch_size=2, resolution=96,
+                   lr=1e-3, out_dir=out, max_boxes=8, mesh=False)
+    hist = tr.train(ann, imgs, dataset_type="COCO", verbose=False)
+    assert len(hist["train_loss"]) == 2
+    assert all(np.isfinite(hist["train_loss"]))
+    import os
+    for tier in ["weight_epoch1", "weight_epoch2", "checkpoint",
+                 "training_output"]:
+        assert os.path.isdir(os.path.join(out, tier)), tier
+        assert os.path.isfile(os.path.join(out, tier + ".npz")), tier
+
+    # the folded npz is a loadable inference artifact: same loader path
+    # DetectorV5(weights_path=...) uses
+    from realtimeobjectdetection_tpu.models.yolov5 import load_v5_checkpoint
+    loaded = load_v5_checkpoint(tr.cfg, os.path.join(
+        out, "training_output.npz"))
+    f_fold = jax.jit(make_yolov5_forward(tr.cfg, jnp.float32))
+    heads = f_fold(loaded, jnp.zeros((1, 96, 96, 3), jnp.float32))
+    assert heads[0].shape == (1, 12, 12, 255)
+    assert all(bool(jnp.isfinite(h).all()) for h in heads)
+
+    # resume restores the step counter
+    tr2 = TrainerV5(model_size="n", epochs=2, batch_size=2, resolution=96,
+                    out_dir=out, max_boxes=8, mesh=False, resume=True)
+    assert int(tr2.state.step) == int(tr.state.step)
