@@ -360,3 +360,63 @@ def validate_map(annotation_dir: str, img_dir: str, spec_or_name, params,
         print(f"\tmAP@0.5 = {out['mAP@0.5']:.4f}")
         print(f"\tmAP@[.5:.95] = {out['mAP@[.5:.95]']:.4f}")
     return out
+
+
+def validate_map_v5(annotation_dir: str, img_dir: str, model_size: str,
+                    params, size: int = 640, confidence: float = 0.25,
+                    iou_thresh: float = 0.45, num_classes: int = 80,
+                    top_k: int = 512, max_det: int = 300,
+                    verbose: bool = True):
+    """All-class COCO-style mAP for the native YOLOv5 graph.
+
+    Closes the v5 train->eval loop (the reference has no v5 evaluation
+    at all — its test.py is darknet-only).  ``params`` may be either the
+    training layout (BN entries; evaluated with running stats) or the
+    folded inference layout — detected from the pytree.  Predictions
+    and ground truth share the dataset's letterbox canvas, so the
+    matching geometry is self-consistent.
+    """
+    from ..data.coco import COCODataset
+    from ..models.yolov5 import YoloV5Config, make_yolov5_forward, decode_v5
+    from ..ops.nms import nms_batch_v5
+    from .map import DetectionRecord, evaluate_map
+
+    cfg = YoloV5Config(model_size.lower(), num_classes)
+    bn = "running" if "bn_gamma" in params.get("m0", {}) else "fold"
+    fwd = make_yolov5_forward(cfg, compute_dtype=jnp.float32, bn_mode=bn)
+
+    def detect(p, x):
+        heads = fwd(p, x)
+        pred = decode_v5(heads, num_classes)
+        return nms_batch_v5(pred, num_classes, confidence, iou_thresh,
+                            top_k=top_k, max_det=max_det)
+
+    detect = jax.jit(detect)
+    params = jax.device_put(params)
+    dataset = COCODataset(annotation_dir, img_dir, resolution=size,
+                          keep_img_name=True)
+    rec = DetectionRecord(num_classes=num_classes)
+    n = len(dataset)
+    for i in range(n):
+        _, sample, rows = dataset[i]
+        boxes, valid = detect(params, jnp.asarray(sample[None]))
+        pred = np.asarray(boxes[0])[np.asarray(valid[0])]
+        pred6 = pred if len(pred) else None  # already [x1y1x2y2 conf cls]
+        gt5 = None
+        if rows is not None and len(rows):
+            cls = np.argmax(rows[:, 5:], axis=1)
+            gt5 = np.stack([rows[:, 0] - rows[:, 2] / 2,
+                            rows[:, 1] - rows[:, 3] / 2,
+                            rows[:, 0] + rows[:, 2] / 2,
+                            rows[:, 1] + rows[:, 3] / 2,
+                            cls.astype(np.float32)], axis=1)
+        rec.add_image(pred6, gt5)
+        if verbose and (i % 50 == 0 or i == n - 1):
+            print(f"\rmAP eval (v5): {i + 1}/{n}", end="", flush=True)
+    if verbose:
+        print()
+    out = evaluate_map(rec)
+    if verbose:
+        print(f"\tmAP@0.5 = {out['mAP@0.5']:.4f}")
+        print(f"\tmAP@[.5:.95] = {out['mAP@[.5:.95]']:.4f}")
+    return out

@@ -207,3 +207,24 @@ def test_trainer_v5_end_to_end(tmp_path):
     tr2 = TrainerV5(model_size="n", epochs=2, batch_size=2, resolution=96,
                     out_dir=out, max_boxes=8, mesh=False, resume=True)
     assert int(tr2.state.step) == int(tr.state.step)
+
+
+def test_validate_map_v5_runs(tmp_path):
+    """v5 mAP evaluation closes the train->eval loop: runs on both the
+    training (BN) layout and the folded deploy layout, same scores."""
+    from realtimeobjectdetection_tpu.eval.validator import validate_map_v5
+    from realtimeobjectdetection_tpu.testing import make_synthetic_coco
+    ann, imgs = make_synthetic_coco(tmp_path, n_images=3,
+                                    img_size=(96, 128))
+    cfg = YoloV5Config("n")
+    params = init_yolov5_params(cfg, 0, batch_norm=True)
+    out = validate_map_v5(ann, imgs, "n", params, size=96,
+                          confidence=0.01, verbose=False)
+    assert set(out) >= {"mAP@0.5", "mAP@[.5:.95]"}
+    out2 = validate_map_v5(ann, imgs, "n", fold_v5_batchnorm(params),
+                           size=96, confidence=0.01, verbose=False)
+    for k in ("mAP@0.5", "mAP@[.5:.95]"):
+        a, b = out[k], out2[k]
+        if np.isnan(a) and np.isnan(b):
+            continue
+        assert a == pytest.approx(b, abs=2e-2)
