@@ -234,19 +234,30 @@ def make_train_step_v5(cfg: YoloV5Config, optimizer,
                        resolution: int = 640,
                        compute_dtype=jnp.float32,
                        update_bn_stats: bool = True,
-                       ema_decay: Optional[float] = None):
+                       ema_decay: Optional[float] = None,
+                       augment: bool = False, aug_seed: int = 0,
+                       aug_kwargs: Optional[Dict] = None):
     """Build ``step(state, images, boxes, box_mask) -> (state, loss)``
     for the native v5 graph — same contract as train/step.py's darknet
     step, so ``parallel.mesh.shard_train_step`` shards it unchanged.
 
     ``images``: [B, H, W, 3] float 0-1; ``boxes``: [B, M, 5+C] padded gt
     rows (pixels at ``resolution``); ``box_mask``: [B, M] bool.
+    ``augment``: the in-graph flip/HSV augmentation shared with the
+    darknet step (train/augment.py, model-agnostic).
     """
     fwd = make_yolov5_forward(cfg, compute_dtype=compute_dtype,
                               bn_mode="batch", return_stats=True)
     nc = cfg.num_classes
 
     def step(state, images, boxes, box_mask):
+        if augment:
+            from .augment import augment_batch
+            key = jax.random.fold_in(jax.random.PRNGKey(aug_seed),
+                                     state.step)
+            images, boxes = augment_batch(key, images, boxes,
+                                          **(aug_kwargs or {}))
+
         def loss_fn(params):
             heads, stats = fwd(params, images)
             loss, parts = yolo_loss_v5(heads, boxes, box_mask, nc,
@@ -292,11 +303,15 @@ class TrainerV5:
                  out_dir: str = "weights_v5", max_boxes: int = 64,
                  seed: int = 42, mesh=None, spatial: bool = False,
                  compute_dtype=jnp.float32, resume: bool = False,
-                 ema_decay: Optional[float] = None):
+                 ema_decay: Optional[float] = None,
+                 augment: bool = False, best_on: str = "loss"):
         from ..models.yolov5 import init_yolov5_params
         from ..parallel.mesh import make_mesh, shard_train_step
         assert resolution % 32 == 0
+        assert best_on in ("loss", "map")
         self.cfg = YoloV5Config(model_size.lower(), num_classes)
+        self.model_size = model_size.lower()
+        self.num_classes = num_classes
         self.epochs = epochs
         self.batch_size = batch_size
         self.resolution = int(resolution)
@@ -304,13 +319,15 @@ class TrainerV5:
         self.max_boxes = max_boxes
         self.seed = seed
         self.ema_decay = ema_decay
+        self.best_on = best_on
         self.history: Dict[str, List[float]] = {}
 
         params = init_yolov5_params(self.cfg, seed, batch_norm=True)
         self.optimizer = optax.adam(lr)
         self.step_fn = make_train_step_v5(
             self.cfg, self.optimizer, resolution=self.resolution,
-            compute_dtype=compute_dtype, ema_decay=ema_decay)
+            compute_dtype=compute_dtype, ema_decay=ema_decay,
+            augment=augment, aug_seed=seed)
         if mesh is None:
             n = len(jax.devices())
             self.mesh = make_mesh() if (n > 1 and batch_size % n == 0) \
@@ -400,8 +417,22 @@ class TrainerV5:
                     DarknetTrainer.progress_bar(epoch, b + 1, batch_num,
                                                 loss)
             self.save(f"weight_epoch{epoch}")
-            if not np.isnan(running) and (best is None or running < best):
-                best = running
+            if self.best_on == "map" and dataset_type.upper() != "VOC":
+                from ..eval.validator import validate_map_v5
+                scores = validate_map_v5(
+                    annotation_dir, img_dir, self.model_size,
+                    self.eval_params, size=self.resolution,
+                    num_classes=self.num_classes, verbose=verbose)
+                metric = scores["mAP@0.5"]
+                self.history.setdefault("train_map50", []).append(metric)
+                improved = (not np.isnan(metric)
+                            and (best is None or metric > best))
+            else:
+                metric = running
+                improved = (not np.isnan(metric)
+                            and (best is None or metric < best))
+            if improved:
+                best = metric
                 self.save("checkpoint")
             self.history["train_loss"].append(running / batch_num)
             if verbose:

@@ -228,3 +228,21 @@ def test_validate_map_v5_runs(tmp_path):
         if np.isnan(a) and np.isnan(b):
             continue
         assert a == pytest.approx(b, abs=2e-2)
+
+
+def test_trainer_v5_best_on_map_and_augment(tmp_path):
+    """best_on='map' evaluates per-epoch mAP for the checkpoint tier;
+    augment=True runs the shared in-graph flip/HSV augmentation."""
+    from realtimeobjectdetection_tpu.testing import make_synthetic_coco
+    from realtimeobjectdetection_tpu.train.v5 import TrainerV5
+    ann, imgs = make_synthetic_coco(tmp_path, n_images=2,
+                                    img_size=(96, 128))
+    out = str(tmp_path / "w5m")
+    tr = TrainerV5(model_size="n", epochs=1, batch_size=2, resolution=96,
+                   out_dir=out, max_boxes=8, mesh=False, augment=True,
+                   best_on="map")
+    hist = tr.train(ann, imgs, dataset_type="COCO", verbose=False)
+    assert "train_map50" in hist and len(hist["train_map50"]) == 1
+    import os
+    assert os.path.isdir(os.path.join(out, "checkpoint")) or \
+        np.isnan(hist["train_map50"][0])
