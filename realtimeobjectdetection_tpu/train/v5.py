@@ -39,7 +39,7 @@ resolution, col 4 objectness flag, cols 5: one-hot class.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -260,7 +260,7 @@ def make_train_step_v5(cfg: YoloV5Config, optimizer,
 
         def loss_fn(params):
             heads, stats = fwd(params, images)
-            loss, parts = yolo_loss_v5(heads, boxes, box_mask, nc,
+            loss, _parts = yolo_loss_v5(heads, boxes, box_mask, nc,
                                        resolution)
             return loss, stats
 
