@@ -7,6 +7,11 @@ server.  This one is stdlib-only (http.server + threads):
 * ``POST /detect`` with an image body (any cv2-decodable format) ->
   JSON ``{"boxes": [[x1,y1,x2,y2,obj,cls_conf,cls_id], ...],
   "class_names": [...], "latency_ms": t}`` in original-image pixels;
+* ``POST /detect_stream`` with a stream of ``[4-byte big-endian
+  length][image bytes]`` frames -> chunked response, one JSON line per
+  frame in order; frames are fed to the micro-batcher as they arrive,
+  so consecutive frames share device batches (video-over-HTTP without
+  one round-trip per frame);
 * ``GET /healthz`` -> liveness + model info;
 * a micro-batcher thread collects concurrent requests into one
   fixed-shape device batch (up to ``batch_size`` within
@@ -147,16 +152,29 @@ class DetectionService:
                     done((None, dims, e))
 
     # ------------------------------------------------------------------
-    def detect_image(self, img_bgr: np.ndarray) -> np.ndarray:
-        """Synchronous single-image API -> rows in original pixels."""
+    def submit_image(self, img_bgr: np.ndarray) -> "queue.Queue":
+        """Async API: enqueue one image, return the 1-slot result queue.
+
+        Collect with :meth:`collect`.  Lets a caller keep several frames
+        in flight so consecutive frames share device batches (the
+        /detect_stream path)."""
         h, w = img_bgr.shape[:2]
         canvas = self._prep(img_bgr)
         result: "queue.Queue" = queue.Queue(maxsize=1)
+        result.dims = (w, h)  # carried for collect()
         self._q.put((canvas, (w, h), result.put))
-        rows, dims, err = result.get()
+        return result
+
+    def collect(self, result: "queue.Queue") -> np.ndarray:
+        rows, _, err = result.get()
         if err is not None:
             raise err
+        w, h = result.dims
         return self._unletterbox(rows, w, h)
+
+    def detect_image(self, img_bgr: np.ndarray) -> np.ndarray:
+        """Synchronous single-image API -> rows in original pixels."""
+        return self.collect(self.submit_image(img_bgr))
 
     def _unletterbox(self, rows: np.ndarray, w: int, h: int) -> np.ndarray:
         if rows is None or len(rows) == 0:
@@ -262,7 +280,66 @@ def _make_handler(service: DetectionService):
             else:
                 self._json(404, {"error": "unknown path"})
 
+        def _rows_payload(self, rows, t0):
+            return {
+                "boxes": rows.tolist(),
+                "class_names": [service.classes[int(r[service.cls_col])]
+                                for r in rows],
+                "latency_ms": round((time.time() - t0) * 1000, 2),
+            }
+
+        def _detect_stream(self):
+            """[4B big-endian length][image bytes]... -> chunked JSON
+            lines, order-preserving; frames pipelined into the batcher."""
+            import struct
+            length = int(self.headers.get("Content-Length", 0))
+            self.send_response(200)
+            self.send_header("Content-Type", "application/x-ndjson")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+
+            def emit(obj):
+                line = (json.dumps(obj) + "\n").encode()
+                self.wfile.write(f"{len(line):x}\r\n".encode()
+                                 + line + b"\r\n")
+
+            pending = []   # (result_queue, t0) in arrival order
+            consumed = 0
+            max_inflight = max(2, service.batch_size)
+            while consumed + 4 <= length:
+                hdr = self.rfile.read(4)
+                consumed += 4
+                (n,) = struct.unpack(">I", hdr)
+                data = self.rfile.read(n)
+                consumed += n
+                t0 = time.time()
+                img = cv2.imdecode(np.frombuffer(data, np.uint8),
+                                   cv2.IMREAD_COLOR)
+                if img is None:
+                    pending.append((None, t0))
+                else:
+                    pending.append((service.submit_image(img), t0))
+                while len(pending) > max_inflight:
+                    self._drain_one(pending, emit)
+            while pending:
+                self._drain_one(pending, emit)
+            self.wfile.write(b"0\r\n\r\n")  # chunked EOF
+
+        def _drain_one(self, pending, emit):
+            result, t0 = pending.pop(0)
+            if result is None:
+                emit({"error": "undecodable image"})
+                return
+            try:
+                rows = service.collect(result)
+                emit(self._rows_payload(rows, t0))
+            except BaseException as e:
+                emit({"error": repr(e)})
+
         def do_POST(self):
+            if self.path == "/detect_stream":
+                self._detect_stream()
+                return
             if self.path != "/detect":
                 self._json(404, {"error": "unknown path"})
                 return
@@ -282,12 +359,7 @@ def _make_handler(service: DetectionService):
             except BaseException as e:
                 self._json(500, {"error": repr(e)})
                 return
-            self._json(200, {
-                "boxes": rows.tolist(),
-                "class_names": [service.classes[int(r[service.cls_col])]
-                                for r in rows],
-                "latency_ms": round((time.time() - t0) * 1000, 2),
-            })
+            self._json(200, self._rows_payload(rows, t0))
 
     return Handler
 

@@ -131,3 +131,26 @@ def test_v5_healthz_and_detect(server_v5):
 def test_v5_readyz(server_v5):
     status, data = _request(server_v5, "GET", "/readyz")
     assert status == 200 and data["ready"] is True
+
+
+def test_detect_stream(server):
+    """Length-prefixed frame stream in -> one ordered JSON line per
+    frame out (chunked); bad frames yield error lines, order kept."""
+    import struct
+    from urllib.request import Request, urlopen
+    rng = np.random.RandomState(3)
+    body = b""
+    for shape in [(120, 160, 3), (80, 100, 3)]:
+        ok, jpg = cv2.imencode(".jpg", rng.randint(0, 255, shape, np.uint8))
+        body += struct.pack(">I", len(jpg)) + bytes(jpg)
+    body += struct.pack(">I", 5) + b"junk!"   # undecodable frame
+    host, port = server
+    req = Request(f"http://{host}:{port}/detect_stream", data=body,
+                  method="POST")
+    with urlopen(req, timeout=120) as r:
+        lines = [json.loads(l) for l in r.read().splitlines() if l.strip()]
+    assert len(lines) == 3
+    assert "boxes" in lines[0] and "boxes" in lines[1]
+    assert lines[2] == {"error": "undecodable image"}
+    for row in lines[1]["boxes"]:   # second frame: 100x80 original pixels
+        assert 0 <= row[0] <= 100 and 0 <= row[1] <= 80
