@@ -236,7 +236,8 @@ def make_train_step_v5(cfg: YoloV5Config, optimizer,
                        update_bn_stats: bool = True,
                        ema_decay: Optional[float] = None,
                        augment: bool = False, aug_seed: int = 0,
-                       aug_kwargs: Optional[Dict] = None):
+                       aug_kwargs: Optional[Dict] = None,
+                       input_resolution: Optional[int] = None):
     """Build ``step(state, images, boxes, box_mask) -> (state, loss)``
     for the native v5 graph — same contract as train/step.py's darknet
     step, so ``parallel.mesh.shard_train_step`` shards it unchanged.
@@ -245,12 +246,23 @@ def make_train_step_v5(cfg: YoloV5Config, optimizer,
     rows (pixels at ``resolution``); ``box_mask``: [B, M] bool.
     ``augment``: the in-graph flip/HSV augmentation shared with the
     darknet step (train/augment.py, model-agnostic).
+    ``input_resolution``: when it differs from ``resolution``, the batch
+    is bilinearly rescaled in-graph with the boxes scaled to match —
+    the multi-scale training mode shared with the darknet step (loader
+    stays fixed-shape at the base resolution).
     """
     fwd = make_yolov5_forward(cfg, compute_dtype=compute_dtype,
                               bn_mode="batch", return_stats=True)
     nc = cfg.num_classes
+    base = input_resolution or resolution
 
     def step(state, images, boxes, box_mask):
+        if base != resolution:
+            bsz = images.shape[0]
+            images = jax.image.resize(
+                images, (bsz, resolution, resolution, images.shape[3]),
+                "bilinear")
+            boxes = boxes.at[..., 0:4].multiply(resolution / base)
         if augment:
             from .augment import augment_batch
             key = jax.random.fold_in(jax.random.PRNGKey(aug_seed),

@@ -246,3 +246,24 @@ def test_trainer_v5_best_on_map_and_augment(tmp_path):
     import os
     assert os.path.isdir(os.path.join(out, "checkpoint")) or \
         np.isnan(hist["train_map50"][0])
+
+
+def test_v5_multiscale_input_resolution():
+    """input_resolution != resolution: batch rescaled in-graph, boxes
+    scaled to match — shared multi-scale mode with the darknet step."""
+    cfg = YoloV5Config("n")
+    params = init_yolov5_params(cfg, 0, batch_norm=True)
+    opt = optax.adam(1e-3)
+    step = jax.jit(make_train_step_v5(cfg, opt, resolution=128,
+                                      input_resolution=96))
+    state = init_train_state(params, opt)
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(2, 96, 96, 3), jnp.float32)  # base reso
+    boxes, mask = _gt(batch=2, m=4)
+    boxes[:, 0, 0:4] = [48, 48, 30, 30]   # pixels at 96
+    boxes[:, 0, 4] = 1.0
+    boxes[:, 0, 5] = 1.0
+    mask[:, 0] = True
+    s, loss = step(state, images, jnp.asarray(boxes), jnp.asarray(mask))
+    assert np.isfinite(float(loss))
+    assert int(s.step) == 1
