@@ -316,7 +316,6 @@ def stream_arg_parser() -> argparse.ArgumentParser:
 
 
 def stream_cli(argv=None):
-    import os
     a = stream_arg_parser().parse_args(argv)
     from .models.zoo import resolve_spec
     from .weights import init_params, load_darknet_weights
@@ -429,7 +428,6 @@ def convert_arg_parser() -> argparse.ArgumentParser:
 
 
 def convert_cli(argv=None):
-    import os
     import numpy as np
     a = convert_arg_parser().parse_args(argv)
 
@@ -508,6 +506,23 @@ def export_arg_parser() -> argparse.ArgumentParser:
 
 def export_cli(argv=None):
     a = export_arg_parser().parse_args(argv)
+    if a.cfg_file.lower().startswith("yolov5"):
+        from .models.yolov5 import YoloV5Config, init_yolov5_params, \
+            load_v5_checkpoint
+        from .pipeline.export import save_detector_v5
+        size = a.cfg_file[6:] or "s"
+        if a.weights_file:
+            params = load_v5_checkpoint(YoloV5Config(size), a.weights_file)
+        else:
+            params = init_yolov5_params(YoloV5Config(size))
+        meta = save_detector_v5(
+            a.dst, size, params, batch_size=a.batch_size,
+            size=a.reso if a.reso != 416 else 640,
+            confidence=a.confidence if a.confidence != 0.6 else 0.25,
+            iou_thresh=a.nms_thresh if a.nms_thresh != 0.5 else 0.45,
+            top_k=a.top_k)
+        print(f"wrote {a.dst}: {meta}")
+        return 0
     from .models.zoo import resolve_spec
     from .weights import init_params, load_darknet_weights
     from .pipeline.export import save_detector

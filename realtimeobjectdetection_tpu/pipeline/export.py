@@ -26,8 +26,8 @@ from ..model import fold_batchnorm, make_forward
 from ..ops.decode import decode_heads
 from ..ops.nms import nms_batch
 
-__all__ = ["save_detector", "load_detector", "save_detector_bundle",
-           "load_detector_bundle"]
+__all__ = ["save_detector", "save_detector_v5", "load_detector",
+           "save_detector_bundle", "load_detector_bundle"]
 
 _MAGIC = b"RODTPU1\n"
 _MAGIC2 = b"RODTPU2\n"  # multi-batch-size bundle
@@ -61,6 +61,61 @@ def save_detector(path: str, spec: GraphSpec, params,
         "batch_size": batch_size, "resolution": resolution,
         "confidence": confidence, "nms_thresh": nms_thresh,
         "num_classes": num_classes, "top_k": top_k,
+        "platforms": list(exp.platforms),
+    }
+    meta_bytes = json.dumps(meta).encode()
+    with open(path, "wb") as f:
+        f.write(_MAGIC)
+        f.write(struct.pack("<I", len(meta_bytes)))
+        f.write(meta_bytes)
+        f.write(blob)
+    return meta
+
+
+def save_detector_v5(path: str, model_size: str, params,
+                     batch_size: int = 8, size: int = 640,
+                     confidence: float = 0.25, iou_thresh: float = 0.45,
+                     num_classes: int = 80, top_k: int = 512,
+                     max_det: int = 300, compute_dtype=jnp.bfloat16,
+                     fast: bool = True,
+                     platforms: Optional[Tuple[str, ...]] = None) -> dict:
+    """Export the native YOLOv5 detect program (same artifact format;
+    ``load_detector`` consumes it unchanged).  ``params`` may be the
+    training (BN) layout — folded here — or the inference layout.
+    ``fast``: bf16 activation residency + fused decode_v5_topk (the
+    serving default); False = fp32 residency + full decode (AutoShape
+    parity numerics)."""
+    from ..models.yolov5 import (YoloV5Config, decode_v5, decode_v5_topk,
+                                 fold_v5_batchnorm, make_yolov5_forward)
+    from ..ops.nms import nms_batch_v5
+    cfg = YoloV5Config(model_size.lower(), num_classes)
+    if isinstance(params, dict) and "bn_gamma" in params.get("m0", {}):
+        params = fold_v5_batchnorm(params)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    act = jnp.bfloat16 if fast else None
+    fwd = make_yolov5_forward(cfg, compute_dtype=compute_dtype,
+                              activation_dtype=act, head_dtype=act)
+
+    def detect(x):
+        x = x.astype(jnp.float32) / 255.0
+        heads = fwd(params, x)
+        if fast:
+            pred = decode_v5_topk(heads, num_classes, top_k, confidence)
+        else:
+            pred = decode_v5([h.astype(jnp.float32) for h in heads],
+                             num_classes)
+        return nms_batch_v5(pred, num_classes, confidence, iou_thresh,
+                            top_k=top_k, max_det=max_det)
+
+    x_spec = jax.ShapeDtypeStruct((batch_size, size, size, 3), jnp.uint8)
+    kwargs = {"platforms": platforms} if platforms else {}
+    exp = jexport.export(jax.jit(detect), **kwargs)(x_spec)
+    blob = exp.serialize()
+    meta = {
+        "family": f"yolov5{cfg.size}", "batch_size": batch_size,
+        "resolution": size, "confidence": confidence,
+        "nms_thresh": iou_thresh, "num_classes": num_classes,
+        "top_k": top_k, "max_det": max_det, "fast": fast,
         "platforms": list(exp.platforms),
     }
     meta_bytes = json.dumps(meta).encode()
@@ -107,7 +162,6 @@ def save_detector_bundle(path: str, spec: GraphSpec, params,
     """Export the detect program at several static batch sizes into one
     artifact.  ``kw`` = the save_detector knobs (resolution, confidence,
     nms_thresh, num_classes, top_k, compute_dtype, fold, platforms)."""
-    import io
     import os
     import tempfile
 
@@ -149,7 +203,6 @@ class _LoadedBundle:
         self.batch_sizes = sorted(exported_by_bs)
 
     def __call__(self, x):
-        import numpy as np
         x = jnp.asarray(x, jnp.uint8)
         b = x.shape[0]
         fits = [bs for bs in self.batch_sizes if bs >= b]

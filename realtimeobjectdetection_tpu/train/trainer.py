@@ -45,7 +45,7 @@ from ..models.zoo import get_spec
 from ..parallel.mesh import make_mesh, shard_train_step
 from ..weights import (export_darknet_weights, init_params,
                        load_darknet_weights)
-from .step import (EmaTrainState, TrainState, init_train_state,
+from .step import (EmaTrainState, init_train_state,
                    make_train_step)
 
 __all__ = ["DarknetTrainer"]

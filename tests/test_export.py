@@ -93,3 +93,23 @@ def test_bundle_multi_batch_dispatch(tmp_path):
 
     with pytest.raises(ValueError, match="exceeds"):
         det(rng.randint(0, 256, (5, 160, 160, 3), np.uint8))
+
+
+def test_v5_export_round_trip(tmp_path):
+    """save_detector_v5 -> load_detector -> call: the v5 AOT artifact
+    (fp32-parity program on tiny shapes; training-layout params folded
+    at export)."""
+    from realtimeobjectdetection_tpu.models.yolov5 import (
+        YoloV5Config, init_yolov5_params)
+    from realtimeobjectdetection_tpu.pipeline.export import (
+        load_detector, save_detector_v5)
+    params = init_yolov5_params(YoloV5Config("n"), 0, batch_norm=True)
+    path = str(tmp_path / "v5n.stablehlo")
+    meta = save_detector_v5(path, "n", params, batch_size=2, size=96,
+                            fast=False, top_k=32, max_det=20)
+    assert meta["family"] == "yolov5n" and meta["resolution"] == 96
+    det = load_detector(path)
+    x = np.random.RandomState(0).randint(0, 256, (2, 96, 96, 3), np.uint8)
+    boxes, valid = det(x)
+    assert boxes.shape == (2, 20, 6)      # [x1,y1,x2,y2,conf,cls]
+    assert np.isfinite(np.asarray(boxes)).all()
