@@ -154,3 +154,35 @@ def test_detect_stream(server):
     assert lines[2] == {"error": "undecodable image"}
     for row in lines[1]["boxes"]:   # second frame: 100x80 original pixels
         assert 0 <= row[0] <= 100 and 0 <= row[1] <= 80
+
+
+def test_serve_cli_dispatches_by_family(monkeypatch):
+    """'rodtpu serve --cfg yolov5s' must construct the v5 backend with
+    v5 defaults; darknet names go to DetectionService with darknet
+    defaults.  The server itself is monkeypatched out."""
+    from realtimeobjectdetection_tpu import cli
+    from realtimeobjectdetection_tpu.pipeline import server as srv
+    built = {}
+
+    class FakeV5:
+        def __init__(self, **kw):
+            built["v5"] = kw
+
+    class FakeV3:
+        def __init__(self, *a, **kw):
+            built["v3"] = kw
+
+    monkeypatch.setattr(srv, "DetectionServiceV5", FakeV5)
+    monkeypatch.setattr(srv, "DetectionService", FakeV3)
+    monkeypatch.setattr(srv, "serve", lambda s, h, p: ("served", h, p))
+
+    r = cli.serve_cli(["--cfg", "yolov5s", "--port", "1234"])
+    assert r == ("served", "0.0.0.0", 1234)
+    assert built["v5"]["model_size"] == "s"
+    assert built["v5"]["size"] == 640
+    assert built["v5"]["confidence"] == 0.25
+    assert built["v5"]["iou_thresh"] == 0.45
+
+    r = cli.serve_cli(["--cfg", "yolov3-tiny"])
+    assert built["v3"]["resolution"] == 416
+    assert built["v3"]["confidence"] == 0.6
