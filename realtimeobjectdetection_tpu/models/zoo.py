@@ -10,7 +10,8 @@ tested), and specs built from the reference cfg files are asserted equal
 to these definitions when the reference is mounted.
 
 Structural fidelity is checked against the parsed reference cfgs in
-tests/test_model_zoo.py (node-for-node).
+tests/test_cfg_parser.py::test_zoo_matches_reference_cfgs
+(node-for-node).
 """
 
 from __future__ import annotations

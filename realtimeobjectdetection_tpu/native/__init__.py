@@ -106,6 +106,13 @@ def letterbox_batch_native(imgs, size: int, pad_value: int = 128,
     lib = load()
     assert lib is not None, "native library unavailable"
     imgs = [np.ascontiguousarray(im, np.uint8) for im in imgs]
+    for im in imgs:
+        # letterbox_u8 hard-assumes 3 interleaved channels; a grayscale
+        # or RGBA array would read out of bounds in native code
+        if im.ndim != 3 or im.shape[2] != 3:
+            raise ValueError(
+                f"letterbox_batch_native needs HWC 3-channel u8 images, "
+                f"got shape {im.shape}")
     n = len(imgs)
     out = np.empty((n, size, size, 3), np.uint8)
     ptrs = (ctypes.POINTER(ctypes.c_uint8) * n)(*[_u8p(im) for im in imgs])

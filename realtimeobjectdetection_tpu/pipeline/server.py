@@ -199,6 +199,7 @@ class DetectionServiceV5(DetectionService):
                  batch_size: int = 8, batch_window_ms: float = 5.0,
                  compute_dtype=jnp.bfloat16, fused_decode: bool = True,
                  activation_dtype=jnp.bfloat16,
+                 approx_topk: bool = True,
                  class_names: Optional[List[str]] = None):
         from ..models.yolov5 import (YoloV5Config, decode_v5, decode_v5_topk,
                                      init_yolov5_params, load_v5_checkpoint,
@@ -225,7 +226,14 @@ class DetectionServiceV5(DetectionService):
             x = x.astype(jnp.float32) / 255.0
             heads = fwd(p, x)
             if fused_decode:
-                pred = decode_v5_topk(heads, nc, tk, conf)
+                # approx_topk: lax.approx_max_k candidate selection
+                # (recall >= 0.95 of >threshold rows) — +4-5% fps at
+                # bs=512/640² vs the exact sort (PERFORMANCE.md r3);
+                # per_head_gather skips the [B, N, 85] raw concat,
+                # bit-identical rows
+                pred = decode_v5_topk(heads, nc, tk, conf,
+                                      approx=approx_topk,
+                                      per_head_gather=True)
             else:
                 pred = decode_v5([h.astype(jnp.float32) for h in heads], nc)
             return nms_batch_v5(pred, nc, conf, iou, top_k=tk, max_det=md)
@@ -254,6 +262,13 @@ class DetectionServiceV5(DetectionService):
 
 def _make_handler(service: DetectionService):
     class Handler(BaseHTTPRequestHandler):
+        # chunked Transfer-Encoding (the /detect_stream response) is an
+        # HTTP/1.1 framing; under the BaseHTTPRequestHandler default of
+        # HTTP/1.0 spec-compliant clients (curl) would treat the chunk
+        # size lines as body bytes.  Every other response carries an
+        # explicit Content-Length, so keep-alive semantics stay sound.
+        protocol_version = "HTTP/1.1"
+
         def log_message(self, *a):  # quiet
             pass
 
@@ -310,8 +325,15 @@ def _make_handler(service: DetectionService):
                 hdr = self.rfile.read(4)
                 consumed += 4
                 (n,) = struct.unpack(">I", hdr)
-                data = self.rfile.read(n)
-                consumed += n
+                # never read past Content-Length: a malformed frame
+                # claiming more bytes than remain would block this
+                # handler thread on the socket until the client closes
+                truncated = n > length - consumed
+                data = self.rfile.read(min(n, length - consumed))
+                consumed += len(data)
+                if truncated:
+                    pending.append(("truncated frame", time.time()))
+                    break
                 t0 = time.time()
                 img = cv2.imdecode(np.frombuffer(data, np.uint8),
                                    cv2.IMREAD_COLOR)
@@ -329,6 +351,9 @@ def _make_handler(service: DetectionService):
             result, t0 = pending.pop(0)
             if result is None:
                 emit({"error": "undecodable image"})
+                return
+            if isinstance(result, str):
+                emit({"error": result})
                 return
             try:
                 rows = service.collect(result)

@@ -186,3 +186,126 @@ def test_serve_cli_dispatches_by_family(monkeypatch):
     r = cli.serve_cli(["--cfg", "yolov3-tiny"])
     assert built["v3"]["resolution"] == 416
     assert built["v3"]["confidence"] == 0.6
+
+
+def _stream_body(frames):
+    import struct
+    out = b""
+    for f in frames:
+        out += struct.pack(">I", len(f)) + f
+    return out
+
+
+def test_detect_stream_http11_chunked_framing(server):
+    """The /detect_stream response must be spec-valid chunked HTTP/1.1
+    (ADVICE r2: under the BaseHTTPRequestHandler default of HTTP/1.0,
+    curl-class clients would read raw chunk-size lines as body).  Parse
+    the raw socket bytes with a strict chunked decoder."""
+    import socket
+    rng = np.random.RandomState(5)
+    ok, jpg = cv2.imencode(".jpg", rng.randint(0, 255, (60, 80, 3),
+                                               np.uint8))
+    body = _stream_body([bytes(jpg)] * 2)
+    s = socket.create_connection(server, timeout=60)
+    s.sendall((f"POST /detect_stream HTTP/1.1\r\n"
+               f"Host: {server[0]}\r\nContent-Length: {len(body)}\r\n"
+               f"Connection: close\r\n\r\n").encode() + body)
+    raw = b""
+    while True:
+        chunk = s.recv(65536)
+        if not chunk:
+            break
+        raw += chunk
+    s.close()
+    head, _, rest = raw.partition(b"\r\n\r\n")
+    assert head.startswith(b"HTTP/1.1 200"), head.splitlines()[0]
+    assert b"transfer-encoding: chunked" in head.lower()
+    # strict chunked decode
+    lines = []
+    while True:
+        size_line, _, rest = rest.partition(b"\r\n")
+        n = int(size_line, 16)
+        if n == 0:
+            break
+        lines.append(rest[:n])
+        assert rest[n:n + 2] == b"\r\n", "chunk not CRLF-terminated"
+        rest = rest[n + 2:]
+    payload = b"".join(lines).decode().strip().splitlines()
+    assert len(payload) == 2
+    for line in payload:
+        assert "boxes" in json.loads(line)
+
+
+def test_detect_stream_truncated_frame(server):
+    """A frame-length prefix claiming more bytes than remain must not
+    block the handler past Content-Length (ADVICE r2): the server clamps
+    the read and emits an error line instead of hanging."""
+    import struct
+    from urllib.request import Request, urlopen
+    rng = np.random.RandomState(6)
+    ok, jpg = cv2.imencode(".jpg", rng.randint(0, 255, (60, 80, 3),
+                                               np.uint8))
+    body = _stream_body([bytes(jpg)])
+    body += struct.pack(">I", 10_000_000) + b"only-a-few-bytes"
+    host, port = server
+    req = Request(f"http://{host}:{port}/detect_stream", data=body,
+                  method="POST")
+    with urlopen(req, timeout=60) as r:   # must not hit the timeout
+        lines = [json.loads(l) for l in r.read().decode().splitlines()]
+    assert len(lines) == 2
+    assert "boxes" in lines[0]
+    assert lines[1] == {"error": "truncated frame"}
+
+
+def test_detect_stream_client_disconnect(server):
+    """Client vanishing mid-stream must not wedge the server: the
+    handler thread dies with its connection and subsequent requests are
+    served normally (ThreadingHTTPServer isolation)."""
+    import socket
+    import struct
+    rng = np.random.RandomState(7)
+    ok, jpg = cv2.imencode(".jpg", rng.randint(0, 255, (60, 80, 3),
+                                               np.uint8))
+    frame = struct.pack(">I", len(bytes(jpg))) + bytes(jpg)
+    body = frame * 8
+    s = socket.create_connection(server, timeout=60)
+    s.sendall((f"POST /detect_stream HTTP/1.1\r\n"
+               f"Host: {server[0]}\r\nContent-Length: {len(body)}\r\n"
+               f"\r\n").encode() + body[:len(body) // 2])
+    s.recv(1)          # wait until the server started answering
+    s.close()          # vanish mid-request
+    # server still alive and serving
+    status, data = _request(server, "GET", "/healthz")
+    assert status == 200 and data["status"] == "ok"
+    ok, jpg2 = cv2.imencode(".jpg", rng.randint(0, 255, (50, 70, 3),
+                                                np.uint8))
+    status, data = _request(server, "POST", "/detect", bytes(jpg2))
+    assert status == 200 and "boxes" in data
+
+
+def test_detect_hammer_many_clients(server):
+    """16 concurrent clients x 2 requests through the micro-batcher:
+    every request answered 200 with a well-formed payload."""
+    rng = np.random.RandomState(8)
+    payloads = []
+    for i in range(16):
+        ok, jpg = cv2.imencode(".jpg", rng.randint(0, 255, (90, 110, 3),
+                                                   np.uint8))
+        payloads.append(bytes(jpg))
+    results = []
+    lock = threading.Lock()
+
+    def hit(i):
+        for _ in range(2):
+            r = _request(server, "POST", "/detect", payloads[i])
+            with lock:
+                results.append(r)
+
+    threads = [threading.Thread(target=hit, args=(i,)) for i in range(16)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(results) == 32
+    for code, data in results:
+        assert code == 200 and "boxes" in data and "latency_ms" in data
