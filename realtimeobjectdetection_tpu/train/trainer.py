@@ -209,12 +209,25 @@ class DarknetTrainer:
         self.state = jax.device_put(type(self.state)(*restored))
 
     # ------------------------------------------------------------------
-    def get_validator(self, annotation_dir: str, img_dir: str):
+    def get_validator(self, annotation_dir: str, img_dir: str,
+                      batch_size: int = 8, bn_mode: str = "running"):
+        """Attach the per-epoch validator (reference train.py:232-240).
+
+        Defaults run validation in padded batches of 8 with BN running
+        stats — one tunnel dispatch per 8 images instead of per image
+        (VERDICT r2 next-4), and 'running' is the correct eval of the
+        stats the trainer maintains (identical per-image results at any
+        batch size; tests/test_trainer_and_validator.py::
+        test_validator_batched_matches_bs1).  Pass batch_size=1,
+        bn_mode='batch' for the reference's exact bs-1 batch-stats
+        behavior (test.py:46-60)."""
         from ..eval.validator import DarknetValidator
         self._valid_dirs = (annotation_dir, img_dir)  # for best_on="map"
+        self._valid_bn_mode = bn_mode
         self.validator = DarknetValidator(annotation_dir, img_dir,
                                           confidence=self.confidence,
-                                          resolution=self.resolution)
+                                          resolution=self.resolution,
+                                          batch_size=batch_size)
 
     @staticmethod
     def progress_bar(epoch, batch, batch_num, loss):
@@ -304,8 +317,9 @@ class DarknetTrainer:
             if self.validator is None:
                 metric, higher_better = running_loss, False
             else:
-                self.validator.validate_model(self.spec, self.eval_params,
-                                              verbose=verbose)
+                self.validator.validate_model(
+                    self.spec, self.eval_params, verbose=verbose,
+                    bn_mode=getattr(self, "_valid_bn_mode", "running"))
                 self.history["train_precision"].append(
                     self.validator.precision)
                 self.history["train_recall"].append(self.validator.recall)

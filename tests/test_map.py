@@ -95,3 +95,41 @@ def test_validate_map_end_to_end(tmp_path):
                        resolution=160, top_k=32, verbose=False)
     assert "mAP@0.5" in out and "mAP@[.5:.95]" in out
     assert 0.0 <= out["mAP@0.5"] <= 1.0 or np.isnan(out["mAP@0.5"])
+
+def test_validate_map_batched_matches_bs1(tmp_path):
+    """Padded-batch mAP evaluation (VERDICT r2 next-4): identical scores
+    to the per-image path with >=5x fewer device dispatches."""
+    import jax
+    from realtimeobjectdetection_tpu.eval.validator import validate_map
+    from realtimeobjectdetection_tpu.models import get_spec
+    from realtimeobjectdetection_tpu.weights import init_params
+    from realtimeobjectdetection_tpu.testing import make_synthetic_coco
+    ann, imgs = make_synthetic_coco(tmp_path, n_images=7)
+    spec = get_spec("yolov3-tiny", width=160, height=160)
+    params = init_params(spec, 0)
+
+    counts = []
+    for bs in (1, 8):
+        n_calls = [0]
+        orig = jax.jit
+
+        def counting_jit(fn, *a, **kw):
+            compiled = orig(fn, *a, **kw)
+
+            def wrapper(*args, **kwargs):
+                n_calls[0] += 1
+                return compiled(*args, **kwargs)
+            return wrapper
+
+        jax.jit = counting_jit
+        try:
+            out = validate_map(ann, imgs, spec, params, resolution=160,
+                               top_k=32, batch_size=bs, verbose=False)
+        finally:
+            jax.jit = orig
+        counts.append((n_calls[0], out))
+    (n1, out1), (n8, out8) = counts
+    assert n1 == 7 and n8 == 1          # 7 dispatches -> 1 (>=5x fewer)
+    for k in ("mAP@0.5", "mAP@[.5:.95]"):
+        assert out1[k] == out8[k] or (
+            np.isnan(out1[k]) and np.isnan(out8[k]))
