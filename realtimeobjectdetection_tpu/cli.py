@@ -184,7 +184,8 @@ def train_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--confidence", dest="conf", default=0.6, type=float)
     p.add_argument("--cfg", dest="cfg_file", default="yolov3-tiny", type=str)
     p.add_argument("--weights", dest="weights_file", default=None, type=str)
-    p.add_argument("--reso", default=416, type=int)
+    p.add_argument("--reso", default=None, type=int,
+                   help="input resolution (default 416 darknet / 640 v5)")
     p.add_argument("--fine_tune", dest="resume", action="store_true",
                    help="Resume from checkpoint")
     p.add_argument("--dataset", default="COCO", choices=["COCO", "VOC"])
@@ -194,6 +195,18 @@ def train_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--best_on", default="auto",
                    choices=["auto", "f_score", "loss", "map"],
                    help="metric for the best-checkpoint tier")
+    p.add_argument("--augment", action="store_true",
+                   help="in-graph flip/HSV augmentation (train/augment)")
+    p.add_argument("--mosaic", action="store_true",
+                   help="v5 only: in-graph 4-image mosaic (the "
+                        "ultralytics recipe ingredient, static-shape "
+                        "rebuild — train/augment.mosaic_batch)")
+    p.add_argument("--cosine_lr", action="store_true",
+                   help="v5 only: ultralytics one-cycle cosine schedule "
+                        "with 3-epoch linear warmup (lrf=0.01)")
+    p.add_argument("--bf16", action="store_true",
+                   help="v5 only: bf16 MXU compute in the train step "
+                        "(fp32 master weights unchanged)")
     return p
 
 
@@ -203,18 +216,28 @@ def train_cli(argv=None):
         # native v5 training (beyond the reference, which can only
         # consume frozen hub checkpoints): ultralytics loss semantics,
         # same datasets/checkpoint tiers (train/v5.TrainerV5)
+        import jax.numpy as jnp
         from .train.v5 import TrainerV5
+        # None-sentinel default resolution (ADVICE r2): an explicit
+        # --reso 416 for a v5 model must stay 416, only the absent flag
+        # picks the family default
         tr = TrainerV5(model_size=a.cfg_file[6:] or "s", epochs=a.epoch,
                        batch_size=a.bs,
-                       resolution=a.reso if a.reso != 416 else 640,
-                       resume=a.resume, ema_decay=a.ema_decay)
+                       resolution=a.reso if a.reso is not None else 640,
+                       resume=a.resume, ema_decay=a.ema_decay,
+                       augment=a.augment, mosaic=a.mosaic,
+                       lr_schedule="cosine" if a.cosine_lr else "constant",
+                       compute_dtype=jnp.bfloat16 if a.bf16
+                       else jnp.float32)
         tr.train(a.xml, a.images, dataset_type=a.dataset)
         return 0
     trainer_params = {
         "cfg_path": a.cfg_file, "weights_path": a.weights_file,
-        "epochs": a.epoch, "batch_size": a.bs, "resolution": a.reso,
+        "epochs": a.epoch, "batch_size": a.bs,
+        "resolution": a.reso if a.reso is not None else 416,
         "confidence": a.conf, "resume": a.resume,
         "ema_decay": a.ema_decay, "best_on": a.best_on,
+        "augment": a.augment,
     }
     train_params = {"annotation_dir": a.xml, "img_dir": a.images,
                     "dataset_type": a.dataset}
@@ -497,9 +520,12 @@ def export_arg_parser() -> argparse.ArgumentParser:
                    help="comma list (e.g. 1,8,32): export a multi-batch-"
                         "size bundle instead of one program; the loader "
                         "dispatches each call to the smallest fitting size")
-    p.add_argument("--reso", default=416, type=int)
-    p.add_argument("--confidence", default=0.6, type=float)
-    p.add_argument("--nms_thresh", default=0.5, type=float)
+    p.add_argument("--reso", default=None, type=int,
+                   help="input canvas (default 416 darknet / 640 v5)")
+    p.add_argument("--confidence", default=None, type=float,
+                   help="default 0.6 darknet / 0.25 v5")
+    p.add_argument("--nms_thresh", default=None, type=float,
+                   help="default 0.5 darknet / 0.45 v5 IoU")
     p.add_argument("--top_k", default=128, type=int)
     return p
 
@@ -515,17 +541,22 @@ def export_cli(argv=None):
             params = load_v5_checkpoint(YoloV5Config(size), a.weights_file)
         else:
             params = init_yolov5_params(YoloV5Config(size))
+        # None-sentinel defaults (ADVICE r2): explicit values equal to
+        # the darknet defaults must NOT be remapped to v5 defaults
         meta = save_detector_v5(
             a.dst, size, params, batch_size=a.batch_size,
-            size=a.reso if a.reso != 416 else 640,
-            confidence=a.confidence if a.confidence != 0.6 else 0.25,
-            iou_thresh=a.nms_thresh if a.nms_thresh != 0.5 else 0.45,
+            size=a.reso if a.reso is not None else 640,
+            confidence=a.confidence if a.confidence is not None else 0.25,
+            iou_thresh=a.nms_thresh if a.nms_thresh is not None else 0.45,
             top_k=a.top_k)
         print(f"wrote {a.dst}: {meta}")
         return 0
     from .models.zoo import resolve_spec
     from .weights import init_params, load_darknet_weights
     from .pipeline.export import save_detector
+    a.reso = a.reso if a.reso is not None else 416
+    a.confidence = a.confidence if a.confidence is not None else 0.6
+    a.nms_thresh = a.nms_thresh if a.nms_thresh is not None else 0.5
     spec = resolve_spec(a.cfg_file)
     if a.weights_file:
         params, _ = load_darknet_weights(spec, a.weights_file)
