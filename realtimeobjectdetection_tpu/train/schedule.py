@@ -17,7 +17,37 @@ import optax
 
 from ..cfg_parser import GraphSpec
 
-__all__ = ["schedule_from_net", "optimizer_from_net"]
+__all__ = ["schedule_from_net", "optimizer_from_net", "cosine_schedule_v5"]
+
+
+def cosine_schedule_v5(base_lr: float, epochs: int, steps_per_epoch: int,
+                       warmup_epochs: float = 3.0, lrf: float = 0.01,
+                       warmup_start_frac: float = 0.0):
+    """ultralytics one-cycle cosine schedule (train.py ``one_cycle`` +
+    3-epoch linear warmup), per optimizer step.
+
+    After warmup the lr follows
+    ``lr(e) = base_lr * (lrf + (1 - lrf) * 0.5 * (1 + cos(pi e / E)))``
+    with e the fractional epoch; during the first ``warmup_epochs`` it
+    ramps linearly from ``warmup_start_frac * base_lr`` to the cosine
+    curve.  (ultralytics additionally warms bias params from 0.1 with a
+    separate group — one scalar schedule here; deviation documented.)
+    Returns an optax-compatible ``schedule(count) -> lr``.
+    """
+    import jax.numpy as jnp
+    warm_steps = max(int(warmup_epochs * steps_per_epoch), 1)
+
+    def schedule(count):
+        step = jnp.asarray(count, jnp.float32)
+        e = step / steps_per_epoch
+        cos = lrf + (1.0 - lrf) * 0.5 * (1.0 + jnp.cos(
+            jnp.pi * jnp.minimum(e, float(epochs)) / epochs))
+        lr = base_lr * cos
+        warm = base_lr * warmup_start_frac + \
+            (lr - base_lr * warmup_start_frac) * (step / warm_steps)
+        return jnp.where(step < warm_steps, warm, lr)
+
+    return schedule
 
 
 def schedule_from_net(net_raw: Dict[str, str],

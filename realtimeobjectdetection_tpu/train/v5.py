@@ -131,11 +131,14 @@ def build_targets_v5(boxes: jnp.ndarray, box_mask: jnp.ndarray,
         ((grid - gx) % 1.0 < 0.5) & (grid - gx > 1.0),   # right
         ((grid - gy) % 1.0 < 0.5) & (grid - gy > 1.0),   # down
     ], axis=-1)                                          # [B, M, S]
-    in_bounds = ((gij[..., 0] >= 0) & (gij[..., 0] < grid)
-                 & (gij[..., 1] >= 0) & (gij[..., 1] < grid))  # [B,M,S]
-
+    # ultralytics clamps gij into [0, grid-1] and KEEPS the assignment
+    # (``gij.clamp_(0, gain-1)``) — a gt centered exactly on the
+    # right/bottom image edge (gxy == grid) trains the last cell.  The
+    # slot gates above already bound the four offset slots, so the only
+    # rows the clamp moves are those edge centers.  (ADVICE r2: an
+    # earlier in_bounds mask silently dropped them.)
     valid = (gt_ok[:, :, None, None] & anc_ok[:, :, :, None]
-             & (slot_ok & in_bounds)[:, :, None, :])     # [B, M, A, S]
+             & slot_ok[:, :, None, :])                   # [B, M, A, S]
 
     gij_c = jnp.clip(gij, 0, grid - 1).astype(jnp.int32)  # [B, M, S, 2]
     cell = gij_c[..., 1] * grid + gij_c[..., 0]           # [B, M, S]
@@ -237,6 +240,7 @@ def make_train_step_v5(cfg: YoloV5Config, optimizer,
                        ema_decay: Optional[float] = None,
                        augment: bool = False, aug_seed: int = 0,
                        aug_kwargs: Optional[Dict] = None,
+                       mosaic: bool = False,
                        input_resolution: Optional[int] = None):
     """Build ``step(state, images, boxes, box_mask) -> (state, loss)``
     for the native v5 graph — same contract as train/step.py's darknet
@@ -246,6 +250,9 @@ def make_train_step_v5(cfg: YoloV5Config, optimizer,
     rows (pixels at ``resolution``); ``box_mask``: [B, M] bool.
     ``augment``: the in-graph flip/HSV augmentation shared with the
     darknet step (train/augment.py, model-agnostic).
+    ``mosaic``: the in-graph 4-image mosaic (train/augment.mosaic_batch
+    — the ultralytics recipe ingredient the hub checkpoints were trained
+    with, rebuilt with static shapes), applied before flip/HSV.
     ``input_resolution``: when it differs from ``resolution``, the batch
     is bilinearly rescaled in-graph with the boxes scaled to match —
     the multi-scale training mode shared with the darknet step (loader
@@ -263,6 +270,12 @@ def make_train_step_v5(cfg: YoloV5Config, optimizer,
                 images, (bsz, resolution, resolution, images.shape[3]),
                 "bilinear")
             boxes = boxes.at[..., 0:4].multiply(resolution / base)
+        if mosaic:
+            from .augment import mosaic_batch
+            mkey = jax.random.fold_in(
+                jax.random.PRNGKey(aug_seed + 7919), state.step)
+            images, boxes, box_mask = mosaic_batch(mkey, images, boxes,
+                                                   box_mask)
         if augment:
             from .augment import augment_batch
             key = jax.random.fold_in(jax.random.PRNGKey(aug_seed),
@@ -316,11 +329,15 @@ class TrainerV5:
                  seed: int = 42, mesh=None, spatial: bool = False,
                  compute_dtype=jnp.float32, resume: bool = False,
                  ema_decay: Optional[float] = None,
-                 augment: bool = False, best_on: str = "loss"):
+                 augment: bool = False, mosaic: bool = False,
+                 lr_schedule: str = "constant",
+                 warmup_epochs: float = 3.0, lrf: float = 0.01,
+                 best_on: str = "loss"):
         from ..models.yolov5 import init_yolov5_params
         from ..parallel.mesh import make_mesh, shard_train_step
         assert resolution % 32 == 0
         assert best_on in ("loss", "map")
+        assert lr_schedule in ("constant", "cosine")
         self.cfg = YoloV5Config(model_size.lower(), num_classes)
         self.model_size = model_size.lower()
         self.num_classes = num_classes
@@ -333,29 +350,60 @@ class TrainerV5:
         self.ema_decay = ema_decay
         self.best_on = best_on
         self.history: Dict[str, List[float]] = {}
+        # recipe knobs resolved when steps_per_epoch is known (train())
+        self._lr = lr
+        self._lr_schedule = lr_schedule
+        self._warmup_epochs = warmup_epochs
+        self._lrf = lrf
+        self._step_kwargs = dict(
+            resolution=self.resolution, compute_dtype=compute_dtype,
+            ema_decay=ema_decay, augment=augment, mosaic=mosaic,
+            aug_seed=seed)
+        self._spatial = spatial
 
         params = init_yolov5_params(self.cfg, seed, batch_norm=True)
-        self.optimizer = optax.adam(lr)
+        # lr as a (constant) schedule so the opt_state structure stays
+        # identical when _resolve_schedule swaps in the cosine one-cycle
+        # (optax: scalar lr -> ScaleState, callable -> ScaleByScheduleState)
+        self.optimizer = optax.adam(lambda count: lr)
         self.step_fn = make_train_step_v5(
-            self.cfg, self.optimizer, resolution=self.resolution,
-            compute_dtype=compute_dtype, ema_decay=ema_decay,
-            augment=augment, aug_seed=seed)
+            self.cfg, self.optimizer, **self._step_kwargs)
         if mesh is None:
             n = len(jax.devices())
             self.mesh = make_mesh() if (n > 1 and batch_size % n == 0) \
                 else None
         else:
             self.mesh = mesh or None
-        if self.mesh is not None:
-            self.step_jit = shard_train_step(self.step_fn, self.mesh,
-                                             spatial=spatial)
-        else:
-            self.step_jit = jax.jit(self.step_fn)
+        self.step_jit = self._jit_step(self.step_fn)
         self.state = init_train_state(params, self.optimizer,
                                       ema_decay=ema_decay)
         if resume:
             import os
             self.restore(os.path.join(self.out_dir, "training_output"))
+
+    def _jit_step(self, step_fn):
+        from ..parallel.mesh import shard_train_step
+        if self.mesh is not None:
+            return shard_train_step(step_fn, self.mesh,
+                                    spatial=self._spatial)
+        return jax.jit(step_fn)
+
+    def _resolve_schedule(self, steps_per_epoch: int):
+        """Swap in the cosine one-cycle optimizer once steps_per_epoch is
+        known (ultralytics defaults: 3-epoch linear warmup, lrf=0.01).
+        optax.adam(schedule) has the same state structure as adam(lr), so
+        the live (possibly restored) opt_state stays valid."""
+        if self._lr_schedule != "cosine":
+            return
+        from .schedule import cosine_schedule_v5
+        sched = cosine_schedule_v5(self._lr, self.epochs, steps_per_epoch,
+                                   warmup_epochs=self._warmup_epochs,
+                                   lrf=self._lrf)
+        self.optimizer = optax.adam(sched)
+        self.step_fn = make_train_step_v5(
+            self.cfg, self.optimizer, **self._step_kwargs)
+        self.step_jit = self._jit_step(self.step_fn)
+        self._lr_schedule = "resolved"
 
     @property
     def eval_params(self):
@@ -412,6 +460,7 @@ class TrainerV5:
             dataset = COCODataset(annotation_dir, img_dir, self.resolution)
         batch_num = max(1, (len(dataset) + self.batch_size - 1)
                         // self.batch_size)
+        self._resolve_schedule(batch_num)
         self.history.setdefault("train_loss", [])
         best = None
         for epoch in range(1, self.epochs + 1):

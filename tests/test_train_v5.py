@@ -267,3 +267,144 @@ def test_v5_multiscale_input_resolution():
     s, loss = step(state, images, jnp.asarray(boxes), jnp.asarray(mask))
     assert np.isfinite(float(loss))
     assert int(s.step) == 1
+
+
+def test_build_targets_edge_center_clamped_kept():
+    """ultralytics clamps gij into [0, grid-1] and KEEPS the assignment
+    (``gij.clamp_``): a gt centered exactly on the right/bottom image
+    edge (gxy == grid) must train the last cell, not vanish (ADVICE r2)."""
+    grid, stride = 8, 8
+    boxes, mask = _gt()
+    d = grid * stride
+    boxes[0, 0, :4] = [d, d, 24, 24]   # center exactly on the corner
+    boxes[0, 0, 4] = 1.0
+    boxes[0, 0, 5] = 1.0
+    mask[0, 0] = True
+    t = build_targets_v5(jnp.asarray(boxes), jnp.asarray(mask),
+                         grid, stride, ((16, 16), (32, 32), (64, 64)))
+    valid = np.asarray(t["valid"])[0, 0]          # [A, S]
+    flat = np.asarray(t["flat"])[0, 0]
+    assert valid[:, 0].any(), "edge-center assignment was dropped"
+    # the clamped cell is the bottom-right one
+    a = valid[:, 0].argmax()
+    cell = flat[a, 0] // 3
+    assert cell == grid * grid - 1
+
+
+def test_mosaic_batch_geometry():
+    """In-graph mosaic: full canvas coverage, quadrant-consistent box
+    transforms, budget-M compaction with valid rows first."""
+    from realtimeobjectdetection_tpu.train.augment import mosaic_batch
+    b, d, m = 4, 64, 6
+    imgs = np.zeros((b, d, d, 3), np.float32)
+    for i in range(b):
+        imgs[i] = (i + 1) / b           # constant value tags the source
+    boxes = np.zeros((b, m, 85), np.float32)
+    mask = np.zeros((b, m), bool)
+    for i in range(b):
+        boxes[i, 0, :4] = [d / 2, d / 2, 20, 20]
+        boxes[i, 0, 4] = 1.0
+        boxes[i, 0, 5 + i] = 1.0        # class tags the source too
+        mask[i, 0] = True
+    out, nb, nm = jax.jit(mosaic_batch)(
+        jax.random.PRNGKey(0), jnp.asarray(imgs), jnp.asarray(boxes),
+        jnp.asarray(mask))
+    out, nb, nm = np.asarray(out), np.asarray(nb), np.asarray(nm)
+    assert out.shape == imgs.shape and nb.shape == boxes.shape
+    assert (out > 0).all()              # every canvas pixel covered
+    assert nm.sum() == 4 * b            # one box per quadrant survives
+    # valid rows are compacted to the front
+    assert (nm.argmin(axis=1) >= nm.sum(axis=1)).all() or nm.all()
+    v = nb[nm]
+    assert (v[:, 0] >= 0).all() and (v[:, 0] <= d).all()
+    assert (v[:, 2] > 0).all() and (v[:, 2] <= d).all()
+
+
+def test_mosaic_box_stays_inside_source_region():
+    """A box fully inside its source image maps inside that source's
+    quadrant on the canvas (checked via the pixel value at the box
+    center, which tags the source image)."""
+    from realtimeobjectdetection_tpu.train.augment import mosaic_batch
+    b, d = 4, 64
+    imgs = np.zeros((b, d, d, 3), np.float32)
+    for i in range(b):
+        imgs[i] = (i + 1) / 10.0
+    boxes = np.zeros((b, 2, 85), np.float32)
+    mask = np.zeros((b, 2), bool)
+    for i in range(b):
+        boxes[i, 0, :4] = [20, 40, 16, 16]
+        boxes[i, 0, 4] = 1.0
+        boxes[i, 0, 5] = 1.0
+        mask[i, 0] = True
+    out, nb, nm = jax.jit(mosaic_batch)(
+        jax.random.PRNGKey(3), jnp.asarray(imgs), jnp.asarray(boxes),
+        jnp.asarray(mask))
+    out, nb, nm = np.asarray(out), np.asarray(nb), np.asarray(nm)
+    for i in range(b):
+        for r in nb[i][nm[i]]:
+            px = out[i, min(int(r[1]), d - 1), min(int(r[0]), d - 1), 0]
+            assert min(abs(px - (j + 1) / 10.0) for j in range(b)) < 1e-5
+
+
+def test_cosine_schedule_v5_shape():
+    from realtimeobjectdetection_tpu.train.schedule import \
+        cosine_schedule_v5
+    base, epochs, spe = 0.01, 10, 100
+    s = cosine_schedule_v5(base, epochs, spe, warmup_epochs=3, lrf=0.01)
+    lr0 = float(s(0))
+    lr_warm_mid = float(s(150))
+    lr_after_warm = float(s(300))
+    lr_mid = float(s(5 * spe))
+    lr_end = float(s(10 * spe))
+    assert lr0 == pytest.approx(0.0, abs=1e-9)          # warmup from 0
+    assert 0 < lr_warm_mid < lr_after_warm               # ramping up
+    assert lr_after_warm == pytest.approx(
+        base * (0.01 + 0.99 * 0.5 * (1 + np.cos(np.pi * 3 / 10))),
+        rel=1e-3)
+    assert lr_mid == pytest.approx(base * (0.01 + 0.99 * 0.5), rel=1e-3)
+    assert lr_end == pytest.approx(base * 0.01, rel=1e-3)  # floor = lrf
+    assert float(s(12 * spe)) == pytest.approx(base * 0.01, rel=1e-3)
+
+
+def test_v5_step_with_mosaic_and_bf16_runs():
+    """The full recipe step (mosaic + flip/HSV + bf16 MXU compute)
+    compiles and produces a finite loss with grads applied."""
+    cfg = YoloV5Config("n", num_classes=4)
+    opt = optax.adam(1e-3)
+    step = jax.jit(make_train_step_v5(
+        cfg, opt, resolution=64, compute_dtype=jnp.bfloat16,
+        augment=True, mosaic=True))
+    params = init_yolov5_params(cfg, 0, batch_norm=True)
+    state = init_train_state(params, opt)
+    rng = np.random.RandomState(0)
+    imgs = rng.rand(4, 64, 64, 3).astype(np.float32)
+    boxes = np.zeros((4, 4, 9), np.float32)
+    boxes[:, 0, :4] = [32, 32, 24, 24]
+    boxes[:, 0, 4] = 1.0
+    boxes[:, 0, 5] = 1.0
+    mask = np.zeros((4, 4), bool)
+    mask[:, 0] = True
+    state2, loss = step(state, jnp.asarray(imgs), jnp.asarray(boxes),
+                        jnp.asarray(mask))
+    assert np.isfinite(float(loss))
+    assert int(state2.step) == 1
+    # params actually moved
+    d0 = np.asarray(state.params["m0"]["w"])
+    d1 = np.asarray(state2.params["m0"]["w"])
+    assert not np.allclose(d0, d1)
+
+
+def test_trainer_v5_cosine_recipe(tmp_path):
+    """TrainerV5 with the full ultralytics-recipe flags: cosine LR is
+    resolved at train() (same opt_state structure) and the loop runs."""
+    from realtimeobjectdetection_tpu.testing import make_synthetic_coco
+    from realtimeobjectdetection_tpu.train.v5 import TrainerV5
+    ann, imgs = make_synthetic_coco(tmp_path, n_images=4, img_size=(64, 64))
+    tr = TrainerV5(model_size="n", epochs=2, batch_size=2, resolution=64,
+                   num_classes=80, out_dir=str(tmp_path / "w"),
+                   mosaic=True, augment=True, lr_schedule="cosine",
+                   warmup_epochs=1.0, mesh=False)
+    hist = tr.train(ann, imgs, verbose=False)
+    assert len(hist["train_loss"]) == 2
+    assert all(np.isfinite(v) for v in hist["train_loss"])
+    assert tr._lr_schedule == "resolved"
