@@ -11,18 +11,30 @@
 #
 # Usage:  scripts/fetch_and_verify.sh [REFERENCE_DIR]
 #         (default REFERENCE_DIR=/root/reference; needs its imgs/ + det/)
+#
+# Env overrides (stub-test hooks — tests/test_fetch_script.py runs this
+# whole script against a localhost http.server + synthetic artifacts, so
+# the gate itself is tested in-container before egress ever exists):
+#   WEIGHTS_URL_BASE  base URL for the .weights downloads
+#                     (default https://data.pjreddie.com/files)
+#   CFG_NAME          darknet graph for the metrics reproduction
+#                     (default yolov3 — the one the goldens used)
+#   V5_SD_PT          pre-existing yolov5s state-dict .pt; when set,
+#                     skips the torch.hub download
+#   WORK_DIR          scratch dir (default <repo>/weights)
 set -euo pipefail
 
 REF="${1:-/root/reference}"
 HERE="$(cd "$(dirname "$0")/.." && pwd)"
-WORK="${HERE}/weights"
+WORK="${WORK_DIR:-${HERE}/weights}"
+WEIGHTS_URL_BASE="${WEIGHTS_URL_BASE:-https://data.pjreddie.com/files}"
+CFG_NAME="${CFG_NAME:-yolov3}"
 mkdir -p "${WORK}"
 
 echo "== 1/4 fetch pretrained weights (same URLs as ${REF}/get_weights.sh)"
-wget -c -P "${WORK}" https://data.pjreddie.com/files/yolov3.weights
-wget -c -P "${WORK}" https://data.pjreddie.com/files/yolov3-tiny.weights
+wget -c -P "${WORK}" "${WEIGHTS_URL_BASE}/${CFG_NAME}.weights"
 
-echo "== 2/4 reproduce det/metrics.json with the real yolov3 weights"
+echo "== 2/4 reproduce det/metrics.json with the real ${CFG_NAME} weights"
 # The reference's shipped goldens (det/metrics.json) were produced by
 # detect.py:104-107,155 at reso 416, conf 0.6, nms 0.5 with pjreddie's
 # yolov3.weights.  --precision highest = exact fp32 convs so borderline
@@ -30,7 +42,7 @@ echo "== 2/4 reproduce det/metrics.json with the real yolov3 weights"
 OUT="${WORK}/det_real"
 python -m realtimeobjectdetection_tpu.cli detect \
     --images "${REF}/imgs" --det "${OUT}" \
-    --cfg yolov3 --weights "${WORK}/yolov3.weights" \
+    --cfg "${CFG_NAME}" --weights "${WORK}/${CFG_NAME}.weights" \
     --reso 416 --confidence 0.6 --nms_thresh 0.5 \
     --precision highest --top_k 1024
 
@@ -60,12 +72,37 @@ EOF
 echo "== 4/4 ultralytics yolov5 checkpoint through the native converter"
 # torch.hub fetches the same checkpoint the reference loads at
 # detect.py:258; the converter maps it into our native CSP/SPPF/PAN graph.
+if [ -n "${V5_SD_PT:-}" ]; then
+    cp "${V5_SD_PT}" "${WORK}/yolov5s_sd.pt"
+else
 python - "$WORK" <<'EOF'
 import sys
 import torch
 m = torch.hub.load("ultralytics/yolov5", "yolov5s", pretrained=True)
 torch.save(m.model.state_dict() if hasattr(m, "model") else m.state_dict(),
            f"{sys.argv[1]}/yolov5s_sd.pt")
+EOF
+fi
+# FIRST diff the real checkpoint against the vendored schema fixture
+# (tests/golden/yolov5s_state_schema.json): if the download drifted from
+# what the converter was built for, fail here with the exact key/shape
+# delta rather than deep inside the converter.
+python - "$WORK" "$HERE" <<'EOF'
+import json, sys
+import torch
+sd = torch.load(f"{sys.argv[1]}/yolov5s_sd.pt", map_location="cpu",
+                weights_only=False)
+sd = {(k[len("model."):] if k.startswith("model.model.") else k):
+      tuple(v.shape) for k, v in sd.items()}
+schema = {k: tuple(v) for k, v in json.load(
+    open(f"{sys.argv[2]}/tests/golden/yolov5s_state_schema.json")).items()}
+missing = sorted(set(schema) - set(sd))
+extra = sorted(set(sd) - set(schema))
+bad = sorted(k for k in set(sd) & set(schema) if sd[k] != schema[k])
+assert not (missing or extra or bad), (
+    f"checkpoint/schema drift: missing={missing[:5]} extra={extra[:5]} "
+    f"shape-mismatch={[(k, sd[k], schema[k]) for k in bad[:5]]}")
+print(f"schema OK: {len(schema)} keys match the real checkpoint")
 EOF
 python -m realtimeobjectdetection_tpu.cli convert \
     --cfg yolov5s --src "${WORK}/yolov5s_sd.pt" \
