@@ -365,7 +365,8 @@ def decode_v5(heads: List[jnp.ndarray], num_classes: int,
 
 def decode_v5_topk(heads: List[jnp.ndarray], num_classes: int,
                    top_k: int, conf_thresh: float,
-                   anchors=V5_ANCHORS, strides=V5_STRIDES):
+                   anchors=V5_ANCHORS, strides=V5_STRIDES,
+                   approx: bool = False, per_head_gather: bool = False):
     """Fused v5 selection: score every row by ultralytics confidence
     (``sigmoid(obj) * max(sigmoid(cls))`` — the max is taken on logits,
     sigmoid is monotonic) without materializing the [B, N, 5+C] decode,
@@ -373,6 +374,18 @@ def decode_v5_topk(heads: List[jnp.ndarray], num_classes: int,
     (``obj > th and conf > th``) score -1 so they can never displace a
     real candidate.  Feed the result into ``nms_batch_v5(top_k=K)`` —
     survivors identical to the full decode_v5 path (tested).
+
+    Round-3 drill-down levers (profiled at bs=512/640², see
+    PERFORMANCE.md):
+
+    * ``per_head_gather=True`` skips the [B, N, 5+C] raw-head concat
+      (10 ms of pad fusions at bs=512) — only the [B, N] score vector is
+      concatenated, and the winning rows are gathered per head with a
+      range select.  Bit-identical outputs (tested).
+    * ``approx=True`` replaces the sort-based ``lax.top_k`` (13.7 ms on
+      [512, 25200]) with the TPU-native ``lax.approx_max_k`` PartialReduce
+      (recall ≥ 0.95 of true top-k among >threshold rows).  Opt-in for
+      serving; parity paths keep the exact sort.
     """
     b = heads[0].shape[0]
     c = 5 + num_classes
@@ -398,7 +411,7 @@ def decode_v5_topk(heads: List[jnp.ndarray], num_classes: int,
         ahs.append(np.tile(anc_np[:, 1], h * w))
         sts.append(np.full(h * w * a, float(stride), np.float32))
 
-    raw = jnp.concatenate(raw_parts, axis=1)
+    n = sum(p.shape[1] for p in raw_parts)
     scores = jnp.concatenate(score_parts, axis=1)
     consts = jnp.asarray(np.stack(
         [np.concatenate(gxs).astype(np.float32),
@@ -406,10 +419,25 @@ def decode_v5_topk(heads: List[jnp.ndarray], num_classes: int,
          np.concatenate(aws), np.concatenate(ahs),
          np.concatenate(sts)], axis=1))
 
-    k = min(top_k, raw.shape[1])
-    _, idx = jax.lax.top_k(scores, k)
-    rows = jnp.take_along_axis(raw, idx[..., None], axis=1) \
-        .astype(jnp.float32)
+    k = min(top_k, n)
+    if approx:
+        _, idx = jax.lax.approx_max_k(scores, k)
+    else:
+        _, idx = jax.lax.top_k(scores, k)
+    if per_head_gather:
+        rows = jnp.zeros((b, k, c), jnp.float32)
+        off = 0
+        for part in raw_parts:
+            nh = part.shape[1]
+            local = jnp.clip(idx - off, 0, nh - 1)
+            r = jnp.take_along_axis(part, local[..., None], axis=1)
+            sel = (idx >= off) & (idx < off + nh)
+            rows = jnp.where(sel[..., None], r.astype(jnp.float32), rows)
+            off += nh
+    else:
+        raw = jnp.concatenate(raw_parts, axis=1)
+        rows = jnp.take_along_axis(raw, idx[..., None], axis=1) \
+            .astype(jnp.float32)
     cst = consts[idx]
     p = jax.nn.sigmoid(rows)
     xy = (p[..., 0:2] * 2.0 - 0.5 + cst[..., 0:2]) * cst[..., 4:5]

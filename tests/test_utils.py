@@ -48,3 +48,17 @@ def test_trace_to_writes_profile(tmp_path):
     for root, dirs, files in os.walk(str(tmp_path)):
         found.extend(files)
     assert found, "no trace files written"
+
+def test_conv_flops_v5_matches_published():
+    """The v5 FLOP counter lands within 2% of ultralytics' published
+    GFLOPs for every model size (their count = MACs*2 over the same
+    conv set) — the MFU denominator for scripts/bench_v5.py."""
+    from realtimeobjectdetection_tpu.models.yolov5 import YoloV5Config
+    from realtimeobjectdetection_tpu.utils.profiling import conv_flops_v5
+    published = {"n": 4.5, "s": 16.5, "m": 49.0, "l": 109.1, "x": 205.7}
+    for size, pub in published.items():
+        got = conv_flops_v5(YoloV5Config(size), 640) / 1e9
+        assert abs(got - pub) / pub < 0.02, (size, got, pub)
+    # scales quadratically with resolution
+    cfg = YoloV5Config("s")
+    assert conv_flops_v5(cfg, 320) * 4 == conv_flops_v5(cfg, 640)

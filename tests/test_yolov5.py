@@ -451,3 +451,55 @@ def test_v5_act_bf16_default_unchanged():
                                     activation_dtype=None, head_dtype=None))
     for ha, hb in zip(f(params, x), g(params, x)):
         np.testing.assert_array_equal(np.asarray(ha), np.asarray(hb))
+
+
+def test_decode_v5_topk_per_head_gather_bit_identical():
+    """per_head_gather=True skips the [B, N, 5+C] raw concat; the
+    gathered rows must be BIT-identical to the concat path."""
+    import jax, jax.numpy as jnp
+    from realtimeobjectdetection_tpu.models.yolov5 import (
+        YoloV5Config, decode_v5_topk, init_yolov5_params,
+        make_yolov5_forward)
+    cfg = YoloV5Config("n")
+    params = init_yolov5_params(cfg, seed=0)
+    fwd = jax.jit(make_yolov5_forward(cfg, compute_dtype=jnp.float32))
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.rand(2, 320, 320, 3).astype(np.float32))
+    heads = fwd(params, x)
+    a = np.asarray(decode_v5_topk(heads, 80, 128, 0.25))
+    b = np.asarray(decode_v5_topk(heads, 80, 128, 0.25,
+                                  per_head_gather=True))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_decode_v5_topk_approx_high_recall():
+    """approx=True (lax.approx_max_k) must recover the overwhelming
+    majority of the exact top-k's above-threshold candidates (the
+    serving fast path's documented recall >= 0.95 contract)."""
+    import jax, jax.numpy as jnp
+    from realtimeobjectdetection_tpu.models.yolov5 import (
+        YoloV5Config, decode_v5_topk, init_yolov5_params,
+        make_yolov5_forward)
+    cfg = YoloV5Config("n")
+    params = init_yolov5_params(cfg, seed=0)
+    fwd = jax.jit(make_yolov5_forward(cfg, compute_dtype=jnp.float32))
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.rand(2, 320, 320, 3).astype(np.float32))
+    heads = fwd(params, x)
+    k = 128
+    exact = np.asarray(decode_v5_topk(heads, 80, k, 0.25))
+    approx = np.asarray(decode_v5_topk(heads, 80, k, 0.25, approx=True))
+
+    def keyset(rows):
+        conf = rows[..., 4] * rows[..., 5:].max(-1)
+        out = set()
+        for b in range(rows.shape[0]):
+            for i in range(rows.shape[1]):
+                if conf[b, i] > 0.25:
+                    out.add((b, round(float(rows[b, i, 0]), 3),
+                             round(float(rows[b, i, 1]), 3)))
+        return out
+    want, got = keyset(exact), keyset(approx)
+    if want:
+        recall = len(want & got) / len(want)
+        assert recall >= 0.95, recall
