@@ -57,12 +57,16 @@ def batch_sharding(mesh: Mesh, spatial_axis: Optional[int] = None,
     return NamedSharding(mesh, P(*spec))
 
 
-def shard_train_step(step_fn, mesh: Mesh, spatial: bool = True):
+def shard_train_step(step_fn, mesh: Mesh, spatial: bool = True,
+                     donate: bool = False):
     """jit a train step with DP(+SP) shardings over the mesh.
 
     state is replicated; images are sharded [B->data, H->space];
     boxes/box_mask are batch-sharded.  XLA inserts the gradient
-    all-reduce and conv halo exchanges.
+    all-reduce and conv halo exchanges.  ``donate=True`` donates the
+    state argument (params/opt-state buffers update in place — halves
+    the train-state HBM footprint and removes a full state copy per
+    step); the caller must not reuse the old state object afterwards.
     """
     rep = replicated(mesh)
     img_sh = batch_sharding(mesh, spatial_axis=1 if spatial else None)
@@ -70,7 +74,8 @@ def shard_train_step(step_fn, mesh: Mesh, spatial: bool = True):
     mask_sh = batch_sharding(mesh, ndim=2)
     return jax.jit(step_fn,
                    in_shardings=(rep, img_sh, box_sh, mask_sh),
-                   out_shardings=(rep, rep))
+                   out_shardings=(rep, rep),
+                   donate_argnums=(0,) if donate else ())
 
 
 def shard_detect_fn(detect_fn, mesh: Mesh, spatial: bool = False,

@@ -54,10 +54,14 @@ class EmaTrainState(NamedTuple):
 def init_train_state(params, optimizer, ema_decay=None):
     params = jax.tree_util.tree_map(jnp.asarray, params)
     if ema_decay is not None:
+        # ema starts equal to params but must be INDEPENDENT buffers:
+        # a donated train step (trainer donate=True) rejects pytrees
+        # with aliased leaves ("attempt to donate the same buffer twice")
+        ema = jax.tree_util.tree_map(jnp.array, params)
         return EmaTrainState(params=params,
                              opt_state=optimizer.init(params),
                              step=jnp.zeros((), jnp.int32),
-                             ema_params=params)
+                             ema_params=ema)
     return TrainState(params=params, opt_state=optimizer.init(params),
                       step=jnp.zeros((), jnp.int32))
 

@@ -67,6 +67,7 @@ class DarknetTrainer:
                  multiscale_every: int = 10,
                  prewarm: bool = True,
                  ema_decay: Optional[float] = None,
+                 donate: bool = True,
                  best_on: str = "auto"):
         assert isinstance(epochs, int) and isinstance(batch_size, int)
         assert resolution % 32 == 0
@@ -151,11 +152,20 @@ class DarknetTrainer:
         else:
             self.mesh = mesh or None
         self._spatial = spatial
+        # donate: the TrainState argument's buffers are updated in place
+        # by XLA (no params/opt-state copy per step, halves the state
+        # HBM footprint).  The epoch loop immediately rebinds
+        # ``self.state`` to the step output, so the invalidated input is
+        # never reused; warm_step_cache warms on a copy for the same
+        # reason.
+        self._donate = donate
         if self.mesh is not None:
             self.step_jit = shard_train_step(self.step_fn, self.mesh,
-                                             spatial=spatial)
+                                             spatial=spatial,
+                                             donate=donate)
         else:
-            self.step_jit = jax.jit(self.step_fn)
+            self.step_jit = jax.jit(
+                self.step_fn, donate_argnums=(0,) if donate else ())
         self._step_cache[self.resolution] = self.step_jit
 
         self.state = init_train_state(params, self.optimizer,
@@ -172,9 +182,11 @@ class DarknetTrainer:
                                  resolution=resolution,
                                  **self._step_kwargs)
             if self.mesh is not None:
-                fn = shard_train_step(fn, self.mesh, spatial=self._spatial)
+                fn = shard_train_step(fn, self.mesh, spatial=self._spatial,
+                                      donate=self._donate)
             else:
-                fn = jax.jit(fn)
+                fn = jax.jit(
+                    fn, donate_argnums=(0,) if self._donate else ())
             self._step_cache[resolution] = fn
         return self._step_cache[resolution]
 
@@ -272,7 +284,11 @@ class DarknetTrainer:
             boxes = jnp.zeros((self.batch_size, self.max_boxes, 85),
                               jnp.float32)
             mask = jnp.zeros((self.batch_size, self.max_boxes), bool)
-            _, loss = step(self.state, imgs, boxes, mask)
+            # donated steps invalidate their state argument — warm on a
+            # throwaway copy so self.state stays live
+            warm_state = jax.tree_util.tree_map(jnp.array, self.state) \
+                if self._donate else self.state
+            _, loss = step(warm_state, imgs, boxes, mask)
             float(loss)  # host readback = true completion sync on axon
             if verbose and len(self._scales) > 1:
                 print(f"\twarmed step @ {r}x{r} in "

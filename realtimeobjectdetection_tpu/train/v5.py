@@ -332,6 +332,7 @@ class TrainerV5:
                  augment: bool = False, mosaic: bool = False,
                  lr_schedule: str = "constant",
                  warmup_epochs: float = 3.0, lrf: float = 0.01,
+                 donate: bool = True,
                  best_on: str = "loss"):
         from ..models.yolov5 import init_yolov5_params
         from ..parallel.mesh import make_mesh, shard_train_step
@@ -360,6 +361,7 @@ class TrainerV5:
             ema_decay=ema_decay, augment=augment, mosaic=mosaic,
             aug_seed=seed)
         self._spatial = spatial
+        self._donate = donate
 
         params = init_yolov5_params(self.cfg, seed, batch_norm=True)
         # lr as a (constant) schedule so the opt_state structure stays
@@ -382,11 +384,15 @@ class TrainerV5:
             self.restore(os.path.join(self.out_dir, "training_output"))
 
     def _jit_step(self, step_fn):
+        # donate: in-place state update (see DarknetTrainer); the epoch
+        # loop rebinds self.state every step, never reusing the input
         from ..parallel.mesh import shard_train_step
         if self.mesh is not None:
             return shard_train_step(step_fn, self.mesh,
-                                    spatial=self._spatial)
-        return jax.jit(step_fn)
+                                    spatial=self._spatial,
+                                    donate=self._donate)
+        return jax.jit(step_fn,
+                       donate_argnums=(0,) if self._donate else ())
 
     def _resolve_schedule(self, steps_per_epoch: int):
         """Swap in the cosine one-cycle optimizer once steps_per_epoch is

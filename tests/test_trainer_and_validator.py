@@ -470,3 +470,22 @@ def test_best_on_map_checkpointing(tmp_path):
     hist = trainer.train(ann, imgs, dataset_type="COCO", verbose=False)
     assert "train_map50" in hist and len(hist["train_map50"]) == 1
     assert 0.0 <= hist["train_map50"][0] <= 1.0
+
+
+def test_donated_step_keeps_training_loop_valid(tmp_path):
+    """donate=True (default) updates the train state in place; the
+    epoch loop, EMA, checkpointing and warm_step_cache must all stay
+    valid (the donated input is never reused)."""
+    from realtimeobjectdetection_tpu.train.trainer import DarknetTrainer
+    from realtimeobjectdetection_tpu.testing import make_synthetic_coco
+    ann, imgs = make_synthetic_coco(tmp_path, n_images=2)
+    trainer = DarknetTrainer("yolov3-tiny", epochs=2, batch_size=2,
+                             resolution=160, out_dir=str(tmp_path / "w"),
+                             mesh=False, max_boxes=8, ema_decay=0.9)
+    assert trainer._donate
+    trainer.warm_step_cache(verbose=False)      # warms on a copy
+    assert int(trainer.state.step) == 0          # state untouched
+    hist = trainer.train(ann, imgs, dataset_type="COCO", verbose=False)
+    assert len(hist["train_loss"]) == 2
+    assert all(np.isfinite(v) for v in hist["train_loss"])
+    assert int(trainer.state.step) == 2
