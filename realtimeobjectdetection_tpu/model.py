@@ -318,10 +318,15 @@ def make_forward(spec: GraphSpec, bn_mode: str = "fold",
                 and n0.stride == 1 and n0.in_channels == 3), \
             "s2d_stem expects a 3x3/1 3-channel stem conv"
     live = spec.live_after()
-    ladders = _find_ladders(spec) if scan_ladders and not return_stats \
-        and not quantize else {}
+    # ladders scan in every bn mode; with return_stats (the train step)
+    # the per-layer batch statistics ride out of the scan as stacked
+    # outputs — same numerics, ~4x smaller HLO for the unrolled-heavy
+    # train graph (compile robustness on the remote service, r3)
+    ladders = _find_ladders(spec) if scan_ladders and not quantize \
+        and not (return_stats and bn_mode != "batch") else {}
 
-    def _ladder_scan(params, x, start: int, reps: int):
+    def _ladder_scan(params, x, start: int, reps: int,
+                     want_stats: bool = False):
         """Run one residual ladder as a lax.scan over stacked params."""
         def stack(offset, field):
             return jnp.stack([
@@ -348,20 +353,22 @@ def make_forward(spec: GraphSpec, bn_mode: str = "fold",
                 (w1, g1, be1, m1, v1, w2, g2, be2, m2, v2) = ws
                 y = _conv(h, w1, 1, 0, compute_dtype, precision)
                 if bn_mode == "batch":
-                    y, _, _ = _batch_stats_bn(y, g1, be1)
+                    y, bm1, bv1 = _batch_stats_bn(y, g1, be1)
                 else:
                     y = (y - m1) * (g1 * lax.rsqrt(v1 + BN_EPS)) + be1
                 y = jnp.where(y > 0, y, 0.1 * y)
                 y = _conv(y, w2, 1, 1, compute_dtype, precision)
                 if bn_mode == "batch":
-                    y, _, _ = _batch_stats_bn(y, g2, be2)
+                    y, bm2, bv2 = _batch_stats_bn(y, g2, be2)
                 else:
                     y = (y - m2) * (g2 * lax.rsqrt(v2 + BN_EPS)) + be2
                 y = jnp.where(y > 0, y, 0.1 * y)
-                return h + y, None
+                ys = (bm1, bv1, bm2, bv2) if want_stats \
+                    and bn_mode == "batch" else None
+                return h + y, ys
 
-        out, _ = lax.scan(body, x, xs)
-        return out
+        out, ys = lax.scan(body, x, xs)
+        return (out, ys) if want_stats else out
 
     def forward(params, x):
         outputs: Dict[int, jnp.ndarray] = {}
@@ -375,7 +382,14 @@ def make_forward(spec: GraphSpec, bn_mode: str = "fold",
             i = node.index
             if i in ladders:
                 reps = ladders[i]
-                out = _ladder_scan(params, prev, i, reps)
+                if return_stats and bn_mode == "batch":
+                    out, (ms1, vs1, ms2, vs2) = _ladder_scan(
+                        params, prev, i, reps, want_stats=True)
+                    for t in range(reps):
+                        stats[f"node_{i + 3 * t}"] = (ms1[t], vs1[t])
+                        stats[f"node_{i + 3 * t + 1}"] = (ms2[t], vs2[t])
+                else:
+                    out = _ladder_scan(params, prev, i, reps)
                 last = i + 3 * reps - 1
                 outputs[last] = out
                 prev = out

@@ -38,7 +38,7 @@ def _enable_compile_cache():
         pass
 
 
-def build_target(name: str, bs: int, reso: int):
+def build_target(name: str, bs: int, reso: int, dtype: str = None):
     """Return (fn, args, sync) for a pinned program."""
     import jax
     import jax.numpy as jnp
@@ -103,6 +103,7 @@ def build_target(name: str, bs: int, reso: int):
 
     if name in ("v3_train", "v5_train"):
         import optax
+        cd = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
         if name == "v5_train":
             from realtimeobjectdetection_tpu.train.v5 import \
                 make_train_step_v5
@@ -114,7 +115,8 @@ def build_target(name: str, bs: int, reso: int):
             cfg = yolov5_config("s")
             params = init_yolov5_params(cfg, seed=0, batch_norm=True)
             opt = optax.adam(1e-3)
-            step = make_train_step_v5(cfg, opt, resolution=reso)
+            step = make_train_step_v5(cfg, opt, resolution=reso,
+                                      compute_dtype=cd)
             state = init_train_state(params, opt)
         else:
             from realtimeobjectdetection_tpu.models import get_spec
@@ -125,7 +127,8 @@ def build_target(name: str, bs: int, reso: int):
             spec = get_spec("yolov3", width=reso, height=reso)
             params = init_params(spec, 0)
             opt = optax.adam(1e-3)
-            step = make_train_step(spec, opt, resolution=reso)
+            step = make_train_step(spec, opt, resolution=reso,
+                                   compute_dtype=cd)
             state = init_train_state(params, opt)
         m = 16
         images = jnp.asarray(rng.rand(bs, reso, reso, 3), np.float32)
@@ -221,6 +224,8 @@ def main():
                          "v5_train")
     ap.add_argument("--bs", type=int, default=64)
     ap.add_argument("--reso", type=int, default=None)
+    ap.add_argument("--dtype", default=None, choices=["float32", "bfloat16"],
+                    help="train targets: step compute dtype")
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--trace_dir", default=None)
     ap.add_argument("--parse", default=None,
@@ -234,7 +239,8 @@ def main():
     _enable_compile_cache()
     trace_dir = args.trace_dir or \
         f"/tmp/trace_{args.target}_bs{args.bs}"
-    fn, fargs, sync = build_target(args.target, args.bs, args.reso)
+    fn, fargs, sync = build_target(args.target, args.bs, args.reso,
+                               dtype=args.dtype)
     capture(fn, fargs, sync, trace_dir, args.iters)
     parse(trace_dir, args.top, args.iters)
     return 0

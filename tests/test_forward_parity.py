@@ -105,6 +105,40 @@ def test_scan_ladders_numerics_identical():
         np.testing.assert_array_equal(np.asarray(u), np.asarray(v))
 
 
+def test_scan_ladders_batch_stats_identical():
+    """Train-mode (batch-BN + return_stats) scan path == unrolled: the
+    heads AND every per-node batch statistic must match, including the
+    stats that ride out of the lax.scan as stacked ys (model.py ladder
+    scan, round-3 compile-robustness change).  Tolerance, not bit-exact:
+    the batch mean/var reductions fuse differently inside the scan body
+    than in the unrolled graph (observed drift ~1e-4 relative)."""
+    import jax
+    from realtimeobjectdetection_tpu.models import yolov3_spec
+    from realtimeobjectdetection_tpu.weights import load_darknet_weights
+    spec = yolov3_spec(width=160, height=160)
+    params, _ = load_darknet_weights(
+        spec, synthetic_darknet_weights(yolov3_spec(), 0))
+    x = jnp.asarray(np.random.RandomState(2).rand(2, 160, 160, 3),
+                    jnp.float32)
+    ha, sa = jax.jit(make_forward(
+        spec, bn_mode="batch", return_stats=True,
+        scan_ladders=False))(params, x)
+    hb, sb = jax.jit(make_forward(
+        spec, bn_mode="batch", return_stats=True,
+        scan_ladders=True))(params, x)
+    for u, v in zip(ha, hb):
+        np.testing.assert_allclose(np.asarray(u), np.asarray(v),
+                                   rtol=5e-4, atol=5e-4)
+    assert set(sa) == set(sb)
+    for k in sa:
+        np.testing.assert_allclose(np.asarray(sa[k][0]),
+                                   np.asarray(sb[k][0]),
+                                   rtol=5e-4, atol=5e-4, err_msg=k)
+        np.testing.assert_allclose(np.asarray(sa[k][1]),
+                                   np.asarray(sb[k][1]),
+                                   rtol=5e-4, atol=5e-4, err_msg=k)
+
+
 def test_non_default_resolution_608():
     """Any multiple-of-32 resolution works (the reference's --reso flag)."""
     import jax
