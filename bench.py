@@ -55,8 +55,24 @@ _enable_compile_cache()
 import numpy as np
 
 # measured on this container (1 CPU core), dense weights, conf 0.6,
-# eval-mode BN (see measure_reference_cpu)
+# eval-mode BN (see measure_reference_cpu).  Pinned to the torch the
+# measurement ran on: if the container's torch changes, the constant is
+# stale — a warning tells the runner to pass --measure-baseline.
 REF_CPU_FPS = {"yolov3": 1.580, "yolov3-tiny": 5.104}
+REF_CPU_TORCH = "2.13"
+
+
+def _baseline_staleness_warning():
+    try:
+        from importlib.metadata import version  # no torch import (slow)
+        ver = ".".join(version("torch").split(".")[:2])
+        if ver != REF_CPU_TORCH:
+            print(f"[bench] WARNING: REF_CPU_FPS was measured on torch "
+                  f"{REF_CPU_TORCH} but the container has {ver} - the "
+                  f"vs_baseline denominator may be stale; rerun with "
+                  f"--measure-baseline", file=sys.stderr)
+    except Exception:
+        pass
 PEAK_TFLOPS = {"bfloat16": 197.0, "float32": 197.0 / 4, "int8": 394.0}
 
 
@@ -257,6 +273,7 @@ def main():
     else:
         base = float(os.environ.get("REF_CPU_FPS",
                                     REF_CPU_FPS.get(args.model, 1.580)))
+        _baseline_staleness_warning()
 
     r = bench_tpu(args.model, args.reso, args.batch, args.iters, args.dtype,
                   depth=args.depth, conf=args.conf, top_k=args.top_k,

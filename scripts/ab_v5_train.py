@@ -64,9 +64,17 @@ def main():
     boxes = jax.device_put(jnp.asarray(boxes))
     mask = jax.device_put(jnp.asarray(mask))
 
+    def sync(s2, loss):
+        # host readback = the only true sync on axon.  Read BOTH the
+        # loss and an updated param leaf: the loss is computed
+        # mid-program, so it alone could surface before the Adam tail.
+        float(loss)
+        float(jax.tree_util.tree_leaves(s2.params)[0].ravel()[0])
+
     for name, f in variants.items():
         t0 = time.time()
         s2, loss = f(state, images, boxes, mask)
+        sync(s2, loss)
         print(f"{name}: compile+first {time.time() - t0:.1f}s "
               f"loss={float(loss):.2f}", flush=True)
 
@@ -75,8 +83,7 @@ def main():
         for name, f in variants.items():
             for _ in range(args.iters):
                 t0 = time.time()
-                _, loss = f(state, images, boxes, mask)
-                float(loss)          # host readback = true sync on axon
+                sync(*f(state, images, boxes, mask))
                 best[name] = min(best[name], time.time() - t0)
     for name, t in best.items():
         print(f"yolov5{args.size} {args.reso}² bs={bs} train {name}: "

@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Repeatable darknet (yolov3) train-step benchmark on the real TPU.
+
+Times the full step (fwd + in-graph targets + loss + bwd + Adam + BN
+running-stat update) with a host readback per step — the honest sync on
+the axon backend, whose ``block_until_ready`` returns early.  Variants
+run interleaved in one process so tunnel drift hits all sides equally.
+
+Reports ms/step, img/s, and train MFU.  Train FLOPs are estimated as
+3x the counted forward conv FLOPs (fwd + input-grad + weight-grad, the
+standard accounting), so MFU here is comparable across runs but ~exact
+only to that convention.
+
+Usage: python scripts/bench_train.py [--bs 16 32] [--reso 416]
+       [--variants rolled unrolled] [--dtype bfloat16]
+"""
+import argparse
+import sys
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bs", type=int, nargs="+", default=[16])
+    ap.add_argument("--reso", type=int, default=416)
+    ap.add_argument("--model", default="yolov3")
+    ap.add_argument("--dtype", default="bfloat16",
+                    choices=["float32", "bfloat16"])
+    ap.add_argument("--variants", nargs="+", default=["rolled"],
+                    choices=["rolled", "unrolled"])
+    ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument("--iters", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+    if jax.default_backend() == "tpu":
+        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    from realtimeobjectdetection_tpu.models import get_spec
+    from realtimeobjectdetection_tpu.train.step import (init_train_state,
+                                                        make_train_step)
+    from realtimeobjectdetection_tpu.utils.profiling import conv_flops
+    from realtimeobjectdetection_tpu.weights import init_params
+
+    reso = args.reso
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    spec = get_spec(args.model, width=reso, height=reso)
+    params = init_params(spec, 0)
+    opt = optax.adam(1e-3)
+    state = jax.device_put(init_train_state(params, opt))
+    train_gflop_per_img = 3.0 * conv_flops(spec, reso) / 1e9
+    peak_tflops = 197.0 if args.dtype == "bfloat16" else 197.0 / 4
+
+    variants = {}
+    for v in args.variants:
+        variants[v] = jax.jit(make_train_step(
+            spec, opt, resolution=reso, compute_dtype=dtype,
+            scan_ladders=(v == "rolled")))
+
+    rng = np.random.RandomState(0)
+    for bs in args.bs:
+        images = jax.device_put(jnp.asarray(
+            rng.rand(bs, reso, reso, 3), jnp.float32))
+        m = 16
+        boxes = np.zeros((bs, m, 85), np.float32)
+        boxes[:, :6, 0:2] = rng.uniform(0.2 * reso, 0.8 * reso, (bs, 6, 2))
+        boxes[:, :6, 2:4] = rng.uniform(0.05 * reso, 0.3 * reso, (bs, 6, 2))
+        boxes[:, :6, 4] = 1.0
+        boxes[:, :6, 5] = 1.0
+        mask = np.zeros((bs, m), bool)
+        mask[:, :6] = True
+        boxes = jax.device_put(jnp.asarray(boxes))
+        mask = jax.device_put(jnp.asarray(mask))
+
+        def sync(s2, loss):
+            # host readback = the only true sync on axon.  Read BOTH the
+            # loss and an updated param leaf: the loss is computed
+            # mid-program, so it alone could come back before the Adam
+            # tail finishes if the runtime surfaces outputs eagerly.
+            float(loss)
+            float(jax.tree_util.tree_leaves(s2.params)[0].ravel()[0])
+
+        for name, f in variants.items():
+            t0 = time.time()
+            s2, loss = f(state, images, boxes, mask)
+            sync(s2, loss)
+            print(f"bs={bs} {name}: compile+first {time.time() - t0:.1f}s "
+                  f"loss={float(loss):.2f}", flush=True)
+
+        best = {k: 1e9 for k in variants}
+        for _ in range(args.rounds):
+            for name, f in variants.items():
+                for _ in range(args.iters):
+                    t0 = time.time()
+                    sync(*f(state, images, boxes, mask))
+                    best[name] = min(best[name], time.time() - t0)
+        for name, t in best.items():
+            img_s = bs / t
+            tflops = img_s * train_gflop_per_img / 1000.0
+            print(f"{args.model} {reso}² bs={bs} {args.dtype} "
+                  f"train[{name}]: {t * 1000:.1f} ms/step = "
+                  f"{img_s:.0f} img/s, {tflops:.1f} TFLOP/s = "
+                  f"{100 * tflops / peak_tflops:.1f}% MFU "
+                  f"(3x-fwd convention, "
+                  f"{train_gflop_per_img:.0f} GFLOP/img)", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
