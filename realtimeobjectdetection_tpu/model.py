@@ -266,7 +266,7 @@ def make_forward(spec: GraphSpec, bn_mode: str = "fold",
                  precision=None, scan_ladders: bool = False,
                  quantize: Optional[str] = None,
                  activation_dtype=None, head_dtype=None,
-                 s2d_stem: bool = False):
+                 s2d_stem: bool = False, scan_remat: bool = False):
     """Build ``forward(params, x) -> [head0, head1, ...]`` (raw heads, NHWC).
 
     ``return_stats`` additionally returns per-conv batch statistics
@@ -277,9 +277,17 @@ def make_forward(spec: GraphSpec, bn_mode: str = "fold",
     MXU passes (the fast path); parity tests use ``Precision.HIGHEST``.
 
     ``scan_ladders``: roll repeated residual triples into ``lax.scan``
-    over stacked params (identical numerics, much smaller HLO / faster
-    compile).  Incompatible with ``return_stats`` (per-layer batch stats
-    would be scan-carried); ignored for bn_mode="batch" with stats.
+    over stacked params (same numerics, much smaller HLO / faster
+    compile).  In batch-BN train mode the per-layer batch statistics
+    ride out of the scan as stacked ys; for other bn modes with
+    return_stats the roll is skipped.
+
+    ``scan_remat``: checkpoint the scan body so the backward pass
+    recomputes body intermediates from the carried activation instead
+    of storing them stacked per iteration — the standard scan+remat
+    trade (the stacked residuals OOM the yolov3 train step at bs=64;
+    see PERFORMANCE.md training notes).  Only meaningful when the
+    forward will be differentiated.
 
     ``quantize``: ``"w8"`` or ``"w8a8"`` int8 inference over params
     produced by :func:`..ops.quantize.quantize_folded_int8` (requires
@@ -367,6 +375,12 @@ def make_forward(spec: GraphSpec, bn_mode: str = "fold",
                     and bn_mode == "batch" else None
                 return h + y, ys
 
+        if scan_remat:
+            # Store only the scan carry; recompute body intermediates in
+            # the backward pass.  prevent_cse=False is the documented
+            # setting for checkpoint-under-scan (CSE cannot defeat remat
+            # across lax.scan iterations).
+            body = jax.checkpoint(body, prevent_cse=False)
         out, ys = lax.scan(body, x, xs)
         return (out, ys) if want_stats else out
 

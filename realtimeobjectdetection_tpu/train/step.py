@@ -91,7 +91,8 @@ def make_train_step(spec: GraphSpec, optimizer, resolution: int = 416,
                     aug_kwargs: Optional[Dict] = None,
                     input_resolution: Optional[int] = None,
                     ema_decay: Optional[float] = None,
-                    scan_ladders: bool = True):
+                    scan_ladders: bool = True,
+                    scan_remat: bool = True):
     """Build ``step(state, images, boxes, box_mask) -> (state, loss)``.
 
     ``images``: [B, H, W, 3]; ``boxes``: [B, M, 5+C] padded gt rows;
@@ -111,9 +112,15 @@ def make_train_step(spec: GraphSpec, optimizer, resolution: int = 416,
     # Round-3 finding: the unrolled yolov3 train graph took 18-27 min
     # on the remote compile service and could come back as a degraded
     # executable (5.8 s/step vs 50 ms); the rolled graph avoids both.
+    # scan_remat (default on): without it the rolled backward stores the
+    # per-iteration residual activations stacked ([reps, B, H, W, C]
+    # buffers), which OOMs the full yolov3 step at bs=64 on a 16 GB
+    # chip; checkpointing the scan body stores only carries and
+    # recomputes body intermediates in the backward pass.
     fwd = make_forward(spec, bn_mode="batch", compute_dtype=compute_dtype,
                        return_stats=True, precision=precision,
-                       scan_ladders=scan_ladders)
+                       scan_ladders=scan_ladders,
+                       scan_remat=scan_remat and scan_ladders)
     if remat:
         fwd = jax.checkpoint(fwd)
     base = input_resolution or resolution

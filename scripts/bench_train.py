@@ -27,7 +27,7 @@ def main():
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["float32", "bfloat16"])
     ap.add_argument("--variants", nargs="+", default=["rolled"],
-                    choices=["rolled", "unrolled"])
+                    choices=["rolled", "unrolled", "rolled_noremat"])
     ap.add_argument("--rounds", type=int, default=3)
     ap.add_argument("--iters", type=int, default=3)
     args = ap.parse_args()
@@ -58,7 +58,8 @@ def main():
     for v in args.variants:
         variants[v] = jax.jit(make_train_step(
             spec, opt, resolution=reso, compute_dtype=dtype,
-            scan_ladders=(v == "rolled")))
+            scan_ladders=v.startswith("rolled"),
+            scan_remat=(v == "rolled")))
 
     rng = np.random.RandomState(0)
     for bs in args.bs:

@@ -194,6 +194,38 @@ def test_train_step_bf16_compute(tmp_path):
     assert state2.params["node_0"]["w"].dtype == jnp.float32
 
 
+def test_train_step_scan_remat_identical():
+    """scan_remat (checkpointed ladder-scan body) must not change the
+    step numerics: remat only changes WHAT the backward pass stores vs
+    recomputes, not what it computes.  Uses the full yolov3 graph (the
+    only spec with ladders) at a small resolution."""
+    import jax, jax.numpy as jnp, optax
+    from realtimeobjectdetection_tpu.models import get_spec
+    from realtimeobjectdetection_tpu.train.step import (init_train_state,
+                                                        make_train_step)
+    from realtimeobjectdetection_tpu.weights import init_params
+    spec = get_spec("yolov3", width=160, height=160)
+    opt = optax.adam(1e-3)
+    params = init_params(spec, 0)
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(1, 160, 160, 3), jnp.float32)
+    boxes = np.zeros((1, 3, 85), np.float32)
+    boxes[:, :, 0:4] = rng.uniform(30, 120, (1, 3, 4))
+    boxes[:, :, 4] = 1.0
+    boxes[:, :, 5] = 1.0
+    boxes = jnp.asarray(boxes)
+    mask = jnp.ones((1, 3), bool)
+    out = {}
+    for remat in (True, False):
+        step = jax.jit(make_train_step(spec, opt, resolution=160,
+                                       scan_remat=remat))
+        s2, loss = step(init_train_state(params, opt), images, boxes, mask)
+        out[remat] = (float(loss), np.asarray(s2.params["node_0"]["w"]))
+    assert out[True][0] == out[False][0]
+    np.testing.assert_allclose(out[True][1], out[False][1],
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_augment_batch_box_consistency():
     import jax, jax.numpy as jnp
     from realtimeobjectdetection_tpu.train.augment import augment_batch
