@@ -141,7 +141,15 @@ def build_target(name: str, bs: int, reso: int, dtype: str = None):
         mask[:, :3] = True
         state = jax.device_put(state)
         args = (state, images, jnp.asarray(boxes), jnp.asarray(mask))
-        return step, args, lambda r: float(r[1])
+        # jit is load-bearing: an unjitted step executes op-by-op
+        # (eager), which profiles as a sea of unfused elementwise HLOs
+        # and ~20x the wall time — it measures the dispatch path, not
+        # the train program (round-3 artifact, see PERFORMANCE.md).
+        # Sync on an updated param leaf so the Adam tail is included.
+        def sync(r):
+            float(r[1])
+            np.asarray(jax.tree_util.tree_leaves(r[0].params)[0]).ravel()[0]
+        return jax.jit(step), args, sync
 
     raise SystemExit(f"unknown target {name}")
 
