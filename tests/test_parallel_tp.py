@@ -1,0 +1,156 @@
+"""Tensor-parallel ('model' axis) sharding tests on the 8-device CPU mesh.
+
+The reference's only parallelism is single-process nn.DataParallel
+(/root/reference/detect.py:177-183, train.py:71-72); the rebuild's mesh
+layer goes beyond it with DP+SP (tests/test_train_targets.py,
+tests/test_detect_pipeline.py) and — here — TP: conv kernels channel-
+sharded over a 'model' axis via GSPMD (parallel/mesh.param_shardings),
+which also shards the Adam moments (ZeRO-style state sharding).
+TP combines with 'data' only: sp×tp conv partitioning miscompiles in
+the XLA SPMD partitioner (make_mesh docstring has the repro numbers)
+and make_mesh guards the combination.
+
+Correctness bar: the TP-sharded program must reproduce the
+single-device results (same traced math; only reduction order may
+differ -> tight tolerances).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from realtimeobjectdetection_tpu.models import get_spec
+from realtimeobjectdetection_tpu.ops.decode import decode_heads
+from realtimeobjectdetection_tpu.ops.nms import nms_batch
+from realtimeobjectdetection_tpu.parallel.mesh import (make_mesh,
+                                                       param_shardings,
+                                                       shard_detect_fn,
+                                                       shard_params,
+                                                       shard_train_step)
+from realtimeobjectdetection_tpu.train.step import (init_train_state,
+                                                    make_train_step)
+from realtimeobjectdetection_tpu.weights import init_params
+from realtimeobjectdetection_tpu.model import make_forward
+
+
+def _tiny(reso=160):
+    spec = get_spec("yolov3-tiny", width=reso, height=reso)
+    return spec, init_params(spec, 0)
+
+
+def test_param_shardings_rule(cpu_devices):
+    """Eligible leaves shard their channel dim over 'model'; small
+    vectors and the 255-channel heads stay replicated."""
+    from jax.sharding import PartitionSpec as P
+    mesh = make_mesh(8, data=4, space=1, model=2)
+    assert mesh.axis_names == ("data", "space", "model")
+    spec, params = _tiny()
+    sh = param_shardings(mesh, params)
+    flat = dict(
+        (jax.tree_util.keystr(k), v)
+        for k, v in jax.tree_util.tree_leaves_with_path(sh))
+    pflat = dict(
+        (jax.tree_util.keystr(k), v)
+        for k, v in jax.tree_util.tree_leaves_with_path(params))
+    n_tp = 0
+    for k, s in flat.items():
+        c = pflat[k].shape[-1]
+        if c >= 64 and c % 2 == 0:
+            assert s.spec[-1] == "model", (k, s.spec)
+            n_tp += 1
+        else:  # 16/32-channel leaves, 255-ch head kernels + biases
+            assert s.spec == P(), (k, s.spec)
+    assert n_tp > 20  # most of yolov3-tiny is >=64-channel
+
+    # the same rule shards the whole TrainState: Adam mu/nu mirror the
+    # param shapes (ZeRO-style sharded optimizer state)
+    state = init_train_state(params, optax.adam(1e-3))
+    st_sh = param_shardings(mesh, state)
+    mu_sh = st_sh.opt_state[0].mu["node_10"]["w"]
+    assert mu_sh.spec[-1] == "model"
+
+
+def test_tp_train_step_matches_single_device(cpu_devices):
+    """DP+TP train step on a (4,1,2) mesh == single-device step."""
+    reso = 160
+    spec, params = _tiny(reso)
+    # sgd, not adam: adam's step-1 update is ~lr*sign(g), which turns
+    # reduction-order noise on near-zero gradients into full +-lr sign
+    # flips — sgd keeps the comparison proportional to the gradients
+    # themselves (adam STATE sharding is covered structurally above)
+    opt = optax.sgd(1e-3)
+    step = make_train_step(spec, opt, resolution=reso)
+
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(8, reso, reso, 3), jnp.float32)
+    boxes = np.zeros((8, 4, 85), np.float32)
+    boxes[:, :2, 0:2] = rng.uniform(0.3 * reso, 0.7 * reso, (8, 2, 2))
+    boxes[:, :2, 2:4] = rng.uniform(0.1 * reso, 0.3 * reso, (8, 2, 2))
+    boxes[:, :2, 4] = 1.0
+    boxes[:, :2, 5] = 1.0
+    mask = np.zeros((8, 4), bool)
+    mask[:, :2] = True
+    boxes, mask = jnp.asarray(boxes), jnp.asarray(mask)
+
+    ref_state, ref_loss = jax.jit(step)(
+        init_train_state(params, opt), images, boxes, mask)
+
+    mesh = make_mesh(8, data=4, space=1, model=2)
+    state = init_train_state(params, opt)
+    tp_step = shard_train_step(step, mesh, spatial=False, state=state)
+    state = jax.device_put(state, param_shardings(mesh, state))
+    new_state, loss = tp_step(state, images, boxes, mask)
+
+    np.testing.assert_allclose(float(loss), float(ref_loss),
+                               rtol=2e-5)
+    # a TP-sharded conv kernel really is distributed channel-wise
+    w = new_state.params["node_10"]["w"]  # (3,3,256,512)
+    assert w.sharding.spec[-1] == "model"
+    # updated params match the single-device step
+    for k, a in jax.tree_util.tree_leaves_with_path(new_state.params):
+        b = ref_state.params
+        for e in k:
+            b = b[e.key]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-2,
+                                   err_msg=jax.tree_util.keystr(k))
+    # atol: these are lr=1e-3 SGD updates on gradients of magnitude
+    # O(100-400) with heavy cancellation — a pure batch PERMUTATION on
+    # one device already moves the raw gradients by up to ~1.4
+    # (measured), i.e. updates by ~1.4e-3; 1e-2 clears the fp32
+    # reduction-order noise while still catching any semantic error
+    # (the sp-x-tp miscompile this module guards against produced
+    # update-scale errors, 10-100x larger).
+
+
+def test_space_model_mesh_rejected(cpu_devices):
+    """sp×tp conv partitioning miscompiles (measured: a single 3x3 SAME
+    conv off by 9.0 on O(8) outputs on every sp×tp mesh, exact on
+    dp×tp/dp×sp) — make_mesh refuses the combination outright."""
+    with pytest.raises(ValueError, match="space.*model"):
+        make_mesh(8, data=2, space=2, model=2)
+
+
+def test_tp_detect_matches_single_device(cpu_devices):
+    """TP-sharded detect fn == replicated results, boxes and counts."""
+    reso = 160
+    spec, params = _tiny(reso)
+    fwd = make_forward(spec, bn_mode="running", precision="highest")
+
+    def detect(p, x):
+        return nms_batch(decode_heads(fwd(p, x), spec, reso), 80,
+                         0.25, 0.5, top_k=64, with_stats=True)
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.rand(8, reso, reso, 3), jnp.float32)
+    rb, rv, rc = jax.jit(detect)(params, x)
+
+    mesh = make_mesh(8, data=4, space=1, model=2)
+    tp_detect = shard_detect_fn(detect, mesh, params=params)
+    tb, tv, tc = tp_detect(shard_params(params, mesh), x)
+
+    np.testing.assert_array_equal(np.asarray(rv), np.asarray(tv))
+    np.testing.assert_array_equal(np.asarray(rc), np.asarray(tc))
+    np.testing.assert_allclose(np.asarray(rb), np.asarray(tb), atol=1e-4)
