@@ -207,6 +207,10 @@ def train_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--bf16", action="store_true",
                    help="v5 only: bf16 MXU compute in the train step "
                         "(fp32 master weights unchanged)")
+    p.add_argument("--tp", dest="tensor_parallel", default=1, type=int,
+                   help="tensor-parallel degree: adds a 'model' mesh "
+                        "axis (conv kernels channel-sharded, Adam state "
+                        "ZeRO-sharded); devices = dp * tp")
     return p
 
 
@@ -228,7 +232,8 @@ def train_cli(argv=None):
                        augment=a.augment, mosaic=a.mosaic,
                        lr_schedule="cosine" if a.cosine_lr else "constant",
                        compute_dtype=jnp.bfloat16 if a.bf16
-                       else jnp.float32)
+                       else jnp.float32,
+                       tensor_parallel=a.tensor_parallel)
         tr.train(a.xml, a.images, dataset_type=a.dataset)
         return 0
     trainer_params = {
@@ -237,7 +242,7 @@ def train_cli(argv=None):
         "resolution": a.reso if a.reso is not None else 416,
         "confidence": a.conf, "resume": a.resume,
         "ema_decay": a.ema_decay, "best_on": a.best_on,
-        "augment": a.augment,
+        "augment": a.augment, "tensor_parallel": a.tensor_parallel,
     }
     train_params = {"annotation_dir": a.xml, "img_dir": a.images,
                     "dataset_type": a.dataset}

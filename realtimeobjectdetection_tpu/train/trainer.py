@@ -68,7 +68,8 @@ class DarknetTrainer:
                  prewarm: bool = True,
                  ema_decay: Optional[float] = None,
                  donate: bool = True,
-                 best_on: str = "auto"):
+                 best_on: str = "auto",
+                 tensor_parallel: int = 1):
         assert isinstance(epochs, int) and isinstance(batch_size, int)
         assert resolution % 32 == 0
         self.cfg_path = cfg_path
@@ -144,11 +145,23 @@ class DarknetTrainer:
         self._prewarmed = False
 
         # mesh: None = auto (DP over all devices when the batch divides
-        # evenly), False = force single-device, or an explicit Mesh
+        # evenly), False = force single-device, or an explicit Mesh.
+        # tensor_parallel=N adds a 'model' axis of size N to the auto
+        # mesh (conv kernels channel-sharded, Adam state ZeRO-sharded —
+        # parallel/mesh.param_shardings); spatial must stay off with it
+        # (sp×tp conv partitioning miscompiles, see make_mesh).
         if mesh is None:
             n = len(jax.devices())
-            self.mesh = make_mesh() if (n > 1 and batch_size % n == 0) \
-                else None
+            if tensor_parallel > 1:
+                assert not spatial and n % tensor_parallel == 0, \
+                    (spatial, n, tensor_parallel)
+                dp = n // tensor_parallel
+                self.mesh = (make_mesh(n, data=dp,
+                                       model=tensor_parallel)
+                             if batch_size % max(dp, 1) == 0 else None)
+            else:
+                self.mesh = make_mesh() if (n > 1 and
+                                            batch_size % n == 0) else None
         else:
             self.mesh = mesh or None
         self._spatial = spatial
@@ -159,17 +172,22 @@ class DarknetTrainer:
         # never reused; warm_step_cache warms on a copy for the same
         # reason.
         self._donate = donate
+        self.state = init_train_state(params, self.optimizer,
+                                      ema_decay=ema_decay)
+        self._tp = (self.mesh is not None
+                    and "model" in self.mesh.axis_names
+                    and self.mesh.shape["model"] > 1)
+        if self._tp:
+            from ..parallel.mesh import shard_params
+            self.state = shard_params(self.state, self.mesh)
         if self.mesh is not None:
-            self.step_jit = shard_train_step(self.step_fn, self.mesh,
-                                             spatial=spatial,
-                                             donate=donate)
+            self.step_jit = shard_train_step(
+                self.step_fn, self.mesh, spatial=spatial, donate=donate,
+                state=self.state if self._tp else None)
         else:
             self.step_jit = jax.jit(
                 self.step_fn, donate_argnums=(0,) if donate else ())
         self._step_cache[self.resolution] = self.step_jit
-
-        self.state = init_train_state(params, self.optimizer,
-                                      ema_decay=ema_decay)
         if resume:
             self.restore(os.path.join(self.out_dir, "training_output"))
         print("\nTrainer is ready!!\n")
@@ -183,7 +201,9 @@ class DarknetTrainer:
                                  **self._step_kwargs)
             if self.mesh is not None:
                 fn = shard_train_step(fn, self.mesh, spatial=self._spatial,
-                                      donate=self._donate)
+                                      donate=self._donate,
+                                      state=self.state if self._tp
+                                      else None)
             else:
                 fn = jax.jit(
                     fn, donate_argnums=(0,) if self._donate else ())

@@ -333,7 +333,8 @@ class TrainerV5:
                  lr_schedule: str = "constant",
                  warmup_epochs: float = 3.0, lrf: float = 0.01,
                  donate: bool = True,
-                 best_on: str = "loss"):
+                 best_on: str = "loss",
+                 tensor_parallel: int = 1):
         from ..models.yolov5 import init_yolov5_params
         from ..parallel.mesh import make_mesh, shard_train_step
         assert resolution % 32 == 0
@@ -370,15 +371,31 @@ class TrainerV5:
         self.optimizer = optax.adam(lambda count: lr)
         self.step_fn = make_train_step_v5(
             self.cfg, self.optimizer, **self._step_kwargs)
+        # tensor_parallel=N: 'model' mesh axis (channel-sharded conv
+        # kernels + ZeRO-sharded Adam state); incompatible with spatial
+        # (parallel/mesh.make_mesh documents the partitioner miscompile)
         if mesh is None:
             n = len(jax.devices())
-            self.mesh = make_mesh() if (n > 1 and batch_size % n == 0) \
-                else None
+            if tensor_parallel > 1:
+                assert not spatial and n % tensor_parallel == 0, \
+                    (spatial, n, tensor_parallel)
+                dp = n // tensor_parallel
+                self.mesh = (make_mesh(n, data=dp, model=tensor_parallel)
+                             if batch_size % max(dp, 1) == 0 else None)
+            else:
+                self.mesh = make_mesh() if (n > 1 and
+                                            batch_size % n == 0) else None
         else:
             self.mesh = mesh or None
-        self.step_jit = self._jit_step(self.step_fn)
+        self._tp = (self.mesh is not None
+                    and "model" in self.mesh.axis_names
+                    and self.mesh.shape["model"] > 1)
         self.state = init_train_state(params, self.optimizer,
                                       ema_decay=ema_decay)
+        if self._tp:
+            from ..parallel.mesh import shard_params
+            self.state = shard_params(self.state, self.mesh)
+        self.step_jit = self._jit_step(self.step_fn)
         if resume:
             import os
             self.restore(os.path.join(self.out_dir, "training_output"))
@@ -390,7 +407,9 @@ class TrainerV5:
         if self.mesh is not None:
             return shard_train_step(step_fn, self.mesh,
                                     spatial=self._spatial,
-                                    donate=self._donate)
+                                    donate=self._donate,
+                                    state=self.state if self._tp
+                                    else None)
         return jax.jit(step_fn,
                        donate_argnums=(0,) if self._donate else ())
 

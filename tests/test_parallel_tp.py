@@ -125,6 +125,43 @@ def test_tp_train_step_matches_single_device(cpu_devices):
     # update-scale errors, 10-100x larger).
 
 
+def test_trainer_tensor_parallel_end_to_end(tmp_path, cpu_devices):
+    """DarknetTrainer(tensor_parallel=2) trains on the dp4×tp2 mesh:
+    finite losses, state leaves actually channel-sharded."""
+    from realtimeobjectdetection_tpu.testing import make_synthetic_coco
+    from realtimeobjectdetection_tpu.train.trainer import DarknetTrainer
+    ann, imgs = make_synthetic_coco(tmp_path, n_images=4)
+    trainer = DarknetTrainer("yolov3-tiny", epochs=1, batch_size=4,
+                             resolution=160, lr=1e-3,
+                             out_dir=str(tmp_path / "w"), max_boxes=8,
+                             tensor_parallel=2)
+    assert dict(zip(trainer.mesh.axis_names,
+                    trainer.mesh.devices.shape)) == {
+        "data": 4, "space": 1, "model": 2}
+    hist = trainer.train(ann, imgs, dataset_type="COCO", verbose=False)
+    assert np.isfinite(hist["train_loss"]).all()
+    w = trainer.state.params["node_10"]["w"]
+    assert w.sharding.spec[-1] == "model"
+
+
+def test_trainer_v5_tensor_parallel(tmp_path, cpu_devices):
+    """TrainerV5(tensor_parallel=2): yolov5n trains a step on the
+    dp4×tp2 mesh with channel-sharded kernels."""
+    from realtimeobjectdetection_tpu.testing import make_synthetic_coco
+    from realtimeobjectdetection_tpu.train.v5 import TrainerV5
+    ann, imgs = make_synthetic_coco(tmp_path, n_images=4)
+    tr = TrainerV5(model_size="n", epochs=1, batch_size=4, resolution=96,
+                   lr=1e-3, out_dir=str(tmp_path / "w"), max_boxes=8,
+                   tensor_parallel=2)
+    hist = tr.train(ann, imgs, dataset_type="COCO", verbose=False)
+    assert np.isfinite(hist["train_loss"]).all()
+    leaves = [x for x in jax.tree_util.tree_leaves(tr.state.params)
+              if getattr(x, "ndim", 0) == 4 and x.shape[-1] >= 64]
+    assert leaves and any(
+        x.sharding.spec and x.sharding.spec[-1] == "model"
+        for x in leaves)
+
+
 def test_space_model_mesh_rejected(cpu_devices):
     """sp×tp conv partitioning miscompiles (measured: a single 3x3 SAME
     conv off by 9.0 on O(8) outputs on every sp×tp mesh, exact on
