@@ -266,7 +266,8 @@ def make_forward(spec: GraphSpec, bn_mode: str = "fold",
                  precision=None, scan_ladders: bool = False,
                  quantize: Optional[str] = None,
                  activation_dtype=None, head_dtype=None,
-                 s2d_stem: bool = False, scan_remat: bool = False):
+                 s2d_stem: bool = False, scan_remat: bool = False,
+                 stage_range: Optional[Tuple[int, int]] = None):
     """Build ``forward(params, x) -> [head0, head1, ...]`` (raw heads, NHWC).
 
     ``return_stats`` additionally returns per-conv batch statistics
@@ -298,6 +299,20 @@ def make_forward(spec: GraphSpec, bn_mode: str = "fold",
     HBM traffic — the dominant memory stream of a conv net — at a bounded
     numeric drift (heads are always cast back to fp32 before decode;
     drift gated by tests/test_forward_parity.py).  None keeps fp32.
+
+    ``stage_range=(lo, hi)``: pipeline-parallel stage mode — run only
+    nodes ``[lo, hi)`` and return ``(heads_emitted, boundary)`` where
+    ``boundary`` maps node index -> activation for everything a later
+    stage still reads.  The returned function's signature becomes
+    ``forward(params, x, carry)`` (``x`` is consumed only by the first
+    stage; later stages read ``carry``, the previous stage's boundary).
+    Node-for-node identical math to the full forward — the boundary is
+    exactly the interpreter's live-activation set at the cut
+    (tests/test_pipeline_parallel.py proves bit-equality).  Cuts must
+    not fall inside a rolled ladder; serving-path only
+    (``return_stats`` unsupported).  Used by
+    :mod:`..parallel.pipeline` to place consecutive stages on
+    consecutive devices.
     """
     assert bn_mode in ("fold", "running", "batch")
     assert quantize in (None, "w8", "w8a8", "w8a8_pallas")
@@ -332,6 +347,14 @@ def make_forward(spec: GraphSpec, bn_mode: str = "fold",
     # train graph (compile robustness on the remote service, r3)
     ladders = _find_ladders(spec) if scan_ladders and not quantize \
         and not (return_stats and bn_mode != "batch") else {}
+    if stage_range is not None:
+        assert not return_stats, "stage mode is a serving path"
+        lo_, hi_ = stage_range
+        assert 0 <= lo_ < hi_ <= len(spec.nodes), stage_range
+        for s, r in ladders.items():
+            for cut in (lo_, hi_):
+                assert not (s < cut < s + 3 * r), \
+                    f"stage cut {cut} falls inside the ladder at {s}"
 
     def _ladder_scan(params, x, start: int, reps: int,
                      want_stats: bool = False):
@@ -384,14 +407,16 @@ def make_forward(spec: GraphSpec, bn_mode: str = "fold",
         out, ys = lax.scan(body, x, xs)
         return (out, ys) if want_stats else out
 
-    def forward(params, x):
-        outputs: Dict[int, jnp.ndarray] = {}
+    def forward(params, x, carry=None):
+        lo, hi = stage_range if stage_range is not None \
+            else (0, len(spec.nodes))
+        outputs: Dict[int, jnp.ndarray] = dict(carry) if carry else {}
         heads: List[jnp.ndarray] = []
         stats: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]] = {}
-        prev = x
-        idx = 0
+        prev = x if lo == 0 else outputs[lo - 1]
+        idx = lo
         nodes = spec.nodes
-        while idx < len(nodes):
+        while idx < hi:
             node = nodes[idx]
             i = node.index
             if i in ladders:
@@ -480,6 +505,14 @@ def make_forward(spec: GraphSpec, bn_mode: str = "fold",
             for j in list(outputs):
                 if live[j] <= i:
                     del outputs[j]
+        if stage_range is not None:
+            # boundary = every activation a later stage still reads,
+            # plus hi-1 (the next stage's ``prev``, which the liveness
+            # sweep may already have freed from ``outputs``)
+            boundary = {j: v for j, v in outputs.items() if live[j] >= hi}
+            if hi < len(nodes):
+                boundary[hi - 1] = prev
+            return heads, boundary
         if return_stats:
             return heads, stats
         return heads

@@ -1,0 +1,166 @@
+"""Pipeline parallelism (PP) for serving: graph stages on distinct chips.
+
+The fourth parallelism mode next to DP/SP (mesh.py GSPMD shardings) and
+TP (mesh.param_shardings): the Darknet graph is cut into contiguous
+FLOP-balanced node ranges, each compiled as its own program
+(``model.make_forward(stage_range=...)``) and pinned to its own device
+with only its slice of the weights resident.  The host chains the
+stages — because JAX dispatch is asynchronous, keeping >= n_stages
+batches in flight runs stage k for batch i concurrently with stage k-1
+for batch i+1, so steady-state throughput is set by the SLOWEST stage,
+not the full forward; boundary activations move device-to-device over
+ICI on real hardware (this container emulates the topology on CPU
+devices — tests/test_pipeline_parallel.py proves bit-equality with the
+single-device forward and exercises the pipelined dispatch).
+
+When to use which (scaling-book framing): DP when the batch divides
+well and weights fit (gradient/param traffic only); TP when weights or
+optimizer state don't fit (channel-sharded, all-gather per layer); PP
+when a single chip can't hold even one stage's activations at the
+target batch, or to serve with per-stage HBM footprints — at the cost
+of n_stages dispatch latency.  The reference has no counterpart (its
+parallelism is nn.DataParallel, /root/reference/detect.py:177-183).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..cfg_parser import ConvSpec, GraphSpec
+from ..model import _find_ladders, fold_batchnorm, make_forward
+
+__all__ = ["balance_cuts", "PipelinedForward"]
+
+
+def balance_cuts(spec: GraphSpec, n_stages: int,
+                 resolution: Optional[int] = None,
+                 scan_ladders: bool = False) -> List[int]:
+    """FLOP-balanced stage boundaries: ``n_stages - 1`` node indices.
+
+    Walks per-node conv FLOPs (the same 2*H*W*K²*Cin*Cout count as
+    ``utils.profiling.conv_flops``) and places each cut at the node
+    where the cumulative count crosses the next 1/n_stages of the
+    total, snapped forward out of any rolled ladder (a ``lax.scan``
+    body cannot be split across devices).
+    """
+    h = w = resolution or spec.net.height
+    flops = []
+    hw = {}
+    cur_h, cur_w = h, w
+    for node in spec.nodes:
+        if isinstance(node, ConvSpec):
+            cur_h = -(-cur_h // node.stride)
+            cur_w = -(-cur_w // node.stride)
+            flops.append(2 * cur_h * cur_w * node.kernel_size ** 2
+                         * node.in_channels * node.out_channels)
+        else:
+            stride = getattr(node, "stride", 1)
+            if type(node).__name__ == "MaxPoolSpec" and stride > 1:
+                cur_h //= stride
+                cur_w //= stride
+            elif type(node).__name__ == "UpsampleSpec":
+                cur_h *= stride
+                cur_w *= stride
+            elif type(node).__name__ == "RouteSpec":
+                # resolution follows the (first) source
+                cur_h, cur_w = hw.get(node.sources[0], (cur_h, cur_w))
+            flops.append(0)
+        hw[node.index] = (cur_h, cur_w)
+    total = sum(flops)
+    ladders = _find_ladders(spec) if scan_ladders else {}
+
+    def snap(cut: int) -> int:
+        for s, r in ladders.items():
+            if s < cut < s + 3 * r:
+                return s + 3 * r
+        return cut
+
+    cuts, acc, k = [], 0, 1
+    for i, f in enumerate(flops):
+        acc += f
+        if k < n_stages and acc >= total * k / n_stages:
+            c = snap(i + 1)
+            if c < len(spec.nodes) and (not cuts or c > cuts[-1]):
+                cuts.append(c)
+            k += 1
+    return cuts
+
+
+class PipelinedForward:
+    """Stage-pipelined heads-forward over explicit devices.
+
+    ``__call__(x)`` returns the same raw heads list as
+    ``make_forward(spec, ...)`` — bit-identical, just computed across
+    ``n_stages`` devices.  For throughput, dispatch several batches
+    before reading any back (``map_stream``), exactly like the detect
+    pipeline's depth>1 in-flight batching.
+    """
+
+    def __init__(self, spec: GraphSpec, params: Dict,
+                 n_stages: Optional[int] = None, devices=None,
+                 cuts: Optional[Sequence[int]] = None,
+                 bn_mode: str = "fold", compute_dtype=jnp.float32,
+                 precision=None, activation_dtype=None, head_dtype=None,
+                 scan_ladders: bool = False,
+                 resolution: Optional[int] = None):
+        assert bn_mode in ("fold", "running"), \
+            "PP is a serving path (batch-stats BN trains on DP/SP/TP)"
+        devices = list(devices if devices is not None else jax.devices())
+        n_stages = n_stages or len(devices)
+        assert 1 <= n_stages <= len(devices), (n_stages, len(devices))
+        self.devices = devices[:n_stages]
+        if bn_mode == "fold" and any("bn_gamma" in v for v in
+                                     params.values()):
+            params = fold_batchnorm(spec, params)
+        if cuts is None:
+            cuts = balance_cuts(spec, n_stages, resolution=resolution,
+                                scan_ladders=scan_ladders)
+        cuts = list(cuts)
+        assert len(cuts) == n_stages - 1, (cuts, n_stages)
+        self.spec = spec
+        self.cuts = cuts
+        bounds = [0] + cuts + [len(spec.nodes)]
+        self.ranges: List[Tuple[int, int]] = list(zip(bounds, bounds[1:]))
+        kw = dict(bn_mode=bn_mode, compute_dtype=compute_dtype,
+                  precision=precision, activation_dtype=activation_dtype,
+                  head_dtype=head_dtype, scan_ladders=scan_ladders)
+        self._fns = []
+        self._params = []
+        for k, (lo, hi) in enumerate(self.ranges):
+            fn = make_forward(spec, stage_range=(lo, hi), **kw)
+            if lo == 0:
+                jfn = jax.jit(lambda p, x, fn=fn: fn(p, x))
+            else:
+                jfn = jax.jit(lambda p, c, fn=fn: fn(p, None, c))
+            self._fns.append(jfn)
+            stage_params = {
+                f"node_{i}": params[f"node_{i}"]
+                for i in range(lo, hi) if f"node_{i}" in params}
+            self._params.append(
+                jax.device_put(stage_params, self.devices[k]))
+
+    def __call__(self, x):
+        """Full heads-forward for one batch across the stage devices."""
+        heads: List[jnp.ndarray] = []
+        hs, carry = self._fns[0](self._params[0], x)
+        heads.extend(hs)
+        for k in range(1, len(self._fns)):
+            carry = jax.device_put(carry, self.devices[k])
+            hs, carry = self._fns[k](self._params[k], carry)
+            heads.extend(hs)
+        return heads
+
+    def map_stream(self, batches, depth: Optional[int] = None):
+        """Yield heads per batch, keeping ``depth`` (default n_stages)
+        batches in flight so every stage device stays busy."""
+        depth = depth or len(self._fns)
+        inflight = []
+        for x in batches:
+            inflight.append(self(x))
+            if len(inflight) >= depth:
+                yield [jax.block_until_ready(h) for h in inflight.pop(0)]
+        for hs in inflight:
+            yield [jax.block_until_ready(h) for h in hs]

@@ -1,0 +1,86 @@
+"""Pipeline-parallel serving (parallel/pipeline.py) on emulated devices.
+
+Bit-for-bit bar: a stage-split forward is the SAME interpreter walking
+the same nodes (model.make_forward(stage_range=...)), so its heads must
+match the single-device forward exactly — any deviation means the
+boundary liveness set is wrong.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from realtimeobjectdetection_tpu.model import make_forward
+from realtimeobjectdetection_tpu.models import get_spec
+from realtimeobjectdetection_tpu.parallel.pipeline import (PipelinedForward,
+                                                           balance_cuts)
+from realtimeobjectdetection_tpu.weights import init_params
+
+
+def _heads_ref(spec, params, x, **kw):
+    return jax.jit(make_forward(spec, **kw))(params, x)
+
+
+def test_balance_cuts_shape_and_balance(cpu_devices):
+    spec = get_spec("yolov3", width=416, height=416)
+    cuts = balance_cuts(spec, 4, scan_ladders=True)
+    assert len(cuts) == 3
+    assert cuts == sorted(cuts)
+    assert all(0 < c < len(spec.nodes) for c in cuts)
+    # snapped cuts never fall inside a rolled ladder
+    from realtimeobjectdetection_tpu.model import _find_ladders
+    for s, r in _find_ladders(spec).items():
+        for c in cuts:
+            assert not (s < c < s + 3 * r), (c, s, r)
+
+
+def test_pipelined_tiny_matches_single_device(cpu_devices):
+    reso = 160
+    spec = get_spec("yolov3-tiny", width=reso, height=reso)
+    params = init_params(spec, 0)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, reso, reso, 3), np.float32)
+    ref = _heads_ref(spec, __import__(
+        "realtimeobjectdetection_tpu.model", fromlist=["fold_batchnorm"]
+    ).fold_batchnorm(spec, params), x)
+    pf = PipelinedForward(spec, params, n_stages=4, resolution=reso)
+    got = pf(x)
+    assert len(got) == len(ref)
+    for a, b in zip(got, ref):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pipelined_full_yolov3_with_ladders(cpu_devices):
+    reso = 96
+    spec = get_spec("yolov3", width=reso, height=reso)
+    params = init_params(spec, 0)
+    from realtimeobjectdetection_tpu.model import fold_batchnorm
+    fparams = fold_batchnorm(spec, params)
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.rand(1, reso, reso, 3), np.float32)
+    ref = _heads_ref(spec, fparams, x, scan_ladders=True)
+    pf = PipelinedForward(spec, params, n_stages=2, resolution=reso,
+                          scan_ladders=True)
+    got = pf(x)
+    for a, b in zip(got, ref):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the stage weights really live on distinct devices
+    d0 = jax.tree_util.tree_leaves(pf._params[0])[0].devices()
+    d1 = jax.tree_util.tree_leaves(pf._params[1])[0].devices()
+    assert d0 != d1
+
+
+def test_map_stream_pipelined_dispatch(cpu_devices):
+    reso = 160
+    spec = get_spec("yolov3-tiny", width=reso, height=reso)
+    params = init_params(spec, 0)
+    pf = PipelinedForward(spec, params, n_stages=2, resolution=reso)
+    rng = np.random.RandomState(2)
+    batches = [jnp.asarray(rng.rand(1, reso, reso, 3), np.float32)
+               for _ in range(5)]
+    direct = [pf(b) for b in batches]
+    streamed = list(pf.map_stream(iter(batches), depth=3))
+    assert len(streamed) == 5
+    for ds, ss in zip(direct, streamed):
+        for a, b in zip(ds, ss):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
