@@ -42,6 +42,8 @@ def run_detect(detector_params: dict):
         for k in ("yolov5_input_size", "yolov5_confidence", "yolov5_nms",
                   "yolov5_rect", "act_bf16"):
             detector_params.pop(k, None)
+        if detector_params.get("pipeline_stages", None) is None:
+            detector_params.pop("pipeline_stages", None)
         detector_params.setdefault("fused_decode", False)
         detector = DetectorV3(**detector_params)
     else:
@@ -151,6 +153,11 @@ def detect_arg_parser() -> argparse.ArgumentParser:
                    help="v5 only: bf16 inter-layer activation residency "
                         "(halves activation HBM traffic; small bounded "
                         "box drift vs the fp32 default)")
+    p.add_argument("--pp_stages", default=None, type=int,
+                   help="v3 only: pipeline parallelism — split the "
+                        "forward into N FLOP-balanced stages on N "
+                        "devices (parallel/pipeline.py; requires "
+                        "--bn_mode fold|running)")
     return p
 
 
@@ -167,7 +174,7 @@ def detect_cli(argv=None):
         "yolo_version": a.yolov, "yolov5_size": a.yolov5_size,
         "yolov5_rect": a.rect, "quantize": a.quantize,
         "fused_decode": a.fused_decode, "host_prep": a.host_prep,
-        "act_bf16": a.act_bf16,
+        "act_bf16": a.act_bf16, "pipeline_stages": a.pp_stages,
     }
     return run_detect(params)
 

@@ -83,6 +83,7 @@ class DetectorV3:
                  quantize: Optional[str] = None,
                  fused_decode: bool = False,
                  mesh=None,
+                 pipeline_stages: Optional[int] = None,
                  prefetch: int = 4,
                  host_prep: str = "cv2"):
         assert resolution % 32 == 0 and resolution > 32  # detect.py:51-52
@@ -161,6 +162,27 @@ class DetectorV3:
         # replacement for the reference's nn.DataParallel,
         # detect.py:177-183).  Auto-activates when the device count
         # divides the batch; single-chip falls back to plain jit.
+        # pipeline parallelism (parallel/pipeline.py): graph stages on
+        # distinct chips, host-chained; the alternative to the DP/SP
+        # mesh when per-stage HBM residency matters.  Mutually exclusive
+        # with the mesh (pick ONE parallelism layout per detector).
+        self.pipeline = None
+        if pipeline_stages and int(pipeline_stages) > 1:
+            if quantize:
+                raise ValueError(
+                    "pipeline_stages is incompatible with quantize")
+            if mesh:  # mesh=False/None both mean "no DP/SP mesh"
+                raise ValueError(
+                    "pipeline_stages and mesh are mutually exclusive "
+                    "parallelism modes (PP vs DP/SP)")
+            if bn_mode not in ("fold", "running"):
+                raise ValueError(
+                    "pipeline_stages requires bn_mode 'fold' or "
+                    "'running' (PP is a serving path)")
+            self.mesh = None
+            self._detect = self._make_pp_detect(
+                int(pipeline_stages), compute_dtype, prec, scan_ladders)
+            return
         detect_fn = self._make_detect_fn()
         if mesh is None and len(jax.devices()) > 1 \
                 and self.batch_size % len(jax.devices()) == 0:
@@ -225,6 +247,58 @@ class DetectorV3:
             pred = decode_heads(heads, spec, reso)
             return nms_batch(pred, num_classes, conf, nms_t, top_k=top_k,
                              use_pallas=use_pallas, with_stats=True)
+
+        return detect
+
+    def _make_pp_detect(self, n_stages: int, compute_dtype, prec,
+                        scan_ladders):
+        """Pipeline-parallel detect: the forward runs as ``n_stages``
+        FLOP-balanced stage programs on distinct devices
+        (parallel/pipeline.PipelinedForward, bit-identical heads), and
+        decode+NMS runs as one jitted program on the LAST stage's
+        device.  Numerics match the single-device path exactly (the
+        u8->f32 normalization is the same op, just its own tiny program
+        on stage 0's device).  No reference counterpart — its
+        parallelism is nn.DataParallel (detect.py:177-183)."""
+        from ..parallel.pipeline import PipelinedForward
+        pf = PipelinedForward(
+            self.spec, self.params, n_stages=n_stages,
+            bn_mode=self.bn_mode, compute_dtype=compute_dtype,
+            precision=prec, scan_ladders=scan_ladders,
+            resolution=self.resolution)
+        self.pipeline = pf
+        first_dev, last_dev = pf.devices[0], pf.devices[-1]
+        spec, reso = self.spec, self.resolution
+        conf, nms_t, top_k = self.confidence, self.nms_thresh, self.top_k
+        num_classes = self.num_classes
+        fused, use_pallas = self.fused_decode, self.use_pallas_nms
+
+        pre = jax.jit(lambda u8: u8.astype(jnp.float32) / 255.0)
+
+        def post_fn(heads):
+            if fused:
+                from ..ops.decode import decode_topk
+                pred, n_cand = decode_topk(heads, spec, reso, top_k,
+                                           confidence=conf)
+                boxes, valid = nms_batch(pred, num_classes, conf, nms_t,
+                                         top_k=top_k, use_pallas=use_pallas)
+                return boxes, valid, n_cand
+            pred = decode_heads(heads, spec, reso)
+            return nms_batch(pred, num_classes, conf, nms_t, top_k=top_k,
+                             use_pallas=use_pallas, with_stats=True)
+
+        post = jax.jit(post_fn)
+
+        def detect(params, x):
+            # params is ignored: each stage's weight slice is already
+            # resident on its own device (set up in PipelinedForward)
+            del params
+            x = pre(jax.device_put(x, first_dev))
+            heads = pf(x)
+            # heads are emitted by whichever stage owns the yolo node;
+            # gather them on the last stage's device for decode+NMS
+            heads = [jax.device_put(h, last_dev) for h in heads]
+            return post(heads)
 
         return detect
 

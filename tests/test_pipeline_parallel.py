@@ -70,6 +70,56 @@ def test_pipelined_full_yolov3_with_ladders(cpu_devices):
     assert d0 != d1
 
 
+def test_detector_pipeline_stages_matches_single_device(tmp_path,
+                                                        cpu_devices):
+    """DetectorV3(pipeline_stages=4) end-to-end == the single-device
+    detector: identical metrics.json content (boxes, sentinels)."""
+    import os
+    from realtimeobjectdetection_tpu.models import get_spec as _gs
+    from realtimeobjectdetection_tpu.pipeline.detector import DetectorV3
+    from realtimeobjectdetection_tpu.testing import synthetic_darknet_weights
+    imgs = "/root/reference/imgs"
+    if not os.path.isdir(imgs):
+        import pytest
+        pytest.skip("reference images not mounted")
+    w = tmp_path / "tiny.weights"
+    w.write_bytes(synthetic_darknet_weights(_gs("yolov3-tiny"), 0))
+    kw = dict(images=os.path.join(imgs, "dog.jpg"),
+              cfg_path="yolov3-tiny", weights_path=str(w),
+              confidence=0.75, top_k=128, precision="highest",
+              bn_mode="fold")
+    m1 = DetectorV3(destination=str(tmp_path / "one"), **kw)(verbose=False)
+    mp = DetectorV3(destination=str(tmp_path / "pp"), pipeline_stages=4,
+                    **kw)(verbose=False)
+    assert set(m1) == set(mp)
+    for k in m1:
+        a, b = m1[k], mp[k]
+        if isinstance(a, int) or isinstance(b, int):
+            assert a == b, k
+        else:
+            np.testing.assert_allclose(np.array(a), np.array(b), atol=1e-3)
+
+
+def test_detector_pipeline_stages_rejects_bad_combos(tmp_path, cpu_devices):
+    import os
+    import pytest
+    from realtimeobjectdetection_tpu.models import get_spec as _gs
+    from realtimeobjectdetection_tpu.pipeline.detector import DetectorV3
+    from realtimeobjectdetection_tpu.testing import synthetic_darknet_weights
+    w = tmp_path / "tiny.weights"
+    w.write_bytes(synthetic_darknet_weights(_gs("yolov3-tiny"), 0))
+    kw = dict(images=".", destination=str(tmp_path / "d"),
+              cfg_path="yolov3-tiny", weights_path=str(w))
+    with pytest.raises(ValueError, match="bn_mode"):
+        DetectorV3(pipeline_stages=2, bn_mode="batch", **kw)
+    with pytest.raises(ValueError, match="quantize"):
+        DetectorV3(pipeline_stages=2, bn_mode="fold", quantize="w8", **kw)
+    from realtimeobjectdetection_tpu.parallel.mesh import make_mesh
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        DetectorV3(pipeline_stages=2, bn_mode="fold",
+                   mesh=make_mesh(2, data=2, space=1), **kw)
+
+
 def test_map_stream_pipelined_dispatch(cpu_devices):
     reso = 160
     spec = get_spec("yolov3-tiny", width=reso, height=reso)
