@@ -36,7 +36,8 @@ def run_detect(detector_params: dict):
             rect=detector_params.get("yolov5_rect", False),
             fused_decode=detector_params.get("fused_decode", False),
             activation_dtype=(jnp.bfloat16 if detector_params.get(
-                "act_bf16", False) else None))
+                "act_bf16", False) else None),
+            pipeline_stages=detector_params.get("pipeline_stages"))
     elif version == 3:
         from .pipeline.detector import DetectorV3
         for k in ("yolov5_input_size", "yolov5_confidence", "yolov5_nms",
@@ -154,10 +155,10 @@ def detect_arg_parser() -> argparse.ArgumentParser:
                         "(halves activation HBM traffic; small bounded "
                         "box drift vs the fp32 default)")
     p.add_argument("--pp_stages", default=None, type=int,
-                   help="v3 only: pipeline parallelism — split the "
-                        "forward into N FLOP-balanced stages on N "
-                        "devices (parallel/pipeline.py; requires "
-                        "--bn_mode fold|running)")
+                   help="pipeline parallelism — split the forward into "
+                        "N FLOP-balanced stages on N devices "
+                        "(parallel/pipeline.py; v3 requires --bn_mode "
+                        "fold|running)")
     return p
 
 

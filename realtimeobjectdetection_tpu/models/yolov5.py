@@ -277,10 +277,129 @@ def _upsample2(x):
     return x.reshape(b, h * 2, w * 2, c)
 
 
+def _v5_steps():
+    """Ordered dataflow of the v5 graph: ``(name, reads, write, fn)``.
+
+    ``fn(p, ctx, *read_values) -> tensor``; ``write=None`` marks a head
+    emission (the three m24 detect convs).  This table is the single
+    source of truth for the full forward, the pipeline-parallel
+    stage-split forward (``make_yolov5_forward(stage_range=...)``), and
+    the per-step FLOP balance (:func:`v5_step_flops`) — module order and
+    channel math mirror ultralytics yolov5 v6.x (models/yolov5{s..x}.yaml
+    via torch.hub, /root/reference/detect.py:258)."""
+    def conv(m, stride):
+        def f(p, ctx, x):
+            return _conv(x, p[m], stride, ctx["dt"], out_dtype=ctx["odt"],
+                         name=m, bn=ctx["bn"], stats=ctx["stats"])
+        return f
+
+    def c3(m, shortcut):
+        def f(p, ctx, x):
+            return _c3(x, p[m], shortcut, ctx["dt"], ctx["odt"], ctx["bn"],
+                       ctx["stats"], m)
+        return f
+
+    def sppf(m):
+        def f(p, ctx, x):
+            return _sppf(x, p[m], ctx["dt"], odt=ctx["odt"], bn=ctx["bn"],
+                         stats=ctx["stats"], name=m)
+        return f
+
+    def upcat(p, ctx, top, lateral):
+        return jnp.concatenate([_upsample2(top), lateral], -1)
+
+    def downcat(m):
+        def f(p, ctx, x, lateral):
+            return jnp.concatenate(
+                [_conv(x, p[m], 2, ctx["dt"], out_dtype=ctx["odt"],
+                       name=m, bn=ctx["bn"], stats=ctx["stats"]), lateral],
+                -1)
+        return f
+
+    def head(i):
+        def f(p, ctx, x):
+            return _conv(x, p["m24"][str(i)], 1, ctx["dt"], act=False,
+                         out_dtype=ctx["hdt"])
+        return f
+
+    return [
+        ("m0", ("in",), "x0", conv("m0", 2)),
+        ("m1", ("x0",), "x1", conv("m1", 2)),
+        ("m2", ("x1",), "x2", c3("m2", True)),
+        ("m3", ("x2",), "x3", conv("m3", 2)),
+        ("m4", ("x3",), "p3", c3("m4", True)),
+        ("m5", ("p3",), "x5", conv("m5", 2)),
+        ("m6", ("x5",), "p4", c3("m6", True)),
+        ("m7", ("p4",), "x7", conv("m7", 2)),
+        ("m8", ("x7",), "x8", c3("m8", True)),
+        ("m9", ("x8",), "p5", sppf("m9")),
+        ("m10", ("p5",), "t5", conv("m10", 1)),
+        ("m11_12", ("t5", "p4"), "x12", upcat),
+        ("m13", ("x12",), "f4", c3("m13", False)),
+        ("m14", ("f4",), "t4", conv("m14", 1)),
+        ("m15_16", ("t4", "p3"), "x16", upcat),
+        ("m17", ("x16",), "out3", c3("m17", False)),
+        ("m24.0", ("out3",), None, head(0)),
+        ("m18_19", ("out3", "t4"), "x19", downcat("m18")),
+        ("m20", ("x19",), "out4", c3("m20", False)),
+        ("m24.1", ("out4",), None, head(1)),
+        ("m21_22", ("out4", "t5"), "x22", downcat("m21")),
+        ("m23", ("x22",), "out5", c3("m23", False)),
+        ("m24.2", ("out5",), None, head(2)),
+    ]
+
+
+def v5_step_flops(cfg: YoloV5Config, resolution: int = 640) -> List[int]:
+    """Per-step conv FLOPs aligned with :func:`_v5_steps` order (same
+    2*H*W*K²*Cin*Cout count as utils.profiling.conv_flops_v5; their sum
+    is asserted equal in tests/test_yolov5.py).  Drives the
+    FLOP-balanced pipeline-parallel cuts (parallel/pipeline.py)."""
+    ch, d, hd, no = cfg.ch, cfg.depths, cfg.head_depth, cfg.no
+
+    def conv(s, c1, c2, k):
+        return 2 * s * s * k * k * c1 * c2
+
+    def c3(s, c1, c2, n, e=0.5):
+        c_ = int(c2 * e)
+        return (conv(s, c1, c_, 1) + conv(s, c1, c_, 1)
+                + sum(conv(s, c_, c_, 1) + conv(s, c_, c_, 3)
+                      for _ in range(n))
+                + conv(s, 2 * c_, c2, 1))
+
+    r = resolution
+    return [
+        conv(r // 2, 3, ch[0], 6),                      # m0
+        conv(r // 4, ch[0], ch[1], 3),                  # m1
+        c3(r // 4, ch[1], ch[1], d[0]),                 # m2
+        conv(r // 8, ch[1], ch[2], 3),                  # m3
+        c3(r // 8, ch[2], ch[2], d[1]),                 # m4
+        conv(r // 16, ch[2], ch[3], 3),                 # m5
+        c3(r // 16, ch[3], ch[3], d[2]),                # m6
+        conv(r // 32, ch[3], ch[4], 3),                 # m7
+        c3(r // 32, ch[4], ch[4], d[3]),                # m8
+        conv(r // 32, ch[4], ch[4] // 2, 1)             # m9 SPPF cv1
+        + conv(r // 32, (ch[4] // 2) * 4, ch[4], 1),    # m9 SPPF cv2
+        conv(r // 32, ch[4], ch[3], 1),                 # m10
+        0,                                              # m11_12 up+cat
+        c3(r // 16, ch[3] * 2, ch[3], hd),              # m13
+        conv(r // 16, ch[3], ch[2], 1),                 # m14
+        0,                                              # m15_16 up+cat
+        c3(r // 8, ch[2] * 2, ch[2], hd),               # m17
+        conv(r // 8, ch[2], no, 1),                     # m24.0
+        conv(r // 16, ch[2], ch[2], 3),                 # m18_19 down
+        c3(r // 16, ch[2] * 2, ch[3], hd),              # m20
+        conv(r // 16, ch[3], no, 1),                    # m24.1
+        conv(r // 32, ch[3], ch[3], 3),                 # m21_22 down
+        c3(r // 32, ch[3] * 2, ch[4], hd),              # m23
+        conv(r // 32, ch[4], no, 1),                    # m24.2
+    ]
+
+
 def make_yolov5_forward(cfg: YoloV5Config, compute_dtype=jnp.bfloat16,
                         activation_dtype=None, head_dtype=None,
                         bn_mode: str = "fold",
-                        return_stats: bool = False):
+                        return_stats: bool = False,
+                        stage_range=None):
     """Build ``forward(params, x) -> [p3, p4, p5]`` raw heads (NHWC).
 
     ``activation_dtype``: dtype of the materialized inter-layer
@@ -296,44 +415,53 @@ def make_yolov5_forward(cfg: YoloV5Config, compute_dtype=jnp.bfloat16,
     running-stats BatchNorm.  With ``return_stats=True`` (training) the
     forward returns ``(heads, {name: (mean, var)})`` for the running-
     stat update in train/v5.py.
+
+    ``stage_range=(lo, hi)``: pipeline-parallel stage mode over the
+    :func:`_v5_steps` dataflow — run only steps ``[lo, hi)`` and return
+    ``(heads_emitted, boundary)`` where the boundary maps value name ->
+    activation for everything a later stage still reads.  The returned
+    function's signature becomes ``forward(p, x, carry)``; step math is
+    identical to the full forward (same table), so chained stages are
+    bit-exact (tests/test_pipeline_parallel.py).  Serving path only
+    (``return_stats`` unsupported).
     """
     assert bn_mode in ("fold", "batch", "running")
     odt = activation_dtype or jnp.float32
     hdt = head_dtype or jnp.float32
+    steps = _v5_steps()
+    if stage_range is not None:
+        assert not return_stats, "stage mode is a serving path"
+        lo_, hi_ = stage_range
+        assert 0 <= lo_ < hi_ <= len(steps), stage_range
+    # liveness: the last step index that reads each value
+    last_read = {}
+    for i, (_, reads, _, _) in enumerate(steps):
+        for r in reads:
+            last_read[r] = i
 
-    def forward(p, x):
-        dt = compute_dtype
+    def forward(p, x, carry=None):
+        lo, hi = stage_range if stage_range is not None else (0, len(steps))
         stats = {} if return_stats and bn_mode == "batch" else None
-        kw = dict(bn=bn_mode, stats=stats)
-        x = _conv(x, p["m0"], 2, dt, out_dtype=odt, name="m0", **kw)
-        x = _conv(x, p["m1"], 2, dt, out_dtype=odt, name="m1", **kw)
-        x = _c3(x, p["m2"], True, dt, odt, bn_mode, stats, "m2")
-        x = _conv(x, p["m3"], 2, dt, out_dtype=odt, name="m3", **kw)
-        p3 = _c3(x, p["m4"], True, dt, odt, bn_mode, stats, "m4")
-        x = _conv(p3, p["m5"], 2, dt, out_dtype=odt, name="m5", **kw)
-        p4 = _c3(x, p["m6"], True, dt, odt, bn_mode, stats, "m6")
-        x = _conv(p4, p["m7"], 2, dt, out_dtype=odt, name="m7", **kw)
-        x = _c3(x, p["m8"], True, dt, odt, bn_mode, stats, "m8")
-        p5 = _sppf(x, p["m9"], dt, odt=odt, bn=bn_mode, stats=stats,
-                   name="m9")
-
-        t5 = _conv(p5, p["m10"], 1, dt, out_dtype=odt, name="m10", **kw)
-        x = jnp.concatenate([_upsample2(t5), p4], -1)
-        f4 = _c3(x, p["m13"], False, dt, odt, bn_mode, stats, "m13")
-        t4 = _conv(f4, p["m14"], 1, dt, out_dtype=odt, name="m14", **kw)
-        x = jnp.concatenate([_upsample2(t4), p3], -1)
-        out3 = _c3(x, p["m17"], False, dt, odt, bn_mode, stats, "m17")
-        x = jnp.concatenate([_conv(out3, p["m18"], 2, dt, out_dtype=odt,
-                                   name="m18", **kw), t4], -1)
-        out4 = _c3(x, p["m20"], False, dt, odt, bn_mode, stats, "m20")
-        x = jnp.concatenate([_conv(out4, p["m21"], 2, dt, out_dtype=odt,
-                                   name="m21", **kw), t5], -1)
-        out5 = _c3(x, p["m23"], False, dt, odt, bn_mode, stats, "m23")
-
-        h3 = _conv(out3, p["m24"]["0"], 1, dt, act=False, out_dtype=hdt)
-        h4 = _conv(out4, p["m24"]["1"], 1, dt, act=False, out_dtype=hdt)
-        h5 = _conv(out5, p["m24"]["2"], 1, dt, act=False, out_dtype=hdt)
-        heads = [h3, h4, h5]
+        ctx = {"dt": compute_dtype, "odt": odt, "hdt": hdt,
+               "bn": bn_mode, "stats": stats}
+        env = dict(carry) if carry else {}
+        if lo == 0:
+            env["in"] = x
+        heads: List[jnp.ndarray] = []
+        for i in range(lo, hi):
+            name, reads, write, fn = steps[i]
+            out = fn(p, ctx, *(env[r] for r in reads))
+            if write is None:
+                heads.append(out)
+            else:
+                env[write] = out
+            for r in reads:  # free values no later step reads
+                if last_read[r] == i:
+                    del env[r]
+        if stage_range is not None:
+            boundary = {k: v for k, v in env.items()
+                        if last_read.get(k, -1) >= hi}
+            return heads, boundary
         return (heads, stats) if stats is not None else heads
 
     return forward

@@ -32,7 +32,25 @@ import jax.numpy as jnp
 from ..cfg_parser import ConvSpec, GraphSpec
 from ..model import _find_ladders, fold_batchnorm, make_forward
 
-__all__ = ["balance_cuts", "PipelinedForward"]
+__all__ = ["balance_cuts", "balance_cuts_v5", "PipelinedForward",
+           "PipelinedForwardV5"]
+
+
+def _cuts_from_flops(flops: Sequence[int], n_stages: int,
+                     snap=None) -> List[int]:
+    """Place ``n_stages - 1`` cuts where cumulative FLOPs cross each
+    1/n_stages of the total; ``snap`` optionally moves a cut forward
+    (out of an unsplittable region)."""
+    total = sum(flops)
+    cuts, acc, k = [], 0, 1
+    for i, f in enumerate(flops):
+        acc += f
+        if k < n_stages and acc >= total * k / n_stages:
+            c = snap(i + 1) if snap else i + 1
+            if c < len(flops) and (not cuts or c > cuts[-1]):
+                cuts.append(c)
+            k += 1
+    return cuts
 
 
 def balance_cuts(spec: GraphSpec, n_stages: int,
@@ -69,7 +87,6 @@ def balance_cuts(spec: GraphSpec, n_stages: int,
                 cur_h, cur_w = hw.get(node.sources[0], (cur_h, cur_w))
             flops.append(0)
         hw[node.index] = (cur_h, cur_w)
-    total = sum(flops)
     ladders = _find_ladders(spec) if scan_ladders else {}
 
     def snap(cut: int) -> int:
@@ -78,18 +95,44 @@ def balance_cuts(spec: GraphSpec, n_stages: int,
                 return s + 3 * r
         return cut
 
-    cuts, acc, k = [], 0, 1
-    for i, f in enumerate(flops):
-        acc += f
-        if k < n_stages and acc >= total * k / n_stages:
-            c = snap(i + 1)
-            if c < len(spec.nodes) and (not cuts or c > cuts[-1]):
-                cuts.append(c)
-            k += 1
-    return cuts
+    return _cuts_from_flops(flops, n_stages, snap=snap)
 
 
-class PipelinedForward:
+class _StagedPipeline:
+    """Shared stage-chaining: subclasses fill ``devices`` (one per
+    stage), ``_fns`` (jitted ``(stage_params, x_or_carry) ->
+    (heads, boundary)``), and ``_params`` (per-stage weight slices,
+    device-resident)."""
+
+    devices: List
+    _fns: List
+    _params: List
+
+    def __call__(self, x):
+        """Full heads-forward for one batch across the stage devices."""
+        heads: List[jnp.ndarray] = []
+        hs, carry = self._fns[0](self._params[0], x)
+        heads.extend(hs)
+        for k in range(1, len(self._fns)):
+            carry = jax.device_put(carry, self.devices[k])
+            hs, carry = self._fns[k](self._params[k], carry)
+            heads.extend(hs)
+        return heads
+
+    def map_stream(self, batches, depth: Optional[int] = None):
+        """Yield heads per batch, keeping ``depth`` (default n_stages)
+        batches in flight so every stage device stays busy."""
+        depth = depth or len(self._fns)
+        inflight = []
+        for x in batches:
+            inflight.append(self(x))
+            if len(inflight) >= depth:
+                yield [jax.block_until_ready(h) for h in inflight.pop(0)]
+        for hs in inflight:
+            yield [jax.block_until_ready(h) for h in hs]
+
+
+class PipelinedForward(_StagedPipeline):
     """Stage-pipelined heads-forward over explicit devices.
 
     ``__call__(x)`` returns the same raw heads list as
@@ -142,25 +185,72 @@ class PipelinedForward:
             self._params.append(
                 jax.device_put(stage_params, self.devices[k]))
 
-    def __call__(self, x):
-        """Full heads-forward for one batch across the stage devices."""
-        heads: List[jnp.ndarray] = []
-        hs, carry = self._fns[0](self._params[0], x)
-        heads.extend(hs)
-        for k in range(1, len(self._fns)):
-            carry = jax.device_put(carry, self.devices[k])
-            hs, carry = self._fns[k](self._params[k], carry)
-            heads.extend(hs)
-        return heads
 
-    def map_stream(self, batches, depth: Optional[int] = None):
-        """Yield heads per batch, keeping ``depth`` (default n_stages)
-        batches in flight so every stage device stays busy."""
-        depth = depth or len(self._fns)
-        inflight = []
-        for x in batches:
-            inflight.append(self(x))
-            if len(inflight) >= depth:
-                yield [jax.block_until_ready(h) for h in inflight.pop(0)]
-        for hs in inflight:
-            yield [jax.block_until_ready(h) for h in hs]
+def balance_cuts_v5(cfg, n_stages: int,
+                    resolution: int = 640) -> List[int]:
+    """FLOP-balanced stage boundaries over the v5 step table
+    (models/yolov5._v5_steps / v5_step_flops)."""
+    from ..models.yolov5 import v5_step_flops
+    return _cuts_from_flops(v5_step_flops(cfg, resolution), n_stages)
+
+
+# v5 steps whose param needs differ from their name ("mA_B" fused
+# up/down+concat steps: upsample+concat own no params, down+concat owns
+# the stride-2 conv); every other step reads exactly params[name], and
+# "m24.i" reads the nested detect conv params["m24"][str(i)].
+_V5_STEP_PARAM_KEYS = {"m11_12": (), "m15_16": (),
+                       "m18_19": ("m18",), "m21_22": ("m21",)}
+
+
+class PipelinedForwardV5(_StagedPipeline):
+    """Pipeline-parallel YOLOv5 heads-forward: the step-table dataflow
+    (models/yolov5._v5_steps) cut into FLOP-balanced contiguous ranges,
+    one jitted program per device holding only its modules' weights.
+    Same chaining/bit-exactness contract as :class:`PipelinedForward`;
+    params must already be in the layout ``bn_mode`` expects
+    (inference ``{"w","b"}`` for "fold" — e.g. via fold_v5_batchnorm —
+    or the training layout for "running")."""
+
+    def __init__(self, cfg, params: Dict, n_stages: Optional[int] = None,
+                 devices=None, cuts: Optional[Sequence[int]] = None,
+                 bn_mode: str = "fold", compute_dtype=jnp.bfloat16,
+                 activation_dtype=None, head_dtype=None,
+                 resolution: int = 640):
+        assert bn_mode in ("fold", "running"), \
+            "PP is a serving path (batch-stats BN trains on DP/SP/TP)"
+        from ..models.yolov5 import _v5_steps, make_yolov5_forward
+        devices = list(devices if devices is not None else jax.devices())
+        n_stages = n_stages or len(devices)
+        assert 1 <= n_stages <= len(devices), (n_stages, len(devices))
+        self.devices = devices[:n_stages]
+        steps = _v5_steps()
+        if cuts is None:
+            cuts = balance_cuts_v5(cfg, n_stages, resolution=resolution)
+        cuts = list(cuts)
+        assert len(cuts) == n_stages - 1, (cuts, n_stages)
+        self.cfg = cfg
+        self.cuts = cuts
+        bounds = [0] + cuts + [len(steps)]
+        self.ranges: List[Tuple[int, int]] = list(zip(bounds, bounds[1:]))
+        kw = dict(bn_mode=bn_mode, compute_dtype=compute_dtype,
+                  activation_dtype=activation_dtype, head_dtype=head_dtype)
+        self._fns = []
+        self._params = []
+        for k, (lo, hi) in enumerate(self.ranges):
+            fn = make_yolov5_forward(cfg, stage_range=(lo, hi), **kw)
+            if lo == 0:
+                jfn = jax.jit(lambda p, x, fn=fn: fn(p, x))
+            else:
+                jfn = jax.jit(lambda p, c, fn=fn: fn(p, None, c))
+            self._fns.append(jfn)
+            stage_params: Dict = {}
+            for name, _, _, _ in steps[lo:hi]:
+                if name.startswith("m24."):
+                    sub = name.split(".", 1)[1]
+                    stage_params.setdefault("m24", {})[sub] = \
+                        params["m24"][sub]
+                    continue
+                for key in _V5_STEP_PARAM_KEYS.get(name, (name,)):
+                    stage_params[key] = params[key]
+            self._params.append(
+                jax.device_put(stage_params, self.devices[k]))

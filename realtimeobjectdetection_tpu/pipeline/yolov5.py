@@ -114,7 +114,8 @@ class DetectorV5:
                  compute_dtype=jnp.bfloat16,
                  rect: bool = False, rect_bucket: int = 64,
                  fused_decode: bool = False, top_k: int = 512,
-                 activation_dtype=None):
+                 activation_dtype=None,
+                 pipeline_stages: Optional[int] = None):
         """``rect``: AutoShape's rectangular inference (pad to stride
         multiples, not to a square — hub AutoShape semantics, the path
         the reference actually rides at detect.py:277-285).  Off by
@@ -149,10 +150,7 @@ class DetectorV5:
         nc, conf, iou, md = num_classes, confidence, iou_thresh, max_det
         tk = top_k
 
-        def detect(p, x):
-            # uint8 in, normalized on device (quarter the tunnel traffic)
-            x = x.astype(jnp.float32) / 255.0
-            heads = fwd(p, x)
+        def post(heads):
             if fused_decode:
                 from ..models.yolov5 import decode_v5_topk
                 pred = decode_v5_topk(heads, nc, tk, conf)
@@ -161,7 +159,36 @@ class DetectorV5:
             pred = decode_v5(heads, nc)
             return nms_batch_v5(pred, nc, conf, iou, max_det=md)
 
-        self._detect = jax.jit(detect)  # one program per canvas shape
+        def detect(p, x):
+            # uint8 in, normalized on device (quarter the tunnel traffic)
+            x = x.astype(jnp.float32) / 255.0
+            return post(fwd(p, x))
+
+        # pipeline parallelism: FLOP-balanced stage programs on distinct
+        # devices (parallel/pipeline.PipelinedForwardV5, bit-identical
+        # heads); decode+NMS jits on the last stage's device.  Same
+        # integration as DetectorV3(pipeline_stages=...).
+        self.pipeline = None
+        if pipeline_stages and int(pipeline_stages) > 1:
+            from ..parallel.pipeline import PipelinedForwardV5
+            pf = PipelinedForwardV5(
+                self.cfg, self.params, n_stages=int(pipeline_stages),
+                compute_dtype=compute_dtype,
+                activation_dtype=activation_dtype, resolution=size)
+            self.pipeline = pf
+            first_dev, last_dev = pf.devices[0], pf.devices[-1]
+            pre = jax.jit(lambda u8: u8.astype(jnp.float32) / 255.0)
+            jpost = jax.jit(post)
+
+            def detect_pp(p, x):
+                del p  # stage weight slices live on their own devices
+                x = pre(jax.device_put(x, first_dev))
+                heads = [jax.device_put(h, last_dev) for h in pf(x)]
+                return jpost(heads)
+
+            self._detect = detect_pp
+        else:
+            self._detect = jax.jit(detect)  # one program per canvas shape
 
     def _load_params(self, weights_path):
         if weights_path is None:

@@ -70,6 +70,70 @@ def test_pipelined_full_yolov3_with_ladders(cpu_devices):
     assert d0 != d1
 
 
+def test_v5_step_flops_sum_matches_total(cpu_devices):
+    """Per-step FLOPs (the PP balance input) must sum to the canonical
+    conv_flops_v5 total for every size — one graph, two walks."""
+    from realtimeobjectdetection_tpu.models.yolov5 import (v5_step_flops,
+                                                           yolov5_config)
+    from realtimeobjectdetection_tpu.utils.profiling import conv_flops_v5
+    for size in ("s", "m", "l", "x"):
+        cfg = yolov5_config(size)
+        assert sum(v5_step_flops(cfg, 640)) == conv_flops_v5(cfg, 640), size
+
+
+def test_pipelined_v5_matches_single_device(cpu_devices):
+    """PipelinedForwardV5 (4 stages) == single-device v5 forward,
+    bit-exact, heads in [p3, p4, p5] order."""
+    from realtimeobjectdetection_tpu.models.yolov5 import (
+        init_yolov5_params, make_yolov5_forward, yolov5_config)
+    from realtimeobjectdetection_tpu.parallel.pipeline import (
+        PipelinedForwardV5, balance_cuts_v5)
+    reso = 128
+    cfg = yolov5_config("s")
+    params = init_yolov5_params(cfg, 0)
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.rand(1, reso, reso, 3), np.float32)
+    ref = jax.jit(make_yolov5_forward(cfg, compute_dtype=jnp.float32))(
+        params, x)
+    cuts = balance_cuts_v5(cfg, 4, resolution=reso)
+    assert len(cuts) == 3 and cuts == sorted(cuts)
+    pf = PipelinedForwardV5(cfg, params, n_stages=4,
+                            compute_dtype=jnp.float32, resolution=reso)
+    got = pf(x)
+    assert len(got) == 3
+    for a, b in zip(got, ref):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # stage weights on distinct devices
+    d0 = jax.tree_util.tree_leaves(pf._params[0])[0].devices()
+    d3 = jax.tree_util.tree_leaves(pf._params[3])[0].devices()
+    assert d0 != d3
+
+
+def test_pipelined_v5_every_cut_position(cpu_devices):
+    """2-stage split at EVERY legal cut index must be bit-exact — pins
+    the boundary liveness set for all 23 steps."""
+    from realtimeobjectdetection_tpu.models.yolov5 import (
+        _v5_steps, init_yolov5_params, make_yolov5_forward, yolov5_config)
+    from realtimeobjectdetection_tpu.parallel.pipeline import (
+        PipelinedForwardV5)
+    reso = 64
+    cfg = yolov5_config("s")
+    params = init_yolov5_params(cfg, 1)
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.rand(1, reso, reso, 3), np.float32)
+    ref = jax.jit(make_yolov5_forward(cfg, compute_dtype=jnp.float32))(
+        params, x)
+    n = len(_v5_steps())
+    for cut in range(1, n):
+        pf = PipelinedForwardV5(cfg, params, n_stages=2, cuts=[cut],
+                                compute_dtype=jnp.float32, resolution=reso)
+        got = pf(x)
+        assert len(got) == 3, cut
+        for a, b in zip(got, ref):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=f"cut={cut}")
+
+
 def test_detector_pipeline_stages_matches_single_device(tmp_path,
                                                         cpu_devices):
     """DetectorV3(pipeline_stages=4) end-to-end == the single-device
@@ -98,6 +162,35 @@ def test_detector_pipeline_stages_matches_single_device(tmp_path,
             assert a == b, k
         else:
             np.testing.assert_allclose(np.array(a), np.array(b), atol=1e-3)
+
+
+def test_detector_v5_pipeline_stages_matches_single_device(tmp_path,
+                                                           cpu_devices):
+    """DetectorV5(pipeline_stages=4) end-to-end == single-device v5
+    detector (random-init weights, fp32 compute for bit-equality)."""
+    import os
+    import pytest
+    from realtimeobjectdetection_tpu.pipeline.yolov5 import DetectorV5
+    imgs = "/root/reference/imgs"
+    if not os.path.isdir(imgs):
+        pytest.skip("reference images not mounted")
+    src = str(tmp_path / "imgs")
+    os.makedirs(src)
+    import shutil
+    shutil.copy(os.path.join(imgs, "dog.jpg"), src)
+    kw = dict(model_size="S", size=320, confidence=0.25,
+              compute_dtype=jnp.float32)
+    m1 = DetectorV5(src, destination=str(tmp_path / "one"),
+                    **kw)(verbose=False)
+    mp = DetectorV5(src, destination=str(tmp_path / "pp"),
+                    pipeline_stages=4, **kw)(verbose=False)
+    assert set(m1) == set(mp)
+    for k in m1:
+        a, b = m1[k], mp[k]
+        if isinstance(a, int) or isinstance(b, int):
+            assert a == b, k
+        else:
+            np.testing.assert_allclose(np.array(a), np.array(b), atol=1e-4)
 
 
 def test_detector_pipeline_stages_rejects_bad_combos(tmp_path, cpu_devices):
