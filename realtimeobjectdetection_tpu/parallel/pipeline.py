@@ -1,10 +1,13 @@
 """Pipeline parallelism (PP) for serving: graph stages on distinct chips.
 
 The fourth parallelism mode next to DP/SP (mesh.py GSPMD shardings) and
-TP (mesh.param_shardings): the Darknet graph is cut into contiguous
-FLOP-balanced node ranges, each compiled as its own program
-(``model.make_forward(stage_range=...)``) and pinned to its own device
-with only its slice of the weights resident.  The host chains the
+TP (mesh.param_shardings): the graph is cut into contiguous
+FLOP-balanced ranges, each compiled as its own program and pinned to
+its own device with only its slice of the weights resident — Darknet
+node ranges via ``model.make_forward(stage_range=...)``
+(:class:`PipelinedForward`) and YOLOv5 step-table ranges via
+``models.yolov5.make_yolov5_forward(stage_range=...)``
+(:class:`PipelinedForwardV5`).  The host chains the
 stages — because JAX dispatch is asynchronous, keeping >= n_stages
 batches in flight runs stage k for batch i concurrently with stage k-1
 for batch i+1, so steady-state throughput is set by the SLOWEST stage,
