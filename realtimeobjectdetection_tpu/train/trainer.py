@@ -233,6 +233,14 @@ class DarknetTrainer:
             f.write(blob)
 
     def restore(self, path: str):
+        if self._tp:
+            # restore straight into the TP/ZeRO shardings — the mesh
+            # need not match the topology that saved the checkpoint
+            # (parallel/checkpoint.restore_sharded; no host-size
+            # bottleneck, each device reads only its shard)
+            from ..parallel.checkpoint import restore_sharded
+            self.state = restore_sharded(path, self.state, self.mesh)
+            return
         import orbax.checkpoint as ocp
         path = os.path.abspath(path)
         ckptr = ocp.PyTreeCheckpointer()
