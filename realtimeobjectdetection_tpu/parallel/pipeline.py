@@ -36,7 +36,7 @@ from ..cfg_parser import ConvSpec, GraphSpec
 from ..model import _find_ladders, fold_batchnorm, make_forward
 
 __all__ = ["balance_cuts", "balance_cuts_v5", "PipelinedForward",
-           "PipelinedForwardV5"]
+           "PipelinedForwardV5", "PipelinedTrainStep"]
 
 
 def _cuts_from_flops(flops: Sequence[int], n_stages: int,
@@ -257,3 +257,203 @@ class PipelinedForwardV5(_StagedPipeline):
                     stage_params[key] = params[key]
             self._params.append(
                 jax.device_put(stage_params, self.devices[k]))
+
+
+class PipelinedTrainStep:
+    """GPipe-style pipeline-parallel training for the Darknet families.
+
+    The graph is cut into FLOP-balanced stages (same ``balance_cuts`` as
+    serving); each stage holds ONLY its weight slice and its slice of
+    the Adam state on its own device, so parameter, optimizer, and
+    activation memory all scale ~1/n_stages.  A training step splits the
+    batch into ``n_micro`` microbatches, runs all forwards (async
+    dispatch overlaps stage k of microbatch i with stage k-1 of i+1),
+    computes loss + head cotangents on the last stage's device, then
+    runs the backwards in reverse, accumulating per-stage gradients.
+    The backward follows GPipe's activation-checkpoint recipe: only
+    stage INPUTS are stashed, and each stage's backward is one jitted
+    program that recomputes its forward internally
+    (``jax.vjp`` inside the jit) — no residual traffic between host and
+    stages, bounded memory per microbatch.
+
+    BatchNorm runs in "running" (frozen-stats, trainable affine) mode —
+    fine-tune semantics.  Batch-stats BN is mathematically incompatible
+    with microbatching (each microbatch would see different statistics;
+    the reference's nn.DataParallel has the same per-replica behavior),
+    so the DP/SP/TP mesh path (train/step.py) remains the from-scratch
+    trainer; PP is the fine-tune / memory-bound option.  Loss is the
+    reference's masked sum-MSE (train/loss.py), which is additive over
+    batch rows, so microbatch gradient accumulation is exact — the step
+    matches a single-device running-BN step bit-for-close (float
+    summation order differs; tests/test_pipeline_parallel.py pins
+    rtol=1e-5).  No reference counterpart (its parallelism is
+    nn.DataParallel, /root/reference/detect.py:177-183).
+    """
+
+    def __init__(self, spec: GraphSpec, params: Dict, optimizer,
+                 n_stages: Optional[int] = None, devices=None,
+                 cuts: Optional[Sequence[int]] = None,
+                 resolution: int = 416, n_micro: int = 2,
+                 class_filter: Optional[int] = 0,
+                 reference_bug_wh_iou: bool = True,
+                 parity_swap_xy: bool = False,
+                 compute_dtype=jnp.float32, precision=None,
+                 scan_ladders: bool = False):
+        from ..ops.decode import decode_heads
+        from ..train.loss import yolo_loss
+        from ..train.targets import build_targets
+
+        devices = list(devices if devices is not None else jax.devices())
+        n_stages = n_stages or len(devices)
+        assert 1 <= n_stages <= len(devices), (n_stages, len(devices))
+        self.devices = devices[:n_stages]
+        self.n_micro = int(n_micro)
+        self.spec = spec
+        self.resolution = resolution
+        if cuts is None:
+            cuts = balance_cuts(spec, n_stages, resolution=resolution,
+                                scan_ladders=scan_ladders)
+        cuts = list(cuts)
+        assert len(cuts) == n_stages - 1, (cuts, n_stages)
+        self.cuts = cuts
+        bounds = [0] + cuts + [len(spec.nodes)]
+        self.ranges = list(zip(bounds, bounds[1:]))
+        self.optimizer = optimizer
+        self.step_count = 0
+
+        kw = dict(bn_mode="running", compute_dtype=compute_dtype,
+                  precision=precision, scan_ladders=scan_ladders)
+        self._fwd, self._bwd = [], []
+        self._params, self._opt = [], []
+        self._n_heads = []
+        for k, (lo, hi) in enumerate(self.ranges):
+            fn = make_forward(spec, stage_range=(lo, hi), **kw)
+            if lo == 0:
+                f = lambda p, c, fn=fn: fn(p, c)
+            else:
+                f = lambda p, c, fn=fn: fn(p, None, c)
+            self._fwd.append(jax.jit(f))
+
+            def b(p, c, ct, f=f):
+                # GPipe backward: recompute the stage forward inside the
+                # jitted program (activation checkpointing at stage
+                # granularity), then apply the cotangent
+                _, vjp = jax.vjp(f, p, c)
+                return vjp(ct)  # (g_params, g_carry_in)
+            self._bwd.append(jax.jit(b))
+            stage_params = {
+                f"node_{i}": params[f"node_{i}"]
+                for i in range(lo, hi) if f"node_{i}" in params}
+            sp = jax.device_put(stage_params, self.devices[k])
+            self._params.append(sp)
+            self._opt.append(jax.device_put(optimizer.init(sp),
+                                            self.devices[k]))
+            from ..cfg_parser import YoloSpec
+            self._n_heads.append(sum(
+                1 for n in spec.nodes[lo:hi] if isinstance(n, YoloSpec)))
+
+        def loss_and_headgrads(heads, boxes, box_mask):
+            targets, obj_mask = build_targets(
+                spec, boxes, box_mask, resolution,
+                class_filter=class_filter,
+                reference_bug_wh_iou=reference_bug_wh_iou,
+                parity_swap_xy=parity_swap_xy)
+
+            def loss_of(hs):
+                pred = decode_heads(hs, spec, resolution, train=True)
+                return yolo_loss(pred, targets, obj_mask)
+
+            return jax.value_and_grad(loss_of)(list(heads))
+
+        self._loss = jax.jit(loss_and_headgrads)
+        self._acc = jax.jit(lambda a, g: jax.tree_util.tree_map(
+            jnp.add, a, g))
+
+        def upd(p, o, g):
+            updates, o2 = optimizer.update(g, o, p)
+            import optax
+            return optax.apply_updates(p, updates), o2
+
+        self._upd = jax.jit(upd)
+
+    # ------------------------------------------------------------------
+    def step(self, images, boxes, box_mask):
+        """One pipelined training step over the full batch; updates the
+        per-stage params/opt state in place and returns the summed loss
+        (a device scalar on the last stage's device)."""
+        S = len(self.ranges)
+        B = images.shape[0]
+        assert B % self.n_micro == 0, (B, self.n_micro)
+        mb = B // self.n_micro
+        last = self.devices[-1]
+
+        # ---- forward sweep (all microbatches; dispatch is async, so
+        # stage k of microbatch i overlaps stage k+1 of microbatch i-1)
+        stage_inputs = []   # [m][k] carry_in for the recompute-backward
+        stage_heads = []    # [m][k] heads emitted by stage k
+        for m in range(self.n_micro):
+            x = jax.device_put(jnp.asarray(images[m * mb:(m + 1) * mb]),
+                               self.devices[0])
+            ins, hds = [], []
+            carry = x
+            for k in range(S):
+                ins.append(carry)
+                heads_k, out = self._fwd[k](self._params[k], carry)
+                hds.append(heads_k)
+                if k + 1 < S:
+                    carry = jax.device_put(out, self.devices[k + 1])
+            stage_inputs.append(ins)
+            stage_heads.append(hds)
+
+        # ---- loss + head cotangents per microbatch (last device)
+        losses, headgrads = [], []
+        for m in range(self.n_micro):
+            flat = [jax.device_put(h, last)
+                    for hs in stage_heads[m] for h in hs]
+            bx = jax.device_put(jnp.asarray(
+                boxes[m * mb:(m + 1) * mb]), last)
+            bm = jax.device_put(jnp.asarray(
+                box_mask[m * mb:(m + 1) * mb]), last)
+            loss_m, g_heads = self._loss(flat, bx, bm)
+            losses.append(loss_m)
+            headgrads.append(g_heads)
+
+        # ---- backward sweep, reverse stage order, grads accumulated
+        # per stage on its own device
+        g_acc = [None] * S
+        for m in range(self.n_micro):
+            # split this microbatch's head grads back to their stages
+            per_stage, i = [], 0
+            for k in range(S):
+                n = self._n_heads[k]
+                per_stage.append(headgrads[m][i:i + n])
+                i += n
+            g_carry = {}  # last stage's boundary is empty
+            for k in reversed(range(S)):
+                ct = ([jax.device_put(g, self.devices[k])
+                       for g in per_stage[k]],
+                      {kk: jax.device_put(v, self.devices[k])
+                       for kk, v in g_carry.items()})
+                g_p, g_c = self._bwd[k](self._params[k],
+                                        stage_inputs[m][k], ct)
+                g_acc[k] = g_p if g_acc[k] is None \
+                    else self._acc(g_acc[k], g_p)
+                g_carry = g_c if k > 0 else {}
+
+        # ---- per-stage optimizer update (each on its own device)
+        for k in range(S):
+            self._params[k], self._opt[k] = self._upd(
+                self._params[k], self._opt[k], g_acc[k])
+        self.step_count += 1
+        total = losses[0]
+        for l in losses[1:]:
+            total = total + jax.device_put(l, last)
+        return total
+
+    def gather_params(self) -> Dict:
+        """Assemble the full (host) param dict from the stage slices —
+        for eval, export, or checkpointing."""
+        out: Dict = {}
+        for sp in self._params:
+            out.update(jax.device_get(sp))
+        return out
