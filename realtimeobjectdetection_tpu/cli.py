@@ -418,6 +418,9 @@ def serve_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch_size", default=8, type=int)
     p.add_argument("--host", default="0.0.0.0", type=str)
     p.add_argument("--port", default=8000, type=int)
+    p.add_argument("--pp_stages", default=None, type=int,
+                   help="pipeline parallelism: forward as N stage "
+                        "programs on N devices (parallel/pipeline.py)")
     return p
 
 
@@ -432,7 +435,7 @@ def serve_cli(argv=None):
             size=a.reso or 640,
             confidence=a.confidence if a.confidence is not None else 0.25,
             iou_thresh=a.nms_thresh if a.nms_thresh is not None else 0.45,
-            batch_size=a.batch_size)
+            batch_size=a.batch_size, pipeline_stages=a.pp_stages)
     else:
         from .models.zoo import resolve_spec
         from .weights import init_params, load_darknet_weights
@@ -445,7 +448,7 @@ def serve_cli(argv=None):
             spec, params, resolution=a.reso or 416,
             confidence=a.confidence if a.confidence is not None else 0.6,
             nms_thresh=a.nms_thresh if a.nms_thresh is not None else 0.5,
-            batch_size=a.batch_size)
+            batch_size=a.batch_size, pipeline_stages=a.pp_stages)
     return serve(service, a.host, a.port)
 
 

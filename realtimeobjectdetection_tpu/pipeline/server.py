@@ -59,7 +59,8 @@ class DetectionService:
                  batch_size: int = 8, batch_window_ms: float = 5.0,
                  bn_mode: str = "fold", compute_dtype=jnp.bfloat16,
                  class_names: Optional[List[str]] = None,
-                 fused_decode: bool = True):
+                 fused_decode: bool = True,
+                 pipeline_stages: Optional[int] = None):
         self.spec = spec
         self.resolution = resolution
         self.batch_size = batch_size
@@ -78,9 +79,7 @@ class DetectionService:
                            activation_dtype=jnp.bfloat16 if fast else None,
                            head_dtype=jnp.bfloat16 if fast else None)
 
-        def detect(p, x):
-            x = x.astype(jnp.float32) / 255.0
-            heads = fwd(p, x)
+        def post(heads):
             if fused_decode:
                 from ..ops.decode import decode_topk
                 pred, _ = decode_topk(heads, spec, resolution, top_k,
@@ -90,7 +89,38 @@ class DetectionService:
             return nms_batch(pred, num_classes, confidence, nms_thresh,
                              top_k=top_k)
 
-        self._detect = jax.jit(detect)
+        def detect(p, x):
+            x = x.astype(jnp.float32) / 255.0
+            return post(fwd(p, x))
+
+        # pipeline-parallel backend: forward as N stage programs on N
+        # devices (parallel/pipeline.py), decode+NMS on the last stage's
+        # device — same integration as DetectorV3(pipeline_stages=...)
+        if pipeline_stages and int(pipeline_stages) > 1:
+            assert bn_mode in ("fold", "running"), bn_mode
+            from ..parallel.pipeline import PipelinedForward
+            pf = PipelinedForward(
+                spec, self.params, n_stages=int(pipeline_stages),
+                bn_mode=bn_mode, compute_dtype=compute_dtype,
+                activation_dtype=jnp.bfloat16 if fast else None,
+                head_dtype=jnp.bfloat16 if fast else None,
+                scan_ladders=bn_mode in ("fold", "running"),
+                resolution=resolution)
+            self.pipeline = pf
+            first_dev, last_dev = pf.devices[0], pf.devices[-1]
+            pre = jax.jit(lambda u8: u8.astype(jnp.float32) / 255.0)
+            jpost = jax.jit(post)
+
+            def detect_pp(p, x):
+                del p
+                x = pre(jax.device_put(x, first_dev))
+                heads = [jax.device_put(h, last_dev) for h in pf(x)]
+                return jpost(heads)
+
+            self._detect = detect_pp
+        else:
+            self.pipeline = None
+            self._detect = jax.jit(detect)
         self.cls_col = 6   # row layout [x1,y1,x2,y2,obj,cls_conf,cls]
         self._start_worker()
 
@@ -200,7 +230,8 @@ class DetectionServiceV5(DetectionService):
                  compute_dtype=jnp.bfloat16, fused_decode: bool = True,
                  activation_dtype=jnp.bfloat16,
                  approx_topk: bool = True,
-                 class_names: Optional[List[str]] = None):
+                 class_names: Optional[List[str]] = None,
+                 pipeline_stages: Optional[int] = None):
         from ..models.yolov5 import (YoloV5Config, decode_v5, decode_v5_topk,
                                      init_yolov5_params, load_v5_checkpoint,
                                      make_yolov5_forward)
@@ -222,9 +253,7 @@ class DetectionServiceV5(DetectionService):
         nc, conf, iou, md, tk = (num_classes, confidence, iou_thresh,
                                  max_det, top_k)
 
-        def detect(p, x):
-            x = x.astype(jnp.float32) / 255.0
-            heads = fwd(p, x)
+        def post(heads):
             if fused_decode:
                 # approx_topk: lax.approx_max_k candidate selection
                 # (recall >= 0.95 of >threshold rows) — +4-5% fps at
@@ -238,7 +267,32 @@ class DetectionServiceV5(DetectionService):
                 pred = decode_v5([h.astype(jnp.float32) for h in heads], nc)
             return nms_batch_v5(pred, nc, conf, iou, top_k=tk, max_det=md)
 
-        self._detect = jax.jit(detect)
+        def detect(p, x):
+            x = x.astype(jnp.float32) / 255.0
+            return post(fwd(p, x))
+
+        if pipeline_stages and int(pipeline_stages) > 1:
+            from ..parallel.pipeline import PipelinedForwardV5
+            pf = PipelinedForwardV5(
+                self.cfg, self.params, n_stages=int(pipeline_stages),
+                compute_dtype=compute_dtype,
+                activation_dtype=activation_dtype,
+                head_dtype=activation_dtype, resolution=size)
+            self.pipeline = pf
+            first_dev, last_dev = pf.devices[0], pf.devices[-1]
+            pre = jax.jit(lambda u8: u8.astype(jnp.float32) / 255.0)
+            jpost = jax.jit(post)
+
+            def detect_pp(p, x):
+                del p
+                x = pre(jax.device_put(x, first_dev))
+                heads = [jax.device_put(h, last_dev) for h in pf(x)]
+                return jpost(heads)
+
+            self._detect = detect_pp
+        else:
+            self.pipeline = None
+            self._detect = jax.jit(detect)
         self.cls_col = 5   # ultralytics rows [x1,y1,x2,y2,conf,cls]
         self._start_worker()
 

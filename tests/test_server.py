@@ -309,3 +309,28 @@ def test_detect_hammer_many_clients(server):
     assert len(results) == 32
     for code, data in results:
         assert code == 200 and "boxes" in data and "latency_ms" in data
+
+
+def test_pipeline_stages_service_matches_plain():
+    """DetectionService(pipeline_stages=2): same boxes as the plain
+    single-device backend for the same image (PP backend parity)."""
+    import jax
+    spec = get_spec("yolov3-tiny", width=160, height=160)
+    params = init_params(spec, 0)
+    kw = dict(resolution=160, confidence=0.7, batch_size=2,
+              bn_mode="running", compute_dtype=jnp.float32, top_k=32)
+    plain = DetectionService(spec, params, **kw)
+    pp = DetectionService(spec, params, pipeline_stages=2, **kw)
+    assert pp.pipeline is not None and len(pp.pipeline.devices) == 2
+    try:
+        plain.warmup()
+        pp.warmup()
+        rng = np.random.RandomState(1)
+        img = rng.randint(0, 255, (120, 160, 3), np.uint8)
+        a = plain.detect_image(img)
+        b = pp.detect_image(img)
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32), atol=1e-3)
+    finally:
+        plain.close()
+        pp.close()
