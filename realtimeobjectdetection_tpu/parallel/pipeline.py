@@ -36,7 +36,8 @@ from ..cfg_parser import ConvSpec, GraphSpec
 from ..model import _find_ladders, fold_batchnorm, make_forward
 
 __all__ = ["balance_cuts", "balance_cuts_v5", "PipelinedForward",
-           "PipelinedForwardV5", "PipelinedTrainStep"]
+           "PipelinedForwardV5", "PipelinedTrainStep",
+           "PipelinedTrainStepV5"]
 
 
 def _cuts_from_flops(flops: Sequence[int], n_stages: int,
@@ -259,122 +260,46 @@ class PipelinedForwardV5(_StagedPipeline):
                 jax.device_put(stage_params, self.devices[k]))
 
 
-class PipelinedTrainStep:
-    """GPipe-style pipeline-parallel training for the Darknet families.
+class _GPipeTrain:
+    """Shared GPipe engine: family subclasses fill ``devices``,
+    ``ranges``, ``n_micro``, ``optimizer``, per-stage ``_fwd``/``_bwd``/
+    ``_params``/``_opt``/``_n_heads`` (via ``_build_stage``), and
+    ``_loss`` (jitted ``(heads, boxes, mask) -> (loss, g_heads)``)."""
 
-    The graph is cut into FLOP-balanced stages (same ``balance_cuts`` as
-    serving); each stage holds ONLY its weight slice and its slice of
-    the Adam state on its own device, so parameter, optimizer, and
-    activation memory all scale ~1/n_stages.  A training step splits the
-    batch into ``n_micro`` microbatches, runs all forwards (async
-    dispatch overlaps stage k of microbatch i with stage k-1 of i+1),
-    computes loss + head cotangents on the last stage's device, then
-    runs the backwards in reverse, accumulating per-stage gradients.
-    The backward follows GPipe's activation-checkpoint recipe: only
-    stage INPUTS are stashed, and each stage's backward is one jitted
-    program that recomputes its forward internally
-    (``jax.vjp`` inside the jit) — no residual traffic between host and
-    stages, bounded memory per microbatch.
-
-    BatchNorm runs in "running" (frozen-stats, trainable affine) mode —
-    fine-tune semantics.  Batch-stats BN is mathematically incompatible
-    with microbatching (each microbatch would see different statistics;
-    the reference's nn.DataParallel has the same per-replica behavior),
-    so the DP/SP/TP mesh path (train/step.py) remains the from-scratch
-    trainer; PP is the fine-tune / memory-bound option.  Loss is the
-    reference's masked sum-MSE (train/loss.py), which is additive over
-    batch rows, so microbatch gradient accumulation is exact — the step
-    matches a single-device running-BN step bit-for-close (float
-    summation order differs; tests/test_pipeline_parallel.py pins
-    rtol=1e-5).  No reference counterpart (its parallelism is
-    nn.DataParallel, /root/reference/detect.py:177-183).
-    """
-
-    def __init__(self, spec: GraphSpec, params: Dict, optimizer,
-                 n_stages: Optional[int] = None, devices=None,
-                 cuts: Optional[Sequence[int]] = None,
-                 resolution: int = 416, n_micro: int = 2,
-                 class_filter: Optional[int] = 0,
-                 reference_bug_wh_iou: bool = True,
-                 parity_swap_xy: bool = False,
-                 compute_dtype=jnp.float32, precision=None,
-                 scan_ladders: bool = False):
-        from ..ops.decode import decode_heads
-        from ..train.loss import yolo_loss
-        from ..train.targets import build_targets
-
-        devices = list(devices if devices is not None else jax.devices())
-        n_stages = n_stages or len(devices)
-        assert 1 <= n_stages <= len(devices), (n_stages, len(devices))
-        self.devices = devices[:n_stages]
-        self.n_micro = int(n_micro)
-        self.spec = spec
-        self.resolution = resolution
-        if cuts is None:
-            cuts = balance_cuts(spec, n_stages, resolution=resolution,
-                                scan_ladders=scan_ladders)
-        cuts = list(cuts)
-        assert len(cuts) == n_stages - 1, (cuts, n_stages)
-        self.cuts = cuts
-        bounds = [0] + cuts + [len(spec.nodes)]
-        self.ranges = list(zip(bounds, bounds[1:]))
+    def _init_shared(self, optimizer):
         self.optimizer = optimizer
         self.step_count = 0
-
-        kw = dict(bn_mode="running", compute_dtype=compute_dtype,
-                  precision=precision, scan_ladders=scan_ladders)
         self._fwd, self._bwd = [], []
         self._params, self._opt = [], []
         self._n_heads = []
-        for k, (lo, hi) in enumerate(self.ranges):
-            fn = make_forward(spec, stage_range=(lo, hi), **kw)
-            if lo == 0:
-                f = lambda p, c, fn=fn: fn(p, c)
-            else:
-                f = lambda p, c, fn=fn: fn(p, None, c)
-            self._fwd.append(jax.jit(f))
-
-            def b(p, c, ct, f=f):
-                # GPipe backward: recompute the stage forward inside the
-                # jitted program (activation checkpointing at stage
-                # granularity), then apply the cotangent
-                _, vjp = jax.vjp(f, p, c)
-                return vjp(ct)  # (g_params, g_carry_in)
-            self._bwd.append(jax.jit(b))
-            stage_params = {
-                f"node_{i}": params[f"node_{i}"]
-                for i in range(lo, hi) if f"node_{i}" in params}
-            sp = jax.device_put(stage_params, self.devices[k])
-            self._params.append(sp)
-            self._opt.append(jax.device_put(optimizer.init(sp),
-                                            self.devices[k]))
-            from ..cfg_parser import YoloSpec
-            self._n_heads.append(sum(
-                1 for n in spec.nodes[lo:hi] if isinstance(n, YoloSpec)))
-
-        def loss_and_headgrads(heads, boxes, box_mask):
-            targets, obj_mask = build_targets(
-                spec, boxes, box_mask, resolution,
-                class_filter=class_filter,
-                reference_bug_wh_iou=reference_bug_wh_iou,
-                parity_swap_xy=parity_swap_xy)
-
-            def loss_of(hs):
-                pred = decode_heads(hs, spec, resolution, train=True)
-                return yolo_loss(pred, targets, obj_mask)
-
-            return jax.value_and_grad(loss_of)(list(heads))
-
-        self._loss = jax.jit(loss_and_headgrads)
         self._acc = jax.jit(lambda a, g: jax.tree_util.tree_map(
             jnp.add, a, g))
 
         def upd(p, o, g):
-            updates, o2 = optimizer.update(g, o, p)
             import optax
+            updates, o2 = optimizer.update(g, o, p)
             return optax.apply_updates(p, updates), o2
 
         self._upd = jax.jit(upd)
+
+    def _build_stage(self, f, params_slice, k, n_heads):
+        """Register stage ``k``: jitted forward, jitted
+        recompute-backward (GPipe activation checkpointing — the
+        backward program re-runs the stage forward internally, so only
+        stage INPUTS are ever stashed), and the stage's weight slice +
+        fresh optimizer state on its own device."""
+        self._fwd.append(jax.jit(f))
+
+        def b(p, c, ct, f=f):
+            _, vjp = jax.vjp(f, p, c)
+            return vjp(ct)  # (g_params, g_carry_in)
+
+        self._bwd.append(jax.jit(b))
+        sp = jax.device_put(params_slice, self.devices[k])
+        self._params.append(sp)
+        self._opt.append(jax.device_put(self.optimizer.init(sp),
+                                        self.devices[k]))
+        self._n_heads.append(n_heads)
 
     # ------------------------------------------------------------------
     def step(self, images, boxes, box_mask):
@@ -457,3 +382,167 @@ class PipelinedTrainStep:
         for sp in self._params:
             out.update(jax.device_get(sp))
         return out
+
+
+class PipelinedTrainStep(_GPipeTrain):
+    """GPipe-style pipeline-parallel training for the Darknet families.
+
+    The graph is cut into FLOP-balanced stages (same ``balance_cuts`` as
+    serving); each stage holds ONLY its weight slice and its slice of
+    the Adam state on its own device, so parameter, optimizer, and
+    activation memory all scale ~1/n_stages.  A training step splits the
+    batch into ``n_micro`` microbatches, runs all forwards (async
+    dispatch overlaps stage k of microbatch i with stage k-1 of i+1),
+    computes loss + head cotangents on the last stage's device, then
+    runs the backwards in reverse, accumulating per-stage gradients.
+    The backward follows GPipe's activation-checkpoint recipe: only
+    stage INPUTS are stashed, and each stage's backward is one jitted
+    program that recomputes its forward internally
+    (``jax.vjp`` inside the jit) — no residual traffic between host and
+    stages, bounded memory per microbatch.
+
+    BatchNorm runs in "running" (frozen-stats, trainable affine) mode —
+    fine-tune semantics.  Batch-stats BN is mathematically incompatible
+    with microbatching (each microbatch would see different statistics;
+    the reference's nn.DataParallel has the same per-replica behavior),
+    so the DP/SP/TP mesh path (train/step.py) remains the from-scratch
+    trainer; PP is the fine-tune / memory-bound option.  Loss is the
+    reference's masked sum-MSE (train/loss.py), which is additive over
+    batch rows, so microbatch gradient accumulation is exact — the step
+    matches a single-device running-BN step bit-for-close (float
+    summation order differs; tests/test_pipeline_parallel.py pins
+    rtol=1e-5).  No reference counterpart (its parallelism is
+    nn.DataParallel, /root/reference/detect.py:177-183).
+    """
+
+    def __init__(self, spec: GraphSpec, params: Dict, optimizer,
+                 n_stages: Optional[int] = None, devices=None,
+                 cuts: Optional[Sequence[int]] = None,
+                 resolution: int = 416, n_micro: int = 2,
+                 class_filter: Optional[int] = 0,
+                 reference_bug_wh_iou: bool = True,
+                 parity_swap_xy: bool = False,
+                 compute_dtype=jnp.float32, precision=None,
+                 scan_ladders: bool = False):
+        from ..ops.decode import decode_heads
+        from ..train.loss import yolo_loss
+        from ..train.targets import build_targets
+
+        devices = list(devices if devices is not None else jax.devices())
+        n_stages = n_stages or len(devices)
+        assert 1 <= n_stages <= len(devices), (n_stages, len(devices))
+        self.devices = devices[:n_stages]
+        self.n_micro = int(n_micro)
+        self.spec = spec
+        self.resolution = resolution
+        if cuts is None:
+            cuts = balance_cuts(spec, n_stages, resolution=resolution,
+                                scan_ladders=scan_ladders)
+        cuts = list(cuts)
+        assert len(cuts) == n_stages - 1, (cuts, n_stages)
+        self.cuts = cuts
+        bounds = [0] + cuts + [len(spec.nodes)]
+        self.ranges = list(zip(bounds, bounds[1:]))
+        self._init_shared(optimizer)
+
+        from ..cfg_parser import YoloSpec
+        kw = dict(bn_mode="running", compute_dtype=compute_dtype,
+                  precision=precision, scan_ladders=scan_ladders)
+        for k, (lo, hi) in enumerate(self.ranges):
+            fn = make_forward(spec, stage_range=(lo, hi), **kw)
+            if lo == 0:
+                f = lambda p, c, fn=fn: fn(p, c)
+            else:
+                f = lambda p, c, fn=fn: fn(p, None, c)
+            stage_params = {
+                f"node_{i}": params[f"node_{i}"]
+                for i in range(lo, hi) if f"node_{i}" in params}
+            self._build_stage(f, stage_params, k, sum(
+                1 for n in spec.nodes[lo:hi] if isinstance(n, YoloSpec)))
+
+        def loss_and_headgrads(heads, boxes, box_mask):
+            targets, obj_mask = build_targets(
+                spec, boxes, box_mask, resolution,
+                class_filter=class_filter,
+                reference_bug_wh_iou=reference_bug_wh_iou,
+                parity_swap_xy=parity_swap_xy)
+
+            def loss_of(hs):
+                pred = decode_heads(hs, spec, resolution, train=True)
+                return yolo_loss(pred, targets, obj_mask)
+
+            return jax.value_and_grad(loss_of)(list(heads))
+
+        self._loss = jax.jit(loss_and_headgrads)
+
+
+class PipelinedTrainStepV5(_GPipeTrain):
+    """GPipe pipeline-parallel fine-tuning for the YOLOv5 family.
+
+    Same engine as :class:`PipelinedTrainStep` (per-stage Adam, GPipe
+    schedule, recompute backward, frozen-stats BN) over the v5 step
+    table.  One semantic difference, inherited from ultralytics: the v5
+    loss normalizes by the batch's matched-anchor count (train/v5.py
+    yolo_loss_v5), so microbatch accumulation follows ultralytics'
+    gradient-accumulation semantics (sum of per-microbatch normalized
+    losses) rather than bitwise full-batch equality — the test pins PP
+    == a single-device step that accumulates the SAME microbatches.
+    ``params`` must be the training layout
+    (``init_yolov5_params(batch_norm=True)``); BN stats stay frozen.
+    """
+
+    def __init__(self, cfg, params: Dict, optimizer,
+                 n_stages: Optional[int] = None, devices=None,
+                 cuts: Optional[Sequence[int]] = None,
+                 resolution: int = 640, n_micro: int = 2,
+                 num_classes: int = 80,
+                 compute_dtype=jnp.float32):
+        from ..models.yolov5 import _v5_steps, make_yolov5_forward
+        from ..train.v5 import yolo_loss_v5
+
+        devices = list(devices if devices is not None else jax.devices())
+        n_stages = n_stages or len(devices)
+        assert 1 <= n_stages <= len(devices), (n_stages, len(devices))
+        self.devices = devices[:n_stages]
+        self.n_micro = int(n_micro)
+        self.cfg = cfg
+        self.resolution = resolution
+        steps = _v5_steps()
+        if cuts is None:
+            cuts = balance_cuts_v5(cfg, n_stages, resolution=resolution)
+        cuts = list(cuts)
+        assert len(cuts) == n_stages - 1, (cuts, n_stages)
+        self.cuts = cuts
+        bounds = [0] + cuts + [len(steps)]
+        self.ranges = list(zip(bounds, bounds[1:]))
+        self._init_shared(optimizer)
+
+        kw = dict(bn_mode="running", compute_dtype=compute_dtype)
+        for k, (lo, hi) in enumerate(self.ranges):
+            fn = make_yolov5_forward(cfg, stage_range=(lo, hi), **kw)
+            if lo == 0:
+                f = lambda p, c, fn=fn: fn(p, c)
+            else:
+                f = lambda p, c, fn=fn: fn(p, None, c)
+            stage_params: Dict = {}
+            for name, _, _, _ in steps[lo:hi]:
+                if name.startswith("m24."):
+                    sub = name.split(".", 1)[1]
+                    stage_params.setdefault("m24", {})[sub] = \
+                        params["m24"][sub]
+                    continue
+                for key in _V5_STEP_PARAM_KEYS.get(name, (name,)):
+                    stage_params[key] = params[key]
+            self._build_stage(f, stage_params, k, sum(
+                1 for n, _, _, _ in steps[lo:hi]
+                if n.startswith("m24.")))
+
+        def loss_and_headgrads(heads, boxes, box_mask):
+            def loss_of(hs):
+                total, _ = yolo_loss_v5(list(hs), boxes, box_mask,
+                                        num_classes, resolution)
+                return total
+
+            return jax.value_and_grad(loss_of)(list(heads))
+
+        self._loss = jax.jit(loss_and_headgrads)

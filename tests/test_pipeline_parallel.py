@@ -303,6 +303,64 @@ def test_pipelined_train_four_stages_learns(cpu_devices):
     assert pp.step_count == 4
 
 
+def test_pipelined_train_v5_matches_accumulated_single_device(cpu_devices):
+    """PipelinedTrainStepV5 (2 stages x 2 microbatches) == a
+    single-device v5 step that accumulates the SAME microbatches
+    (ultralytics gradient-accumulation semantics — the v5 loss is
+    batch-normalized, so full-batch equality is not the contract)."""
+    import optax
+    from realtimeobjectdetection_tpu.models.yolov5 import (
+        init_yolov5_params, make_yolov5_forward, yolov5_config)
+    from realtimeobjectdetection_tpu.parallel.pipeline import (
+        PipelinedTrainStepV5)
+    from realtimeobjectdetection_tpu.train.v5 import yolo_loss_v5
+
+    reso = 64
+    cfg = yolov5_config("n")
+    params = init_yolov5_params(cfg, 0, batch_norm=True)
+    opt = optax.adam(1e-3)
+    fwd = make_yolov5_forward(cfg, compute_dtype=jnp.float32,
+                              bn_mode="running")
+
+    @jax.jit
+    def micro_grads(p, images, boxes, mask):
+        def loss_fn(pp):
+            total, _ = yolo_loss_v5(fwd(pp, images), boxes, mask,
+                                    80, reso)
+            return total
+
+        return jax.value_and_grad(loss_fn)(p)
+
+    pp = PipelinedTrainStepV5(cfg, params, opt, n_stages=2,
+                              resolution=reso, n_micro=2)
+    ref_p, ref_o = params, opt.init(params)
+    for step_i in range(2):
+        images, boxes, mask = _train_batch(reso, 4, 20 + step_i)
+        loss_pp = pp.step(images, boxes, mask)
+        total, g_acc = 0.0, None
+        for m in range(2):
+            sl = slice(2 * m, 2 * (m + 1))
+            l_m, g_m = micro_grads(ref_p, images[sl], boxes[sl], mask[sl])
+            total = total + l_m
+            g_acc = g_m if g_acc is None else jax.tree_util.tree_map(
+                jnp.add, g_acc, g_m)
+        u, ref_o = opt.update(g_acc, ref_o, ref_p)
+        import optax as _ox
+        ref_p = _ox.apply_updates(ref_p, u)
+        np.testing.assert_allclose(float(loss_pp), float(total),
+                                   rtol=1e-5)
+    got = pp.gather_params()
+    ref_leaves = jax.tree_util.tree_leaves_with_path(ref_p)
+    got_flat = {jax.tree_util.keystr(k): v for k, v in
+                jax.tree_util.tree_leaves_with_path(got)}
+    assert len(ref_leaves) == len(got_flat)
+    for k, v in ref_leaves:
+        np.testing.assert_allclose(
+            np.asarray(got_flat[jax.tree_util.keystr(k)]),
+            np.asarray(v), rtol=2e-4, atol=5e-5,
+            err_msg=jax.tree_util.keystr(k))
+
+
 def test_map_stream_pipelined_dispatch(cpu_devices):
     reso = 160
     spec = get_spec("yolov3-tiny", width=reso, height=reso)
