@@ -44,15 +44,38 @@ def _cuts_from_flops(flops: Sequence[int], n_stages: int,
                      snap=None) -> List[int]:
     """Place ``n_stages - 1`` cuts where cumulative FLOPs cross each
     1/n_stages of the total; ``snap`` optionally moves a cut forward
-    (out of an unsplittable region)."""
+    (out of an unsplittable region).
+
+    Always returns exactly ``n_stages - 1`` strictly increasing cuts:
+    when two thresholds snap to the same position (two ladder-straddling
+    cuts in yolov3), the later cut advances to the next legal position
+    instead of being dropped (which would crash every PP constructor's
+    ``len(cuts) == n_stages - 1`` assert).  Raises ``ValueError`` when
+    the graph genuinely has fewer legal positions than requested stages.
+    """
     total = sum(flops)
+
+    def place(c: int) -> int:
+        while snap is not None:
+            c2 = snap(c)
+            if c2 == c:
+                break
+            c = c2
+        return c
+
     cuts, acc, k = [], 0, 1
     for i, f in enumerate(flops):
         acc += f
         if k < n_stages and acc >= total * k / n_stages:
-            c = snap(i + 1) if snap else i + 1
-            if c < len(flops) and (not cuts or c > cuts[-1]):
-                cuts.append(c)
+            c = place(i + 1)
+            if cuts and c <= cuts[-1]:
+                c = place(cuts[-1] + 1)
+            if c >= len(flops):
+                raise ValueError(
+                    f"cannot split {len(flops)} nodes into {n_stages} "
+                    f"stages (only {len(cuts)} legal cuts before the "
+                    "graph end; reduce n_stages or pass explicit cuts)")
+            cuts.append(c)
             k += 1
     return cuts
 
@@ -123,6 +146,17 @@ class _StagedPipeline:
             heads.extend(hs)
         return heads
 
+    @staticmethod
+    def _force(heads):
+        """True completion sync: a scalar host readback per head.
+        ``jax.block_until_ready`` returns before execution completes on
+        the axon TPU backend (CLAUDE.md), so backpressure must come
+        from an actual device->host read."""
+        import numpy as np
+        for h in heads:
+            np.asarray(h[(0,) * h.ndim])
+        return heads
+
     def map_stream(self, batches, depth: Optional[int] = None):
         """Yield heads per batch, keeping ``depth`` (default n_stages)
         batches in flight so every stage device stays busy."""
@@ -131,9 +165,27 @@ class _StagedPipeline:
         for x in batches:
             inflight.append(self(x))
             if len(inflight) >= depth:
-                yield [jax.block_until_ready(h) for h in inflight.pop(0)]
+                yield self._force(inflight.pop(0))
         for hs in inflight:
-            yield [jax.block_until_ready(h) for h in hs]
+            yield self._force(hs)
+
+    def make_detect(self, post_fn):
+        """Build ``detect(params_ignored, u8_batch) -> post_fn(heads)``:
+        u8->f32/255 normalization jitted on the first stage's device,
+        heads gathered onto the last stage's device, ``post_fn``
+        (decode+NMS) jitted there.  The shared integration used by
+        DetectorV3/V5 and both serving backends."""
+        first_dev, last_dev = self.devices[0], self.devices[-1]
+        pre = jax.jit(lambda u8: u8.astype(jnp.float32) / 255.0)
+        jpost = jax.jit(post_fn)
+
+        def detect(params, x):
+            del params  # stage weight slices live on their own devices
+            x = pre(jax.device_put(x, first_dev))
+            heads = [jax.device_put(h, last_dev) for h in self(x)]
+            return jpost(heads)
+
+        return detect
 
 
 class PipelinedForward(_StagedPipeline):
@@ -264,7 +316,15 @@ class _GPipeTrain:
     """Shared GPipe engine: family subclasses fill ``devices``,
     ``ranges``, ``n_micro``, ``optimizer``, per-stage ``_fwd``/``_bwd``/
     ``_params``/``_opt``/``_n_heads`` (via ``_build_stage``), and
-    ``_loss`` (jitted ``(heads, boxes, mask) -> (loss, g_heads)``)."""
+    ``_loss`` (jitted ``(heads, boxes, mask) -> (loss, g_heads)``).
+
+    Optimizer restriction: state is initialized and applied PER STAGE,
+    which is exact for per-parameter transforms (adam, sgd, weight
+    decay) but changes semantics for cross-parameter couplings —
+    ``optax.clip_by_global_norm`` would clip by each stage's local norm
+    instead of the global one.  Use per-parameter optimizers here; a
+    coupled optimizer needs a cross-stage reduction first (not
+    implemented — document the need before adding it)."""
 
     def _init_shared(self, optimizer):
         self.optimizer = optimizer
@@ -377,10 +437,18 @@ class _GPipeTrain:
 
     def gather_params(self) -> Dict:
         """Assemble the full (host) param dict from the stage slices —
-        for eval, export, or checkpointing."""
+        for eval, export, or checkpointing.  Merges one level deep:
+        a nested module dict split across stages (the v5 ``m24`` detect
+        heads when cuts separate them) is combined, not clobbered."""
         out: Dict = {}
         for sp in self._params:
-            out.update(jax.device_get(sp))
+            for key, val in jax.device_get(sp).items():
+                if (key in out and isinstance(out[key], dict)
+                        and isinstance(val, dict)
+                        and not any(k in out[key] for k in val)):
+                    out[key].update(val)
+                else:
+                    out[key] = val
         return out
 
 

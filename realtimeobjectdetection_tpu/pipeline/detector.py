@@ -267,13 +267,10 @@ class DetectorV3:
             precision=prec, scan_ladders=scan_ladders,
             resolution=self.resolution)
         self.pipeline = pf
-        first_dev, last_dev = pf.devices[0], pf.devices[-1]
         spec, reso = self.spec, self.resolution
         conf, nms_t, top_k = self.confidence, self.nms_thresh, self.top_k
         num_classes = self.num_classes
         fused, use_pallas = self.fused_decode, self.use_pallas_nms
-
-        pre = jax.jit(lambda u8: u8.astype(jnp.float32) / 255.0)
 
         def post_fn(heads):
             if fused:
@@ -287,20 +284,7 @@ class DetectorV3:
             return nms_batch(pred, num_classes, conf, nms_t, top_k=top_k,
                              use_pallas=use_pallas, with_stats=True)
 
-        post = jax.jit(post_fn)
-
-        def detect(params, x):
-            # params is ignored: each stage's weight slice is already
-            # resident on its own device (set up in PipelinedForward)
-            del params
-            x = pre(jax.device_put(x, first_dev))
-            heads = pf(x)
-            # heads are emitted by whichever stage owns the yolo node;
-            # gather them on the last stage's device for decode+NMS
-            heads = [jax.device_put(h, last_dev) for h in heads]
-            return post(heads)
-
-        return detect
+        return pf.make_detect(post_fn)
 
     # ------------------------------------------------------------------
     def _read_directory(self) -> List[str]:

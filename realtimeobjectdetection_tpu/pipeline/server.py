@@ -107,17 +107,7 @@ class DetectionService:
                 scan_ladders=bn_mode in ("fold", "running"),
                 resolution=resolution)
             self.pipeline = pf
-            first_dev, last_dev = pf.devices[0], pf.devices[-1]
-            pre = jax.jit(lambda u8: u8.astype(jnp.float32) / 255.0)
-            jpost = jax.jit(post)
-
-            def detect_pp(p, x):
-                del p
-                x = pre(jax.device_put(x, first_dev))
-                heads = [jax.device_put(h, last_dev) for h in pf(x)]
-                return jpost(heads)
-
-            self._detect = detect_pp
+            self._detect = pf.make_detect(post)
         else:
             self.pipeline = None
             self._detect = jax.jit(detect)
@@ -217,7 +207,10 @@ class DetectionServiceV5(DetectionService):
 
     Same queue/batcher machinery as :class:`DetectionService`; swaps in
     the v5 forward (bf16 activation residency + fused decode_v5_topk by
-    default — the serving fast path), AutoShape's square letterbox
+    default — the serving fast path; ``approx_topk=True`` additionally
+    opts into approx_max_k candidate selection, +4-5% fps at a
+    recall>=0.95 candidate gate — results-changing, so OFF by default),
+    AutoShape's square letterbox
     (114-gray, round() extents) and its box rescale.  Rows are the
     ultralytics layout ``[x1,y1,x2,y2,conf,cls]``.
     """
@@ -229,7 +222,7 @@ class DetectionServiceV5(DetectionService):
                  batch_size: int = 8, batch_window_ms: float = 5.0,
                  compute_dtype=jnp.bfloat16, fused_decode: bool = True,
                  activation_dtype=jnp.bfloat16,
-                 approx_topk: bool = True,
+                 approx_topk: bool = False,
                  class_names: Optional[List[str]] = None,
                  pipeline_stages: Optional[int] = None):
         from ..models.yolov5 import (YoloV5Config, decode_v5, decode_v5_topk,
@@ -279,17 +272,7 @@ class DetectionServiceV5(DetectionService):
                 activation_dtype=activation_dtype,
                 head_dtype=activation_dtype, resolution=size)
             self.pipeline = pf
-            first_dev, last_dev = pf.devices[0], pf.devices[-1]
-            pre = jax.jit(lambda u8: u8.astype(jnp.float32) / 255.0)
-            jpost = jax.jit(post)
-
-            def detect_pp(p, x):
-                del p
-                x = pre(jax.device_put(x, first_dev))
-                heads = [jax.device_put(h, last_dev) for h in pf(x)]
-                return jpost(heads)
-
-            self._detect = detect_pp
+            self._detect = pf.make_detect(post)
         else:
             self.pipeline = None
             self._detect = jax.jit(detect)
@@ -397,6 +380,12 @@ def _make_handler(service: DetectionService):
                     pending.append((service.submit_image(img), t0))
                 while len(pending) > max_inflight:
                     self._drain_one(pending, emit)
+            if consumed < length:
+                # drain a sub-4-byte tail (or a truncated frame's
+                # remainder): HTTP/1.1 keep-alive reuses this socket, so
+                # unread body bytes would be parsed as the NEXT
+                # request's start line
+                self.rfile.read(length - consumed)
             while pending:
                 self._drain_one(pending, emit)
             self.wfile.write(b"0\r\n\r\n")  # chunked EOF

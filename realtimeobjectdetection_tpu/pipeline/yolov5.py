@@ -176,17 +176,7 @@ class DetectorV5:
                 compute_dtype=compute_dtype,
                 activation_dtype=activation_dtype, resolution=size)
             self.pipeline = pf
-            first_dev, last_dev = pf.devices[0], pf.devices[-1]
-            pre = jax.jit(lambda u8: u8.astype(jnp.float32) / 255.0)
-            jpost = jax.jit(post)
-
-            def detect_pp(p, x):
-                del p  # stage weight slices live on their own devices
-                x = pre(jax.device_put(x, first_dev))
-                heads = [jax.device_put(h, last_dev) for h in pf(x)]
-                return jpost(heads)
-
-            self._detect = detect_pp
+            self._detect = pf.make_detect(post)
         else:
             self._detect = jax.jit(detect)  # one program per canvas shape
 

@@ -156,9 +156,15 @@ class DarknetTrainer:
                 assert not spatial and n % tensor_parallel == 0, \
                     (spatial, n, tensor_parallel)
                 dp = n // tensor_parallel
-                self.mesh = (make_mesh(n, data=dp,
-                                       model=tensor_parallel)
-                             if batch_size % max(dp, 1) == 0 else None)
+                if batch_size % max(dp, 1) != 0:
+                    # an explicit TP request must not silently degrade
+                    # to unsharded single-device training (the user
+                    # asked for sharded state to fit memory)
+                    raise ValueError(
+                        f"tensor_parallel={tensor_parallel} on {n} "
+                        f"devices gives data={dp}; batch_size="
+                        f"{batch_size} must be divisible by it")
+                self.mesh = make_mesh(n, data=dp, model=tensor_parallel)
             else:
                 self.mesh = make_mesh() if (n > 1 and
                                             batch_size % n == 0) else None

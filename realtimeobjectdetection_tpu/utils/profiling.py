@@ -115,46 +115,11 @@ def conv_flops_v5(cfg, resolution: int = 640) -> int:
     (their count = MACs*2 over the same conv set); this counter lands
     within ~2% of that for size 's'.
     """
-    ch, d, hd, no = cfg.ch, cfg.depths, cfg.head_depth, cfg.no
-    total = 0
-
-    def conv(s, c1, c2, k):
-        nonlocal total
-        total += 2 * s * s * k * k * c1 * c2
-
-    def c3(s, c1, c2, n, e=0.5):
-        c_ = int(c2 * e)
-        conv(s, c1, c_, 1)
-        conv(s, c1, c_, 1)
-        for _ in range(n):          # bottleneck: 1x1 reduce + 3x3 expand
-            conv(s, c_, c_, 1)
-            conv(s, c_, c_, 3)
-        conv(s, 2 * c_, c2, 1)
-
-    r = resolution
-    conv(r // 2, 3, ch[0], 6)                 # m0 stem 6x6/2
-    conv(r // 4, ch[0], ch[1], 3)             # m1
-    c3(r // 4, ch[1], ch[1], d[0])            # m2
-    conv(r // 8, ch[1], ch[2], 3)             # m3
-    c3(r // 8, ch[2], ch[2], d[1])            # m4 -> P3
-    conv(r // 16, ch[2], ch[3], 3)            # m5
-    c3(r // 16, ch[3], ch[3], d[2])           # m6 -> P4
-    conv(r // 32, ch[3], ch[4], 3)            # m7
-    c3(r // 32, ch[4], ch[4], d[3])           # m8
-    conv(r // 32, ch[4], ch[4] // 2, 1)       # m9 SPPF cv1
-    conv(r // 32, (ch[4] // 2) * 4, ch[4], 1)  # m9 SPPF cv2
-    conv(r // 32, ch[4], ch[3], 1)            # m10
-    c3(r // 16, ch[3] * 2, ch[3], hd)         # m13
-    conv(r // 16, ch[3], ch[2], 1)            # m14
-    c3(r // 8, ch[2] * 2, ch[2], hd)          # m17 -> P3 out
-    conv(r // 16, ch[2], ch[2], 3)            # m18 down
-    c3(r // 16, ch[2] * 2, ch[3], hd)         # m20 -> P4 out
-    conv(r // 32, ch[3], ch[3], 3)            # m21 down
-    c3(r // 32, ch[3] * 2, ch[4], hd)         # m23 -> P5 out
-    conv(r // 8, ch[2], no, 1)                # m24 heads
-    conv(r // 16, ch[3], no, 1)
-    conv(r // 32, ch[4], no, 1)
-    return total
+    # single source of truth: the per-step table that also drives the
+    # pipeline-parallel FLOP balance (models/yolov5.v5_step_flops walks
+    # the same _v5_steps dataflow the forward executes)
+    from ..models.yolov5 import v5_step_flops
+    return sum(v5_step_flops(cfg, resolution))
 
 
 def conv_flops(spec, resolution: int = None) -> int:

@@ -191,3 +191,15 @@ def test_tp_detect_matches_single_device(cpu_devices):
     np.testing.assert_array_equal(np.asarray(rv), np.asarray(tv))
     np.testing.assert_array_equal(np.asarray(rc), np.asarray(tc))
     np.testing.assert_allclose(np.asarray(rb), np.asarray(tb), atol=1e-4)
+
+
+def test_trainer_tp_indivisible_batch_raises(tmp_path, cpu_devices):
+    """An explicit tensor_parallel request with an indivisible batch
+    must raise, not silently fall back to unsharded single-device
+    training (code-review r3 finding)."""
+    import pytest
+    from realtimeobjectdetection_tpu.train.trainer import DarknetTrainer
+    with pytest.raises(ValueError, match="divisible"):
+        DarknetTrainer("yolov3-tiny", epochs=1, batch_size=6,
+                       resolution=64, out_dir=str(tmp_path / "w"),
+                       tensor_parallel=2, prewarm=False)

@@ -34,6 +34,50 @@ def test_balance_cuts_shape_and_balance(cpu_devices):
             assert not (s < c < s + 3 * r), (c, s, r)
 
 
+def test_balance_cuts_collision_keeps_stage_count(cpu_devices):
+    """Two FLOP thresholds snapping to the same ladder end must not
+    drop a cut (code-review r3 finding: n_stages=6 returned 4 cuts and
+    crashed every PP constructor)."""
+    spec = get_spec("yolov3", width=416, height=416)
+    for n in range(2, 10):
+        cuts = balance_cuts(spec, n, scan_ladders=True)
+        assert len(cuts) == n - 1, (n, cuts)
+        assert cuts == sorted(set(cuts)), (n, cuts)
+    # the previously-crashing constructor path now builds and runs
+    reso = 96
+    spec6 = get_spec("yolov3", width=reso, height=reso)
+    params = init_params(spec6, 0)
+    from realtimeobjectdetection_tpu.model import fold_batchnorm
+    ref = _heads_ref(spec6, fold_batchnorm(spec6, params),
+                     jnp.zeros((1, reso, reso, 3), np.float32),
+                     scan_ladders=True)
+    pf = PipelinedForward(spec6, params, n_stages=6, resolution=reso,
+                          scan_ladders=True)
+    got = pf(jnp.zeros((1, reso, reso, 3), np.float32))
+    for a, b in zip(got, ref):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_gather_params_merges_split_v5_heads(cpu_devices):
+    """gather_params must deep-merge the m24 detect-head dict when cuts
+    place the heads in different stages (code-review r3 finding:
+    shallow update dropped m24['0'])."""
+    import optax
+    from realtimeobjectdetection_tpu.models.yolov5 import (
+        init_yolov5_params, yolov5_config)
+    from realtimeobjectdetection_tpu.parallel.pipeline import (
+        PipelinedTrainStepV5)
+    cfg = yolov5_config("n")
+    params = init_yolov5_params(cfg, 0, batch_norm=True)
+    # cut at 17: stage 0 = steps [0,17) incl. m24.0 (index 16),
+    # stage 1 = [17,23) with m24.1 / m24.2
+    pp = PipelinedTrainStepV5(cfg, params, optax.adam(1e-3), n_stages=2,
+                              cuts=[17], resolution=64, n_micro=1)
+    assert pp._n_heads == [1, 2]
+    got = pp.gather_params()
+    assert set(got["m24"]) == {"0", "1", "2"}, set(got["m24"])
+
+
 def test_pipelined_tiny_matches_single_device(cpu_devices):
     reso = 160
     spec = get_spec("yolov3-tiny", width=reso, height=reso)

@@ -334,3 +334,26 @@ def test_pipeline_stages_service_matches_plain():
     finally:
         plain.close()
         pp.close()
+
+
+def test_detect_stream_trailing_bytes_keepalive(server):
+    """A stream body with a sub-4-byte garbage tail must be drained so
+    the HTTP/1.1 keep-alive socket stays usable for the next request
+    (code-review r3 finding)."""
+    import struct
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 255, (96, 128, 3), np.uint8)
+    ok, jpg = cv2.imencode(".jpg", img)
+    assert ok
+    body = struct.pack(">I", len(jpg)) + bytes(jpg) + b"\x00\x01"  # tail
+    conn = http.client.HTTPConnection(server[0], server[1], timeout=60)
+    conn.request("POST", "/detect_stream", body=body)
+    resp = conn.getresponse()
+    lines = [json.loads(l) for l in resp.read().splitlines() if l]
+    assert len(lines) == 1 and "boxes" in lines[0]
+    # SAME connection, next request must parse cleanly
+    conn.request("GET", "/healthz")
+    resp2 = conn.getresponse()
+    assert resp2.status == 200
+    assert json.loads(resp2.read())["status"] == "ok"
+    conn.close()
