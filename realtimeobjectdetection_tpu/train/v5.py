@@ -470,6 +470,13 @@ class TrainerV5:
         np.savez(path + ".npz", **flat)
 
     def restore(self, path: str):
+        if self._tp:
+            # restore straight into the TP/ZeRO shardings (same fix as
+            # DarknetTrainer.restore: a plain device_put re-replicates
+            # onto one device and breaks the sharded step)
+            from ..parallel.checkpoint import restore_sharded
+            self.state = restore_sharded(path, self.state, self.mesh)
+            return
         import os
         import orbax.checkpoint as ocp
         path = os.path.abspath(path)

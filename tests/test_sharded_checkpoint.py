@@ -90,3 +90,22 @@ def test_trainer_tp_restore_resharded(tmp_path, cpu_devices):
     hist = tr.train(ann, imgs, dataset_type="COCO", verbose=False)
     assert np.isfinite(hist["train_loss"]).all()
     assert int(tr.state.step) > 0
+
+
+def test_trainer_v5_tp_restore_resharded(tmp_path, cpu_devices):
+    """TrainerV5(tensor_parallel=2).restore() lands the state back in
+    TP shardings (same contract as the darknet trainer)."""
+    from realtimeobjectdetection_tpu.train.v5 import TrainerV5
+    tr = TrainerV5("s", epochs=1, batch_size=8, resolution=64,
+                   out_dir=str(tmp_path / "out"), tensor_parallel=2,
+                   num_classes=80)
+    assert tr._tp
+    tr.save("weight_epoch0")
+    before = jax.device_get(tr.state)
+    tr.restore(str(tmp_path / "out" / "weight_epoch0"))
+    _assert_tree_equal(tr.state, before)
+    from realtimeobjectdetection_tpu.parallel.mesh import param_shardings
+    want = jax.tree_util.tree_leaves(param_shardings(tr.mesh, before))
+    got = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(lambda x: x.sharding, tr.state))
+    assert got == want
