@@ -451,6 +451,43 @@ class _GPipeTrain:
                     out[key] = val
         return out
 
+    def save_checkpoint(self, path: str) -> None:
+        """orbax checkpoint of the full PP train state: per-stage param
+        and optimizer slices (kept as the stage list so restore needs no
+        re-slicing) plus the step count."""
+        import os
+        import orbax.checkpoint as ocp
+        state = {"params": [jax.device_get(p) for p in self._params],
+                 "opt": [jax.device_get(o) for o in self._opt],
+                 "step": self.step_count}
+        ocp.PyTreeCheckpointer().save(os.path.abspath(path), state,
+                                      force=True)
+
+    def restore_checkpoint(self, path: str) -> None:
+        """Resume from :meth:`save_checkpoint`; stage count and cuts
+        must match (the checkpoint stores per-stage slices).  Each
+        stage's slice lands back on its own device."""
+        import os
+        import orbax.checkpoint as ocp
+        template = {"params": [jax.device_get(p) for p in self._params],
+                    "opt": [jax.device_get(o) for o in self._opt],
+                    "step": self.step_count}
+        state = ocp.PyTreeCheckpointer().restore(os.path.abspath(path),
+                                                 item=template)
+        assert len(state["params"]) == len(self._params), \
+            (len(state["params"]), len(self._params), "stage count differs")
+        self._params = [jax.device_put(p, d) for p, d in
+                        zip(state["params"], self.devices)]
+        # orbax may return tuples as lists inside the optax state; keep
+        # the original tree structure from the live optimizer state
+        self._opt = [
+            jax.device_put(jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure(o_live),
+                jax.tree_util.tree_leaves(o_ckpt)), d)
+            for o_ckpt, o_live, d in zip(state["opt"], self._opt,
+                                         self.devices)]
+        self.step_count = int(state["step"])
+
 
 class PipelinedTrainStep(_GPipeTrain):
     """GPipe-style pipeline-parallel training for the Darknet families.

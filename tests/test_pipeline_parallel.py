@@ -405,6 +405,40 @@ def test_pipelined_train_v5_matches_accumulated_single_device(cpu_devices):
             err_msg=jax.tree_util.keystr(k))
 
 
+def test_pipelined_train_checkpoint_roundtrip(tmp_path, cpu_devices):
+    """save_checkpoint/restore_checkpoint resume PP training exactly:
+    a fresh PipelinedTrainStep restored from step-1's checkpoint takes
+    the same step 2 as the uninterrupted run."""
+    import optax
+    from realtimeobjectdetection_tpu.parallel.pipeline import (
+        PipelinedTrainStep)
+    reso = 64
+    spec = get_spec("yolov3-tiny", width=reso, height=reso)
+    params = init_params(spec, 2)
+    opt = optax.adam(1e-3)
+    images, boxes, mask = _train_batch(reso, 4, 30)
+    images2, boxes2, mask2 = _train_batch(reso, 4, 31)
+
+    cont = PipelinedTrainStep(spec, params, opt, n_stages=2,
+                              resolution=reso, n_micro=2)
+    cont.step(images, boxes, mask)
+    cont.save_checkpoint(str(tmp_path / "pp_ckpt"))
+    loss_cont = float(cont.step(images2, boxes2, mask2))
+
+    fresh = PipelinedTrainStep(spec, params, opt, n_stages=2,
+                               resolution=reso, n_micro=2)
+    fresh.restore_checkpoint(str(tmp_path / "pp_ckpt"))
+    assert fresh.step_count == 1
+    loss_resume = float(fresh.step(images2, boxes2, mask2))
+    np.testing.assert_allclose(loss_resume, loss_cont, rtol=1e-6)
+    a = cont.gather_params()
+    b = fresh.gather_params()
+    for k in a:
+        for kk in a[k]:
+            np.testing.assert_array_equal(np.asarray(a[k][kk]),
+                                          np.asarray(b[k][kk]))
+
+
 def test_map_stream_pipelined_dispatch(cpu_devices):
     reso = 160
     spec = get_spec("yolov3-tiny", width=reso, height=reso)
