@@ -135,13 +135,19 @@ class _StagedPipeline:
     _fns: List
     _params: List
 
+    @property
+    def carry_targets(self):
+        """Per-stage placement for boundary transfers: a device, or a
+        batch NamedSharding when the stage is data-parallel (PPxDP)."""
+        return getattr(self, "_carry_targets", None) or self.devices
+
     def __call__(self, x):
         """Full heads-forward for one batch across the stage devices."""
         heads: List[jnp.ndarray] = []
         hs, carry = self._fns[0](self._params[0], x)
         heads.extend(hs)
         for k in range(1, len(self._fns)):
-            carry = jax.device_put(carry, self.devices[k])
+            carry = jax.device_put(carry, self.carry_targets[k])
             hs, carry = self._fns[k](self._params[k], carry)
             heads.extend(hs)
         return heads
@@ -175,14 +181,14 @@ class _StagedPipeline:
         heads gathered onto the last stage's device, ``post_fn``
         (decode+NMS) jitted there.  The shared integration used by
         DetectorV3/V5 and both serving backends."""
-        first_dev, last_dev = self.devices[0], self.devices[-1]
+        first, last = self.carry_targets[0], self.carry_targets[-1]
         pre = jax.jit(lambda u8: u8.astype(jnp.float32) / 255.0)
         jpost = jax.jit(post_fn)
 
         def detect(params, x):
             del params  # stage weight slices live on their own devices
-            x = pre(jax.device_put(x, first_dev))
-            heads = [jax.device_put(h, last_dev) for h in self(x)]
+            x = pre(jax.device_put(x, first))
+            heads = [jax.device_put(h, last) for h in self(x)]
             return jpost(heads)
 
         return detect
@@ -204,13 +210,35 @@ class PipelinedForward(_StagedPipeline):
                  bn_mode: str = "fold", compute_dtype=jnp.float32,
                  precision=None, activation_dtype=None, head_dtype=None,
                  scan_ladders: bool = False,
-                 resolution: Optional[int] = None):
+                 resolution: Optional[int] = None,
+                 data_parallel: int = 1):
+        """``data_parallel=N``: PPxDP composition — each stage's program
+        is additionally batch-sharded (GSPMD, no collectives in a
+        forward) over its own N-device group, consuming
+        ``n_stages * N`` devices total.  The batch must divide N.
+        Boundary activations move group-to-group as sharded arrays."""
         assert bn_mode in ("fold", "running"), \
             "PP is a serving path (batch-stats BN trains on DP/SP/TP)"
         devices = list(devices if devices is not None else jax.devices())
-        n_stages = n_stages or len(devices)
-        assert 1 <= n_stages <= len(devices), (n_stages, len(devices))
-        self.devices = devices[:n_stages]
+        dp = int(data_parallel)
+        n_stages = n_stages or (len(devices) // dp)
+        assert n_stages >= 1 and n_stages * dp <= len(devices), \
+            (n_stages, dp, len(devices))
+        self.data_parallel = dp
+        if dp > 1:
+            import numpy as _np
+            from jax.sharding import Mesh, NamedSharding
+            from jax.sharding import PartitionSpec as P
+            groups = [devices[k * dp:(k + 1) * dp]
+                      for k in range(n_stages)]
+            meshes = [Mesh(_np.array(g), ("data",)) for g in groups]
+            self._repl = [NamedSharding(m, P()) for m in meshes]
+            self._batch = [NamedSharding(m, P("data")) for m in meshes]
+            self.devices = [g[0] for g in groups]
+            self._carry_targets = self._batch
+        else:
+            self.devices = devices[:n_stages]
+            self._carry_targets = None
         if bn_mode == "fold" and any("bn_gamma" in v for v in
                                      params.values()):
             params = fold_batchnorm(spec, params)
@@ -231,15 +259,24 @@ class PipelinedForward(_StagedPipeline):
         for k, (lo, hi) in enumerate(self.ranges):
             fn = make_forward(spec, stage_range=(lo, hi), **kw)
             if lo == 0:
-                jfn = jax.jit(lambda p, x, fn=fn: fn(p, x))
+                f = lambda p, x, fn=fn: fn(p, x)
             else:
-                jfn = jax.jit(lambda p, c, fn=fn: fn(p, None, c))
+                f = lambda p, c, fn=fn: fn(p, None, c)
+            if dp > 1:
+                # params replicated within the stage group, everything
+                # batch-dim-0 sharded over it (inputs, heads, boundary)
+                jfn = jax.jit(f, in_shardings=(self._repl[k],
+                                               self._batch[k]),
+                              out_shardings=self._batch[k])
+            else:
+                jfn = jax.jit(f)
             self._fns.append(jfn)
             stage_params = {
                 f"node_{i}": params[f"node_{i}"]
                 for i in range(lo, hi) if f"node_{i}" in params}
-            self._params.append(
-                jax.device_put(stage_params, self.devices[k]))
+            self._params.append(jax.device_put(
+                stage_params,
+                self._repl[k] if dp > 1 else self.devices[k]))
 
 
 def balance_cuts_v5(cfg, n_stages: int,

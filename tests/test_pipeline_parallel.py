@@ -114,6 +114,46 @@ def test_pipelined_full_yolov3_with_ladders(cpu_devices):
     assert d0 != d1
 
 
+def test_pp_dp_composition_matches_single_device(cpu_devices):
+    """PP(2) x DP(4) on 8 devices: each stage batch-sharded over its own
+    4-device group; heads match the single-device forward (allclose, not
+    bit-equal: per-shard convs run at B=1 instead of B=4, which legally
+    reassociates fp32 accumulation) and the stage weights replicate
+    within each group."""
+    reso = 160
+    spec = get_spec("yolov3-tiny", width=reso, height=reso)
+    params = init_params(spec, 5)
+    from realtimeobjectdetection_tpu.model import fold_batchnorm
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.rand(4, reso, reso, 3), np.float32)
+    ref = _heads_ref(spec, fold_batchnorm(spec, params), x)
+    pf = PipelinedForward(spec, params, n_stages=2, data_parallel=4,
+                          resolution=reso)
+    assert pf.data_parallel == 4 and len(pf.ranges) == 2
+    got = pf(x)
+    for a, b in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+    # stage 0's params span its 4-device group; stage 1 a disjoint group
+    d0 = {d.id for d in
+          jax.tree_util.tree_leaves(pf._params[0])[0].sharding.device_set}
+    d1 = {d.id for d in
+          jax.tree_util.tree_leaves(pf._params[1])[0].sharding.device_set}
+    assert len(d0) == 4 and len(d1) == 4 and not (d0 & d1)
+    # make_detect end-to-end on the composed layout
+    from realtimeobjectdetection_tpu.ops.decode import decode_heads
+    from realtimeobjectdetection_tpu.ops.nms import nms_batch
+
+    def post(heads):
+        pred = decode_heads(heads, spec, reso)
+        return nms_batch(pred, 80, 0.7, 0.5, top_k=32)
+
+    det = pf.make_detect(post)
+    u8 = (np.asarray(x) * 255).astype(np.uint8)
+    boxes, valid = det(None, jnp.asarray(u8))
+    assert np.asarray(boxes).shape[0] == 4
+
+
 def test_v5_step_flops_sum_matches_total(cpu_devices):
     """Per-step FLOPs (the PP balance input) must sum to the canonical
     conv_flops_v5 total for every size — one graph, two walks."""
