@@ -133,7 +133,7 @@ def bench_tpu(model: str, reso: int, batch: int, iters: int,
               fused: bool = True, act_bf16: bool = True,
               quantize: str = None, pallas_nms: bool = False,
               s2d: bool = False, trace_dir: str = None,
-              windows: int = 3) -> dict:
+              windows: int = 3, approx_topk: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
     from realtimeobjectdetection_tpu.models import get_spec
@@ -167,7 +167,8 @@ def bench_tpu(model: str, reso: int, batch: int, iters: int,
         heads = fwd(p, x)
         if fused:
             pred, n_cand = decode_topk(heads, spec, reso, top_k,
-                                       confidence=conf)
+                                       confidence=conf,
+                                       approx=approx_topk)
             boxes, valid = nms_batch(pred, spec.num_classes, conf, 0.5,
                                      top_k=top_k, use_pallas=pallas_nms)
         else:
@@ -263,6 +264,11 @@ def main():
     ap.add_argument("--s2d", action="store_true",
                     help="space-to-depth stem (measured 10.6 ms/batch "
                          "SLOWER device-side at bs=256 - off by default)")
+    ap.add_argument("--approx_topk", action="store_true",
+                    help="lax.approx_max_k candidate selection in "
+                         "decode_topk (results-changing: recall >= 0.95 "
+                         "of the exact top-k) - off by default, the "
+                         "judged number stays exact-NMS")
     ap.add_argument("--measure-baseline", action="store_true")
     args = ap.parse_args()
 
@@ -279,7 +285,8 @@ def main():
                   depth=args.depth, conf=args.conf, top_k=args.top_k,
                   fused=args.fused, act_bf16=args.act_bf16,
                   quantize=args.quantize, pallas_nms=args.pallas_nms,
-                  s2d=args.s2d, trace_dir=args.trace, windows=args.windows)
+                  s2d=args.s2d, trace_dir=args.trace, windows=args.windows,
+                  approx_topk=args.approx_topk)
     print(f"[bench] {args.model} reso={args.reso} bs={args.batch} "
           f"{args.dtype}{' ' + args.quantize if args.quantize else ''}: "
           f"{r['ms_per_batch']:.2f} ms/batch, {r['fps']:.1f} fps "

@@ -422,10 +422,10 @@ def serve_arg_parser() -> argparse.ArgumentParser:
                    help="pipeline parallelism: forward as N stage "
                         "programs on N devices (parallel/pipeline.py)")
     p.add_argument("--approx_topk", action="store_true",
-                   help="v5 only: approx_max_k candidate selection "
-                        "(+4-5%% fps, recall >= 0.95 of >threshold "
-                        "rows — changes results; exact sort is the "
-                        "default)")
+                   help="approx_max_k candidate selection, both "
+                        "families (+4%% fps measured each side, recall "
+                        ">= 0.95 of >threshold rows — changes results; "
+                        "exact sort is the default)")
     return p
 
 
@@ -454,7 +454,8 @@ def serve_cli(argv=None):
             spec, params, resolution=a.reso or 416,
             confidence=a.confidence if a.confidence is not None else 0.6,
             nms_thresh=a.nms_thresh if a.nms_thresh is not None else 0.5,
-            batch_size=a.batch_size, pipeline_stages=a.pp_stages)
+            batch_size=a.batch_size, pipeline_stages=a.pp_stages,
+            approx_topk=a.approx_topk)
     return serve(service, a.host, a.port)
 
 

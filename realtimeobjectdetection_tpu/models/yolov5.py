@@ -269,6 +269,35 @@ def _sppf(x, p, dtype, k=5, odt=jnp.float32, bn="fold", stats=None,
                  out_dtype=odt, bn=bn, stats=stats, name=name + ".cv2")
 
 
+def _stem_s2d(x, p, ctx):
+    """Space-to-depth rewrite of the 6x6/2 stem conv (exact identity).
+
+    ``y(i,j,o) = sum_{ky,kx,c} w[ky,kx,c,o] * x(2i+ky-2, 2j+kx-2, c)``
+    (stride 2, pad 2).  Substituting ``ky = 2*py + dy`` (py in [0,3),
+    dy in {0,1}) and likewise for kx maps the sum onto a 3x3 stride-1
+    pad-1 conv over the 2x2 space-to-depth input
+    ``z(i,j,(dy*2+dx)*C+c) = x(2i+dy, 2j+dx, c)`` with rearranged
+    weights ``w'[py,px,(dy*2+dx)*C+c,o] = w[2*py+dy, 2*px+dx, c, o]`` —
+    the identical sum, so outputs match up to fp summation order
+    (tests/test_yolov5.py::test_s2d_stem_exact).  This is the inverse of
+    ultralytics' Focus->6x6-conv change (made for GPU perf): on TPU the
+    s2d form raises the stem's input channel count 3 -> 12, filling more
+    of the MXU's 8-deep input tiling.  Opt-in via
+    ``make_yolov5_forward(s2d_stem=True)``; measured verdict in
+    PERFORMANCE.md."""
+    b, h, w, c = x.shape
+    z = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    z = z.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+    wt = jnp.asarray(p["w"])
+    o = wt.shape[-1]
+    wt = (wt.reshape(3, 2, 3, 2, c, o).transpose(0, 2, 1, 3, 4, 5)
+          .reshape(3, 3, 4 * c, o))
+    p2 = dict(p)
+    p2["w"] = wt
+    return _conv(z, p2, 1, ctx["dt"], out_dtype=ctx["odt"], bn=ctx["bn"],
+                 stats=ctx["stats"], name="m0")
+
+
 def _upsample2(x):
     b, h, w, c = x.shape
     # nearest x2 (ultralytics nn.Upsample(mode='nearest'))
@@ -289,6 +318,8 @@ def _v5_steps():
     via torch.hub, /root/reference/detect.py:258)."""
     def conv(m, stride):
         def f(p, ctx, x):
+            if m == "m0" and ctx.get("s2d") and p[m]["w"].shape[0] == 6:
+                return _stem_s2d(x, p[m], ctx)
             return _conv(x, p[m], stride, ctx["dt"], out_dtype=ctx["odt"],
                          name=m, bn=ctx["bn"], stats=ctx["stats"])
         return f
@@ -399,7 +430,8 @@ def make_yolov5_forward(cfg: YoloV5Config, compute_dtype=jnp.bfloat16,
                         activation_dtype=None, head_dtype=None,
                         bn_mode: str = "fold",
                         return_stats: bool = False,
-                        stage_range=None):
+                        stage_range=None,
+                        s2d_stem: bool = False):
     """Build ``forward(params, x) -> [p3, p4, p5]`` raw heads (NHWC).
 
     ``activation_dtype``: dtype of the materialized inter-layer
@@ -443,7 +475,7 @@ def make_yolov5_forward(cfg: YoloV5Config, compute_dtype=jnp.bfloat16,
         lo, hi = stage_range if stage_range is not None else (0, len(steps))
         stats = {} if return_stats and bn_mode == "batch" else None
         ctx = {"dt": compute_dtype, "odt": odt, "hdt": hdt,
-               "bn": bn_mode, "stats": stats}
+               "bn": bn_mode, "stats": stats, "s2d": s2d_stem}
         env = dict(carry) if carry else {}
         if lo == 0:
             env["in"] = x

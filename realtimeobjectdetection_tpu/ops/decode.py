@@ -78,7 +78,8 @@ def make_decoder(spec: GraphSpec, input_dim: int, train: bool = False):
 
 
 def decode_topk(heads: List[jnp.ndarray], spec: GraphSpec, input_dim: int,
-                top_k: int, confidence: float = 0.0):
+                top_k: int, confidence: float = 0.0,
+                approx: bool = False):
     """Fused objectness-first selection: decode only the top-k rows.
 
     ``decode_heads`` materializes the full ``[B, N, 5+C]`` decode (N =
@@ -103,6 +104,15 @@ def decode_topk(heads: List[jnp.ndarray], spec: GraphSpec, input_dim: int,
     reference, which sorts post-sigmoid values) tie-breaks by row index
     while this path orders by raw logit.  Parity pipelines keep the full
     decode; this path is the serving/bench fast path.
+
+    ``approx=True`` swaps the sort-based ``lax.top_k`` for the
+    TPU-native ``lax.approx_max_k`` PartialReduce (same lever the v5
+    path proved at +4-5% fps, models/yolov5.decode_v5_topk).  The
+    default ``aggregate_to_topk`` re-sorts the reduced candidate pool,
+    so the returned rows stay objectness-descending (the greedy-NMS
+    order contract holds); only the selected SET is approximate —
+    recall ≥ 0.95 of the true top-k (tests/test_nms.py gates it).
+    Opt-in for serving/bench; parity paths keep the exact sort.
     """
     import numpy as np
 
@@ -149,7 +159,10 @@ def decode_topk(heads: List[jnp.ndarray], spec: GraphSpec, input_dim: int,
     else:
         n_cand = jnp.full((b,), n, jnp.int32)
 
-    _, idx = jax.lax.top_k(obj_logits, k)            # [B, K]
+    if approx:
+        _, idx = jax.lax.approx_max_k(obj_logits, k)  # [B, K]
+    else:
+        _, idx = jax.lax.top_k(obj_logits, k)        # [B, K]
     rows = jnp.take_along_axis(raw, idx[..., None], axis=1) \
         .astype(jnp.float32)                         # [B, K, 5+C]
     cst = consts[idx]                                # [B, K, 5]

@@ -358,13 +358,36 @@ class _GPipeTrain:
     Optimizer restriction: state is initialized and applied PER STAGE,
     which is exact for per-parameter transforms (adam, sgd, weight
     decay) but changes semantics for cross-parameter couplings —
-    ``optax.clip_by_global_norm`` would clip by each stage's local norm
-    instead of the global one.  Use per-parameter optimizers here; a
-    coupled optimizer needs a cross-stage reduction first (not
-    implemented — document the need before adding it)."""
+    ``optax.clip_by_global_norm`` inside the optimizer would clip by
+    each stage's local norm instead of the global one.  Use
+    per-parameter optimizers here; for global-norm clipping pass
+    ``clip_global_norm=`` instead — the step does the cross-stage
+    reduction itself (per-stage squared norms -> one scalar on the last
+    device -> broadcast scale, all async device-to-device, matching
+    ``optax.chain(clip_by_global_norm(c), opt)`` on one device up to fp
+    summation order; tests/test_pipeline_parallel.py)."""
 
-    def _init_shared(self, optimizer):
+    def _init_shared(self, optimizer, clip_global_norm=None):
         self.optimizer = optimizer
+        self.clip_global_norm = (None if clip_global_norm is None
+                                 else float(clip_global_norm))
+        if self.clip_global_norm is not None:
+            c = self.clip_global_norm
+
+            def sqn(g):
+                leaves = jax.tree_util.tree_leaves(g)
+                return sum(jnp.sum(jnp.square(x)) for x in leaves)
+
+            self._sqnorm = jax.jit(sqn)
+            self._gnorm = jax.jit(lambda sqs: jnp.sqrt(sum(sqs)))
+
+            def scale(g, gn):
+                # optax.clip_by_global_norm semantics: identity when
+                # gn < c, else (t / gn) * c (same div-then-mul order)
+                return jax.tree_util.tree_map(
+                    lambda t: jnp.where(gn < c, t, (t / gn) * c), g)
+
+            self._clipscale = jax.jit(scale)
         self.step_count = 0
         self._fwd, self._bwd = [], []
         self._params, self._opt = [], []
@@ -461,6 +484,17 @@ class _GPipeTrain:
                 g_acc[k] = g_p if g_acc[k] is None \
                     else self._acc(g_acc[k], g_p)
                 g_carry = g_c if k > 0 else {}
+
+        # ---- cross-stage global-norm clip (all async: per-stage
+        # squared norms meet on the last device, the norm scalar rides
+        # back to each stage for the scale)
+        if self.clip_global_norm is not None:
+            sqs = [jax.device_put(self._sqnorm(g_acc[k]), last)
+                   for k in range(S)]
+            gn = self._gnorm(sqs)
+            g_acc = [self._clipscale(
+                g_acc[k], jax.device_put(gn, self.devices[k]))
+                for k in range(S)]
 
         # ---- per-stage optimizer update (each on its own device)
         for k in range(S):
@@ -565,7 +599,8 @@ class PipelinedTrainStep(_GPipeTrain):
                  reference_bug_wh_iou: bool = True,
                  parity_swap_xy: bool = False,
                  compute_dtype=jnp.float32, precision=None,
-                 scan_ladders: bool = False):
+                 scan_ladders: bool = False,
+                 clip_global_norm: Optional[float] = None):
         from ..ops.decode import decode_heads
         from ..train.loss import yolo_loss
         from ..train.targets import build_targets
@@ -585,7 +620,7 @@ class PipelinedTrainStep(_GPipeTrain):
         self.cuts = cuts
         bounds = [0] + cuts + [len(spec.nodes)]
         self.ranges = list(zip(bounds, bounds[1:]))
-        self._init_shared(optimizer)
+        self._init_shared(optimizer, clip_global_norm)
 
         from ..cfg_parser import YoloSpec
         kw = dict(bn_mode="running", compute_dtype=compute_dtype,
@@ -638,7 +673,8 @@ class PipelinedTrainStepV5(_GPipeTrain):
                  cuts: Optional[Sequence[int]] = None,
                  resolution: int = 640, n_micro: int = 2,
                  num_classes: int = 80,
-                 compute_dtype=jnp.float32):
+                 compute_dtype=jnp.float32,
+                 clip_global_norm: Optional[float] = None):
         from ..models.yolov5 import _v5_steps, make_yolov5_forward
         from ..train.v5 import yolo_loss_v5
 
@@ -657,7 +693,7 @@ class PipelinedTrainStepV5(_GPipeTrain):
         self.cuts = cuts
         bounds = [0] + cuts + [len(steps)]
         self.ranges = list(zip(bounds, bounds[1:]))
-        self._init_shared(optimizer)
+        self._init_shared(optimizer, clip_global_norm)
 
         kw = dict(bn_mode="running", compute_dtype=compute_dtype)
         for k, (lo, hi) in enumerate(self.ranges):

@@ -60,7 +60,8 @@ class DetectionService:
                  bn_mode: str = "fold", compute_dtype=jnp.bfloat16,
                  class_names: Optional[List[str]] = None,
                  fused_decode: bool = True,
-                 pipeline_stages: Optional[int] = None):
+                 pipeline_stages: Optional[int] = None,
+                 approx_topk: bool = False):
         self.spec = spec
         self.resolution = resolution
         self.batch_size = batch_size
@@ -81,9 +82,13 @@ class DetectionService:
 
         def post(heads):
             if fused_decode:
+                # approx_topk: lax.approx_max_k candidate selection
+                # (results-changing, recall >= 0.95 — opt-in, same
+                # lever as DetectionServiceV5(approx_topk=...))
                 from ..ops.decode import decode_topk
                 pred, _ = decode_topk(heads, spec, resolution, top_k,
-                                      confidence=confidence)
+                                      confidence=confidence,
+                                      approx=approx_topk)
             else:
                 pred = decode_heads(heads, spec, resolution)
             return nms_batch(pred, num_classes, confidence, nms_thresh,

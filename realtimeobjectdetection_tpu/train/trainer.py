@@ -45,13 +45,14 @@ from ..models.zoo import get_spec
 from ..parallel.mesh import make_mesh, shard_train_step
 from ..weights import (export_darknet_weights, init_params,
                        load_darknet_weights)
+from .preempt import PreemptSupport
 from .step import (EmaTrainState, init_train_state,
                    make_train_step)
 
 __all__ = ["DarknetTrainer"]
 
 
-class DarknetTrainer:
+class DarknetTrainer(PreemptSupport):
     def __init__(self, cfg_path: str, weights_path: Optional[str] = None,
                  epochs: int = 10, batch_size: int = 16,
                  resolution: int = 416, confidence: float = 0.6,
@@ -332,6 +333,14 @@ class DarknetTrainer:
     def train(self, annotation_dir: str, img_dir: str,
               dataset_type: str = "COCO", verbose: bool = True):
         os.makedirs(self.out_dir, exist_ok=True)
+        restore_sig = self._install_preempt()  # SIGTERM -> 'preempt' tier
+        try:
+            return self._train(annotation_dir, img_dir, dataset_type,
+                               verbose)
+        finally:
+            restore_sig()
+
+    def _train(self, annotation_dir, img_dir, dataset_type, verbose):
         if self.prewarm and len(self._scales) > 1:
             self.warm_step_cache(verbose=verbose)
         dataset = self._make_dataset(annotation_dir, img_dir, dataset_type)
@@ -362,6 +371,8 @@ class DarknetTrainer:
                 running_loss += loss
                 if verbose:
                     self.progress_bar(epoch, b + 1, batch_num, loss)
+                if self._preempted:
+                    return self._save_preempt(epoch, b + 1, verbose)
 
             self.save(f"weight_epoch{epoch}")
             if self.validator is None:

@@ -48,6 +48,7 @@ import optax
 
 from ..models.yolov5 import (BN_MOMENTUM_V5, V5_ANCHORS, V5_STRIDES,
                              YoloV5Config, make_yolov5_forward)
+from .preempt import PreemptSupport
 from .step import EmaTrainState, TrainState, init_train_state
 
 __all__ = ["build_targets_v5", "yolo_loss_v5", "make_train_step_v5",
@@ -310,7 +311,7 @@ def make_train_step_v5(cfg: YoloV5Config, optimizer,
     return step
 
 
-class TrainerV5:
+class TrainerV5(PreemptSupport):
     """Epoch-loop trainer for the native YOLOv5 graph.
 
     Mirrors DarknetTrainer's surface (same loaders, three checkpoint
@@ -487,12 +488,21 @@ class TrainerV5:
     def train(self, annotation_dir: str, img_dir: str,
               dataset_type: str = "COCO", verbose: bool = True):
         import os
+        os.makedirs(self.out_dir, exist_ok=True)
+        restore_sig = self._install_preempt()  # SIGTERM -> 'preempt' tier
+        try:
+            return self._train(annotation_dir, img_dir, dataset_type,
+                               verbose)
+        finally:
+            restore_sig()
+
+    def _train(self, annotation_dir, img_dir, dataset_type, verbose):
+        import os
         import time
         from ..data.coco import COCODataset
         from ..data.loader import padded_batches
         from ..data.voc import VOCDataset
         from .trainer import DarknetTrainer
-        os.makedirs(self.out_dir, exist_ok=True)
         if dataset_type.upper() == "VOC":
             dataset = VOCDataset(annotation_dir, img_dir, self.resolution)
         else:
@@ -516,6 +526,8 @@ class TrainerV5:
                 if verbose:
                     DarknetTrainer.progress_bar(epoch, b + 1, batch_num,
                                                 loss)
+                if self._preempted:
+                    return self._save_preempt(epoch, b + 1, verbose)
             self.save(f"weight_epoch{epoch}")
             if self.best_on == "map" and dataset_type.upper() != "VOC":
                 from ..eval.validator import validate_map_v5

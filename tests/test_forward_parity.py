@@ -282,3 +282,33 @@ def test_decode_topk_per_head_matches_global():
     np.testing.assert_array_equal(np.asarray(na), np.asarray(nb))
     np.testing.assert_allclose(np.asarray(pb), np.asarray(pa),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_decode_topk_approx_recall_gate():
+    """decode_topk(approx=True): the approx_max_k candidate set must
+    retain >= 0.95 of the exact top-k rows that pass the confidence
+    gate, and the returned rows must stay objectness-descending (the
+    greedy-NMS order contract).  Mirrors the v5-side gate on
+    decode_v5_topk(approx=True)."""
+    import jax
+    from realtimeobjectdetection_tpu.model import fold_batchnorm
+    from realtimeobjectdetection_tpu.ops.decode import decode_topk
+    spec = yolov3_tiny_spec(width=160, height=160)
+    params, _ = load_darknet_weights(spec, synthetic_darknet_weights(spec, 0))
+    folded = fold_batchnorm(spec, params)
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.rand(2, 160, 160, 3).astype(np.float32))
+    heads = jax.jit(make_forward(spec, bn_mode="fold"))(folded, x)
+    conf = 0.3
+    k = 64
+    pe, ne = decode_topk(heads, spec, 160, k, conf)
+    pa, na = decode_topk(heads, spec, 160, k, conf, approx=True)
+    np.testing.assert_array_equal(np.asarray(ne), np.asarray(na))
+    pe, pa = np.asarray(pe), np.asarray(pa)
+    for b in range(pe.shape[0]):
+        obj = pa[b, :, 4]
+        assert (np.diff(obj) <= 1e-7).all()  # descending objectness
+        want = {tuple(np.round(r[:5], 4)) for r in pe[b] if r[4] > conf}
+        got = {tuple(np.round(r[:5], 4)) for r in pa[b] if r[4] > conf}
+        if want:
+            assert len(want & got) / len(want) >= 0.95

@@ -493,3 +493,59 @@ def test_map_stream_pipelined_dispatch(cpu_devices):
     for ds, ss in zip(direct, streamed):
         for a, b in zip(ds, ss):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pipelined_train_clip_global_norm_matches_chain(cpu_devices):
+    """clip_global_norm= on the GPipe trainer == optax.chain(
+    clip_by_global_norm(c), adam) on one device.  The PP side computes
+    the norm across stage slices (per-stage sqnorms reduced on the last
+    device); equality proves the reduction really is the GLOBAL norm,
+    not a per-stage one.  c is chosen small enough that the clip
+    triggers on every step (asserted via the reference grad norm)."""
+    import optax
+    from realtimeobjectdetection_tpu.model import make_forward
+    from realtimeobjectdetection_tpu.ops.decode import decode_heads
+    from realtimeobjectdetection_tpu.parallel.pipeline import (
+        PipelinedTrainStep)
+    from realtimeobjectdetection_tpu.train.loss import yolo_loss
+    from realtimeobjectdetection_tpu.train.targets import build_targets
+
+    reso = 96
+    clip = 0.5
+    spec = get_spec("yolov3-tiny", width=reso, height=reso)
+    params = init_params(spec, 0)
+    chain = optax.chain(optax.clip_by_global_norm(clip), optax.adam(1e-3))
+    fwd = make_forward(spec, bn_mode="running")
+
+    @jax.jit
+    def ref_step(p, o, images, boxes, mask):
+        targets, obj_mask = build_targets(spec, boxes, mask, reso,
+                                          class_filter=0,
+                                          reference_bug_wh_iou=True)
+
+        def loss_fn(pp):
+            pred = decode_heads(fwd(pp, images), spec, reso, train=True)
+            return yolo_loss(pred, targets, obj_mask)
+
+        loss, g = jax.value_and_grad(loss_fn)(p)
+        u, o2 = chain.update(g, o, p)
+        return optax.apply_updates(p, u), o2, loss, optax.global_norm(g)
+
+    pp = PipelinedTrainStep(spec, params, optax.adam(1e-3), n_stages=2,
+                            resolution=reso, n_micro=2,
+                            clip_global_norm=clip)
+    ref_p, ref_o = params, chain.init(params)
+    for step_i in range(2):
+        images, boxes, mask = _train_batch(reso, 4, 20 + step_i)
+        loss_pp = pp.step(images, boxes, mask)
+        ref_p, ref_o, loss_ref, gnorm = ref_step(ref_p, ref_o, images,
+                                                 boxes, mask)
+        assert float(gnorm) > clip  # the clip path really engaged
+        np.testing.assert_allclose(float(loss_pp), float(loss_ref),
+                                   rtol=1e-5)
+    got = pp.gather_params()
+    for k in ref_p:
+        for kk in ref_p[k]:
+            np.testing.assert_allclose(
+                np.asarray(got[k][kk]), np.asarray(ref_p[k][kk]),
+                rtol=2e-4, atol=5e-5, err_msg=f"{k}/{kk}")

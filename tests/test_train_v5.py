@@ -408,3 +408,28 @@ def test_trainer_v5_cosine_recipe(tmp_path):
     assert len(hist["train_loss"]) == 2
     assert all(np.isfinite(v) for v in hist["train_loss"])
     assert tr._lr_schedule == "resolved"
+
+
+def test_trainer_v5_preempt(tmp_path):
+    """TrainerV5 shares the SIGTERM-safe preempt tier (train/preempt.py):
+    a pending request exits after one batch with the 'preempt'
+    checkpoint + sidecar written; restore continues from step 1."""
+    import json
+    import os
+    from realtimeobjectdetection_tpu.testing import make_synthetic_coco
+    from realtimeobjectdetection_tpu.train.v5 import TrainerV5
+    ann, imgs = make_synthetic_coco(tmp_path, n_images=4,
+                                    img_size=(96, 128))
+    out = str(tmp_path / "w5")
+    tr = TrainerV5(model_size="n", epochs=2, batch_size=2, resolution=96,
+                   lr=1e-3, out_dir=out, max_boxes=8, mesh=False)
+    tr.request_preempt()
+    tr.train(ann, imgs, dataset_type="COCO", verbose=False)
+    assert int(tr.state.step) == 1
+    assert os.path.isdir(os.path.join(out, "preempt"))
+    meta = json.load(open(os.path.join(out, "preempt.json")))
+    assert meta == {"epoch": 1, "batch": 1, "step": 1}
+    tr2 = TrainerV5(model_size="n", epochs=1, batch_size=2, resolution=96,
+                    lr=1e-3, out_dir=out, max_boxes=8, mesh=False)
+    tr2.restore(os.path.join(out, "preempt"))
+    assert int(tr2.state.step) == 1

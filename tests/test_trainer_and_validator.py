@@ -521,3 +521,62 @@ def test_donated_step_keeps_training_loop_valid(tmp_path):
     assert len(hist["train_loss"]) == 2
     assert all(np.isfinite(v) for v in hist["train_loss"])
     assert int(trainer.state.step) == 2
+
+
+def test_preempt_checkpoint_resume(tmp_path):
+    """SIGTERM-safe training (train/preempt.py): a preempt request is
+    honored at the next batch boundary — the trainer saves the 'preempt'
+    tier (+ .weights interop + preempt.json sidecar) and returns; a
+    fresh trainer restored from it continues with the exact step count
+    and params."""
+    import json
+    from realtimeobjectdetection_tpu.train.trainer import DarknetTrainer
+    ann, imgs = make_synthetic_coco(tmp_path, n_images=6)
+    out = str(tmp_path / "weights")
+    trainer = DarknetTrainer("yolov3-tiny", epochs=2, batch_size=3,
+                             resolution=160, lr=1e-3, out_dir=out,
+                             mesh=None, max_boxes=8)
+    trainer.request_preempt()  # flag set before the loop -> exit after
+    hist = trainer.train(ann, imgs, dataset_type="COCO", verbose=False)
+    assert int(trainer.state.step) == 1  # exactly one batch ran
+    assert "train_loss" in hist
+    assert os.path.exists(os.path.join(out, "preempt"))
+    assert os.path.exists(os.path.join(out, "preempt.weights"))
+    meta = json.load(open(os.path.join(out, "preempt.json")))
+    assert meta == {"epoch": 1, "batch": 1, "step": 1}
+    # epoch-tier checkpoints never happened (the loop exited mid-epoch)
+    assert not os.path.exists(os.path.join(out, "weight_epoch1"))
+
+    t2 = DarknetTrainer("yolov3-tiny", epochs=1, batch_size=3,
+                        resolution=160, lr=1e-3, out_dir=out, mesh=None,
+                        max_boxes=8)
+    t2.restore(os.path.join(out, "preempt"))
+    assert int(t2.state.step) == 1
+    np.testing.assert_allclose(
+        np.asarray(t2.state.params["node_0"]["w"]),
+        np.asarray(trainer.state.params["node_0"]["w"]), rtol=0)
+    t2.train(ann, imgs, dataset_type="COCO", verbose=False)
+    assert int(t2.state.step) == 3  # one more epoch of 2 batches
+
+
+def test_preempt_sigterm_sets_flag(tmp_path):
+    """The installed SIGTERM handler routes to request_preempt (no work
+    in signal context) and the previous handler is restored after
+    train() exits."""
+    import signal
+    from realtimeobjectdetection_tpu.train.trainer import DarknetTrainer
+    ann, imgs = make_synthetic_coco(tmp_path, n_images=2)
+    trainer = DarknetTrainer("yolov3-tiny", epochs=1, batch_size=2,
+                             resolution=160, out_dir=str(tmp_path / "w"),
+                             mesh=None, max_boxes=8)
+    before = signal.getsignal(signal.SIGTERM)
+    restore = trainer._install_preempt()
+    try:
+        assert not trainer._preempted
+        os.kill(os.getpid(), signal.SIGTERM)
+        # the handler runs in the main thread at the next bytecode
+        # boundary; touching any Python suffices
+        assert trainer._preempted
+    finally:
+        restore()
+    assert signal.getsignal(signal.SIGTERM) is before

@@ -503,3 +503,26 @@ def test_decode_v5_topk_approx_high_recall():
     if want:
         recall = len(want & got) / len(want)
         assert recall >= 0.95, recall
+
+
+def test_s2d_stem_exact():
+    """make_yolov5_forward(s2d_stem=True) rewrites the 6x6/2 stem as a
+    3x3/1 conv over the 2x2 space-to-depth input — an algebraic
+    identity (models/yolov5._stem_s2d), so fp32 heads must match the
+    plain forward to summation-order tolerance, in both the folded
+    serving layout and the batch-stats training layout."""
+    cfg = YoloV5Config("n")
+    x = jnp.asarray(np.random.RandomState(7).rand(2, 128, 128, 3),
+                    jnp.float32)
+    for bn, layout in (("fold", False), ("batch", True)):
+        params = init_yolov5_params(cfg, 0, batch_norm=layout)
+        base = jax.jit(make_yolov5_forward(
+            cfg, compute_dtype=jnp.float32, bn_mode=bn))
+        s2d = jax.jit(make_yolov5_forward(
+            cfg, compute_dtype=jnp.float32, bn_mode=bn, s2d_stem=True))
+        for ha, hb in zip(base(params, x), s2d(params, x)):
+            # batch-BN divides by the batch std, amplifying the stem's
+            # summation-order noise; measured absmax 8.5e-5 on ~10-mag
+            # normalized heads (CPU fp32), 1.1e-7 on the folded layout.
+            np.testing.assert_allclose(np.asarray(ha), np.asarray(hb),
+                                       rtol=1e-4, atol=5e-4)
