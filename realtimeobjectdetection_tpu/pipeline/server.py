@@ -12,7 +12,11 @@ server.  This one is stdlib-only (http.server + threads):
   frame in order; frames are fed to the micro-batcher as they arrive,
   so consecutive frames share device batches (video-over-HTTP without
   one round-trip per frame);
-* ``GET /healthz`` -> liveness + model info;
+* ``GET /healthz`` -> liveness + model info; ``GET /readyz`` ->
+  readiness (503 until the jitted program is compiled and warm);
+* ``GET /metrics`` -> Prometheus text exposition (request/error/batch
+  counters, sliding-window latency quantiles, batch occupancy — see
+  :class:`ServiceStats`);
 * a micro-batcher thread collects concurrent requests into one
   fixed-shape device batch (up to ``batch_size`` within
   ``batch_window_ms``), so throughput under load approaches the
@@ -47,7 +51,82 @@ from ..ops.decode import decode_heads
 from ..ops.letterbox import prep_image_host_u8, unletterbox_boxes
 from ..ops.nms import nms_batch
 
-__all__ = ["DetectionService", "DetectionServiceV5", "serve"]
+__all__ = ["DetectionService", "DetectionServiceV5", "ServiceStats",
+           "serve"]
+
+
+class ServiceStats:
+    """Rolling serving metrics behind ``GET /metrics`` (Prometheus text
+    exposition 0.0.4, no client-library dependency).
+
+    Counters are monotonic; latency quantiles are a summary over a
+    sliding window of the last ``window`` requests (adequate for a
+    single-process server; a multi-replica deployment would aggregate
+    the counters and scrape-side histograms instead).  Beyond the
+    reference, which prints per-image wall time only
+    (/root/reference/detect.py:141-142)."""
+
+    def __init__(self, window: int = 1024):
+        import collections
+        self._lock = threading.Lock()
+        self.requests_total = 0
+        self.errors_total = 0
+        self.batches_total = 0
+        self.images_total = 0
+        self.latency_sum = 0.0
+        self._window = collections.deque(maxlen=window)
+
+    def record_request(self, latency_s: float) -> None:
+        with self._lock:
+            self.requests_total += 1
+            self.latency_sum += float(latency_s)
+            self._window.append(float(latency_s))
+
+    def record_error(self) -> None:
+        with self._lock:
+            self.errors_total += 1
+
+    def record_batch(self, n_images: int) -> None:
+        with self._lock:
+            self.batches_total += 1
+            self.images_total += int(n_images)
+
+    def render(self, info: Optional[Dict] = None) -> str:
+        with self._lock:
+            lat = sorted(self._window)
+            occupancy = (self.images_total / self.batches_total
+                         if self.batches_total else float("nan"))
+            lines = [
+                "# HELP detector_requests_total detect requests served",
+                "# TYPE detector_requests_total counter",
+                f"detector_requests_total {self.requests_total}",
+                "# HELP detector_errors_total failed detect requests",
+                "# TYPE detector_errors_total counter",
+                f"detector_errors_total {self.errors_total}",
+                "# HELP detector_batches_total device batches dispatched",
+                "# TYPE detector_batches_total counter",
+                f"detector_batches_total {self.batches_total}",
+                "# HELP detector_batch_occupancy mean images per device "
+                "batch (batch_size is the ceiling)",
+                "# TYPE detector_batch_occupancy gauge",
+                f"detector_batch_occupancy {occupancy}",
+                "# HELP detector_request_latency_seconds request latency"
+                " (sliding-window summary)",
+                "# TYPE detector_request_latency_seconds summary",
+            ]
+            for p in (0.5, 0.9, 0.99):
+                v = (lat[min(len(lat) - 1, int(p * len(lat)))]
+                     if lat else float("nan"))
+                lines.append("detector_request_latency_seconds"
+                             f'{{quantile="{p}"}} {v:.6f}')
+            lines.append("detector_request_latency_seconds_sum "
+                         f"{self.latency_sum:.6f}")
+            lines.append("detector_request_latency_seconds_count "
+                         f"{self.requests_total}")
+            for k, v in (info or {}).items():
+                if isinstance(v, (int, float)) and not isinstance(v, bool):
+                    lines.append(f'detector_info{{field="{k}"}} {v}')
+            return "\n".join(lines) + "\n"
 
 
 class DetectionService:
@@ -121,6 +200,7 @@ class DetectionService:
 
     def _start_worker(self):
         self.ready = False
+        self.stats = ServiceStats()
         self._q: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
         self._worker = threading.Thread(target=self._batch_loop,
@@ -166,6 +246,7 @@ class DetectionService:
                               self.resolution, 3), np.uint8)
             for j, (canvas, _, _) in enumerate(items):
                 batch[j] = canvas
+            self.stats.record_batch(len(items))
             try:
                 boxes, valid = self._detect(self.params, jnp.asarray(batch))
                 boxes = np.asarray(boxes)
@@ -334,10 +415,19 @@ def _make_handler(service: DetectionService):
                 else:
                     self._json(503, {"ready": False,
                                      "reason": "model warming up"})
+            elif self.path == "/metrics":
+                body = service.stats.render(service.describe()).encode()
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._json(404, {"error": "unknown path"})
 
         def _rows_payload(self, rows, t0):
+            service.stats.record_request(time.time() - t0)
             return {
                 "boxes": rows.tolist(),
                 "class_names": [service.classes[int(r[service.cls_col])]
@@ -398,15 +488,18 @@ def _make_handler(service: DetectionService):
         def _drain_one(self, pending, emit):
             result, t0 = pending.pop(0)
             if result is None:
+                service.stats.record_error()
                 emit({"error": "undecodable image"})
                 return
             if isinstance(result, str):
+                service.stats.record_error()
                 emit({"error": result})
                 return
             try:
                 rows = service.collect(result)
                 emit(self._rows_payload(rows, t0))
             except BaseException as e:
+                service.stats.record_error()
                 emit({"error": repr(e)})
 
         def do_POST(self):
@@ -424,12 +517,14 @@ def _make_handler(service: DetectionService):
             img = cv2.imdecode(np.frombuffer(data, np.uint8),
                                cv2.IMREAD_COLOR)
             if img is None:
+                service.stats.record_error()
                 self._json(400, {"error": "undecodable image"})
                 return
             t0 = time.time()
             try:
                 rows = service.detect_image(img)
             except BaseException as e:
+                service.stats.record_error()
                 self._json(500, {"error": repr(e)})
                 return
             self._json(200, self._rows_payload(rows, t0))

@@ -357,3 +357,42 @@ def test_detect_stream_trailing_bytes_keepalive(server):
     assert resp2.status == 200
     assert json.loads(resp2.read())["status"] == "ok"
     conn.close()
+
+
+def test_metrics_endpoint(server):
+    """GET /metrics: Prometheus text exposition with monotonic request/
+    error counters, sliding-window latency quantiles, and batch
+    occupancy — after a success and a forced error the counters must
+    reflect both."""
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 255, (100, 120, 3), np.uint8)
+    ok, jpg = cv2.imencode(".jpg", img)
+    assert ok
+    status, _ = _request(server, "POST", "/detect", bytes(jpg))
+    assert status == 200
+    status, _ = _request(server, "POST", "/detect", b"not-an-image")
+    assert status == 400
+
+    conn = http.client.HTTPConnection(server[0], server[1], timeout=60)
+    conn.request("GET", "/metrics")
+    resp = conn.getresponse()
+    assert resp.status == 200
+    assert resp.getheader("Content-Type").startswith("text/plain")
+    text = resp.read().decode()
+    conn.close()
+
+    metrics = {}
+    for line in text.splitlines():
+        if line.startswith("#") or not line.strip():
+            continue
+        name, val = line.rsplit(" ", 1)
+        metrics[name] = float(val)
+    assert metrics["detector_requests_total"] >= 1
+    assert metrics["detector_errors_total"] >= 1
+    assert metrics["detector_batches_total"] >= 1
+    assert 1.0 <= metrics["detector_batch_occupancy"] <= 4.0
+    q50 = metrics['detector_request_latency_seconds{quantile="0.5"}']
+    assert 0.0 < q50 < 60.0
+    assert (metrics["detector_request_latency_seconds_count"]
+            == metrics["detector_requests_total"])
+    assert metrics['detector_info{field="resolution"}'] == 160.0
