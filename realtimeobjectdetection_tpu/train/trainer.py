@@ -52,6 +52,21 @@ from .step import (EmaTrainState, init_train_state,
 __all__ = ["DarknetTrainer"]
 
 
+def append_history_jsonl(out_dir: str, record: Dict) -> None:
+    """Append one epoch record to ``<out_dir>/history.jsonl``.
+
+    Streaming observability beyond the reference's end-of-run matplotlib
+    PNGs (train.py:360-374): every epoch lands one JSON line (epoch,
+    loss, validator metrics when present, wall seconds) the moment it
+    finishes, so dashboards / `tail -f` see progress live and a
+    preempted run keeps its history."""
+    import json
+    record = {k: (None if isinstance(v, float) and np.isnan(v) else v)
+              for k, v in record.items()}  # NaN is not valid JSON
+    with open(os.path.join(out_dir, "history.jsonl"), "a") as f:
+        f.write(json.dumps(record) + "\n")
+
+
 class DarknetTrainer(PreemptSupport):
     def __init__(self, cfg_path: str, weights_path: Optional[str] = None,
                  epochs: int = 10, batch_size: int = 16,
@@ -412,6 +427,15 @@ class DarknetTrainer(PreemptSupport):
                     self.save("checkpoint")
 
             self.history["train_loss"].append(running_loss / batch_num)
+            rec = {"epoch": epoch, "loss": running_loss / batch_num,
+                   "wall_s": round(time.time() - t_start, 2)}
+            if self.validator is not None:
+                rec.update(precision=self.validator.precision,
+                           recall=self.validator.recall,
+                           f_score=self.validator.f_score)
+            if self.history.get("train_map50"):
+                rec["map50"] = self.history["train_map50"][-1]
+            append_history_jsonl(self.out_dir, rec)
             if verbose:
                 print(f"\n\tAverage Epoch Loss: {running_loss / data_num}")
                 self.epoch_eta(t_start, time.time(), self.epochs - epoch)

@@ -547,6 +547,12 @@ class TrainerV5(PreemptSupport):
                 best = metric
                 self.save("checkpoint")
             self.history["train_loss"].append(running / batch_num)
+            from .trainer import append_history_jsonl
+            rec = {"epoch": epoch, "loss": running / batch_num,
+                   "wall_s": round(time.time() - t0, 2)}
+            if self.history.get("train_map50"):
+                rec["map50"] = self.history["train_map50"][-1]
+            append_history_jsonl(self.out_dir, rec)
             if verbose:
                 print(f"\n\tAverage Epoch Loss: {running / batch_num}")
                 DarknetTrainer.epoch_eta(t0, time.time(),

@@ -580,3 +580,22 @@ def test_preempt_sigterm_sets_flag(tmp_path):
     finally:
         restore()
     assert signal.getsignal(signal.SIGTERM) is before
+
+
+def test_history_jsonl_streaming(tmp_path):
+    """Every finished epoch appends one JSON line to
+    weights/history.jsonl (live observability; NaN metrics serialize as
+    null) — both trainer families."""
+    import json
+    from realtimeobjectdetection_tpu.train.trainer import DarknetTrainer
+    ann, imgs = make_synthetic_coco(tmp_path, n_images=4)
+    out = str(tmp_path / "weights")
+    trainer = DarknetTrainer("yolov3-tiny", epochs=2, batch_size=2,
+                             resolution=160, lr=1e-3, out_dir=out,
+                             mesh=None, max_boxes=8)
+    trainer.train(ann, imgs, dataset_type="COCO", verbose=False)
+    lines = [json.loads(l) for l in
+             open(os.path.join(out, "history.jsonl"))]
+    assert [l["epoch"] for l in lines] == [1, 2]
+    for l in lines:
+        assert np.isfinite(l["loss"]) and l["wall_s"] >= 0
