@@ -423,9 +423,10 @@ def serve_arg_parser() -> argparse.ArgumentParser:
                         "programs on N devices (parallel/pipeline.py)")
     p.add_argument("--approx_topk", action="store_true",
                    help="approx_max_k candidate selection, both "
-                        "families (+4%% fps measured each side, recall "
-                        ">= 0.95 of >threshold rows — changes results; "
-                        "exact sort is the default)")
+                        "families (+4-5%% fps on v5; a wash on v3 at "
+                        "416² — see PERFORMANCE.md; recall >= 0.95 of "
+                        ">threshold rows — changes results; exact sort "
+                        "is the default)")
     return p
 
 

@@ -28,6 +28,11 @@ def main():
     ap.add_argument("--reso", type=int, default=640)
     ap.add_argument("--rounds", type=int, default=3)
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--depth", type=int, default=3,
+                    help="batches in flight; serial (1) windows are "
+                         "tunnel-RPC-dominated and bury few-ms device "
+                         "deltas, so default to the pipelined steady "
+                         "state the canonical numbers use")
     args = ap.parse_args()
 
     import jax
@@ -69,14 +74,23 @@ def main():
         print(f"{name}: compile+first {time.time() - t0:.1f}s", flush=True)
 
     best = {k: 1e9 for k in variants}
+    d = max(1, args.depth)
     for r in range(args.rounds):
         for name, f in variants.items():
             for _ in range(args.iters):
                 t0 = time.time()
-                np.asarray(f(params, x)[0])
-                best[name] = min(best[name], time.time() - t0)
+                inflight = [f(params, x) for _ in range(d)]
+                n = 0
+                for _ in range(d * 2):
+                    np.asarray(inflight.pop(0)[0])
+                    n += 1
+                    inflight.append(f(params, x))
+                for rres in inflight:
+                    np.asarray(rres[0])
+                    n += 1
+                best[name] = min(best[name], (time.time() - t0) / n)
     for name, t in best.items():
-        print(f"yolov5{args.size} bs={args.bs} {name}: "
+        print(f"yolov5{args.size} bs={args.bs} pipe{d} {name}: "
               f"{t * 1000:.1f} ms/batch = {args.bs / t:.0f} fps", flush=True)
     return 0
 
