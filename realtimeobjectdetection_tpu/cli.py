@@ -219,6 +219,13 @@ def train_arg_parser() -> argparse.ArgumentParser:
                    help="tensor-parallel degree: adds a 'model' mesh "
                         "axis (conv kernels channel-sharded, Adam state "
                         "ZeRO-sharded); devices = dp * tp")
+    p.add_argument("--accum", dest="accum_steps", default=1, type=int,
+                   help="in-graph gradient accumulation: split the "
+                        "batch into N microbatches inside one jitted "
+                        "step (lax.scan), peak activation memory "
+                        "batch/N, one optimizer update (both families; "
+                        "v5 follows ultralytics nominal-batch "
+                        "accumulation semantics)")
     return p
 
 
@@ -241,7 +248,8 @@ def train_cli(argv=None):
                        lr_schedule="cosine" if a.cosine_lr else "constant",
                        compute_dtype=jnp.bfloat16 if a.bf16
                        else jnp.float32,
-                       tensor_parallel=a.tensor_parallel)
+                       tensor_parallel=a.tensor_parallel,
+                       accum_steps=a.accum_steps)
         tr.train(a.xml, a.images, dataset_type=a.dataset)
         return 0
     trainer_params = {
@@ -251,6 +259,7 @@ def train_cli(argv=None):
         "confidence": a.conf, "resume": a.resume,
         "ema_decay": a.ema_decay, "best_on": a.best_on,
         "augment": a.augment, "tensor_parallel": a.tensor_parallel,
+        "accum_steps": a.accum_steps,
     }
     train_params = {"annotation_dir": a.xml, "img_dir": a.images,
                     "dataset_type": a.dataset}

@@ -92,7 +92,8 @@ def make_train_step(spec: GraphSpec, optimizer, resolution: int = 416,
                     input_resolution: Optional[int] = None,
                     ema_decay: Optional[float] = None,
                     scan_ladders: bool = True,
-                    scan_remat: bool = True):
+                    scan_remat: bool = True,
+                    accum_steps: int = 1):
     """Build ``step(state, images, boxes, box_mask) -> (state, loss)``.
 
     ``images``: [B, H, W, 3]; ``boxes``: [B, M, 5+C] padded gt rows;
@@ -104,6 +105,23 @@ def make_train_step(spec: GraphSpec, optimizer, resolution: int = 416,
     multi-scale training mode (darknet ``random=1``, which the reference
     parses but ignores): the loader stays fixed-shape at the base
     resolution and the device handles the scale jitter.
+
+    ``accum_steps=k``: in-graph gradient accumulation — the batch is
+    split into k microbatches and a ``lax.scan`` runs forward+backward
+    per microbatch (each scan iteration differentiates only its own
+    microbatch, so peak activation memory is that of B/k images),
+    summing gradients into one optimizer update.  BN batch statistics
+    are computed per microbatch — exactly what a k-step torch
+    accumulation loop sees, and the one place the result differs from
+    the full-batch step (the sum-MSE loss itself is additive over
+    rows).  Equality is pinned with identical microbatch halves (which
+    make per-microbatch and full-batch BN stats coincide): the accum
+    step then reproduces the plain step exactly, and the k sequential
+    running-stat updates follow the closed-form EMA
+    (tests/test_train_targets.py::test_train_step_accum_semantics).
+    This is the single-device route to the reference-scale effective
+    batch when B doesn't fit — the in-graph analog of ultralytics'
+    nominal-batch accumulation.
     """
     # scan_ladders (default on): rolls the residual ladders into
     # lax.scan with the batch statistics riding out as stacked ys —
@@ -145,23 +163,51 @@ def make_train_step(spec: GraphSpec, optimizer, resolution: int = 416,
             reference_bug_wh_iou=reference_bug_wh_iou,
             parity_swap_xy=parity_swap_xy)
 
-        def loss_fn(params):
-            heads, stats = fwd(params, images)
+        def loss_fn(params, images_, targets_, obj_mask_):
+            heads, stats = fwd(params, images_)
             pred = decode_heads(heads, spec, resolution, train=True)
-            return yolo_loss(pred, targets, obj_mask), stats
+            return yolo_loss(pred, targets_, obj_mask_), stats
 
-        (loss, stats), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+        b, h, w = images.shape[0], images.shape[1], images.shape[2]
+        if accum_steps > 1:
+            k = accum_steps
+            assert b % k == 0, (b, k)
+            mb = b // k
+
+            def micro(g_acc, inp):
+                im, tg, om = inp
+                (l, st), g = jax.value_and_grad(
+                    loss_fn, has_aux=True)(state.params, im, tg, om)
+                return jax.tree_util.tree_map(jnp.add, g_acc, g), (l, st)
+
+            g0 = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            grads, (losses, stats_stack) = jax.lax.scan(
+                micro, g0,
+                (images.reshape(k, mb, h, w, images.shape[3]),
+                 targets.reshape(k, mb, *targets.shape[1:]),
+                 obj_mask.reshape(k, mb, obj_mask.shape[1])))
+            loss = losses.sum()
+        else:
+            (loss, stats), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params, images, targets,
+                                       obj_mask)
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
         params = optax.apply_updates(state.params, updates)
         if update_bn_stats:
-            b, h, w = images.shape[0], images.shape[1], images.shape[2]
             # note: per-conv spatial dims differ; the unbias factor uses
             # the input-resolution count as torch does per layer — with
             # n ~ 1e4..1e6 the correction is negligible, so one factor
             # per net is an accepted approximation (documented)
-            params = _update_running_stats(params, stats, b * h * w)
+            if accum_steps > 1:
+                for i in range(accum_steps):  # k sequential EMA updates
+                    params = _update_running_stats(
+                        params,
+                        {key: (m[i], v[i])
+                         for key, (m, v) in stats_stack.items()},
+                        (b // accum_steps) * h * w)
+            else:
+                params = _update_running_stats(params, stats, b * h * w)
         if ema_decay is not None:
             # debias-free EMA over the full params tree (incl. BN stats)
             ema = jax.tree_util.tree_map(

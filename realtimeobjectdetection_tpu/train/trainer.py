@@ -85,7 +85,8 @@ class DarknetTrainer(PreemptSupport):
                  ema_decay: Optional[float] = None,
                  donate: bool = True,
                  best_on: str = "auto",
-                 tensor_parallel: int = 1):
+                 tensor_parallel: int = 1,
+                 accum_steps: int = 1):
         assert isinstance(epochs, int) and isinstance(batch_size, int)
         assert resolution % 32 == 0
         self.cfg_path = cfg_path
@@ -127,10 +128,16 @@ class DarknetTrainer(PreemptSupport):
         self.ema_decay = ema_decay
         assert best_on in ("auto", "f_score", "loss", "map")
         self.best_on = best_on
+        # accum_steps: in-graph gradient accumulation (lax.scan over
+        # microbatches) — B/accum_steps peak activation memory, one
+        # optimizer update; see make_train_step(accum_steps=...)
+        assert batch_size % max(accum_steps, 1) == 0, \
+            (batch_size, accum_steps)
         self._step_kwargs = dict(
             class_filter=class_filter, compute_dtype=compute_dtype,
             remat=remat, augment=augment, aug_seed=seed,
-            input_resolution=self.resolution, ema_decay=ema_decay)
+            input_resolution=self.resolution, ema_decay=ema_decay,
+            accum_steps=max(accum_steps, 1))
         self.step_fn = make_train_step(
             self.spec, self.optimizer, resolution=self.resolution,
             **self._step_kwargs)

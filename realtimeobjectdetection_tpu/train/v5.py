@@ -242,7 +242,8 @@ def make_train_step_v5(cfg: YoloV5Config, optimizer,
                        augment: bool = False, aug_seed: int = 0,
                        aug_kwargs: Optional[Dict] = None,
                        mosaic: bool = False,
-                       input_resolution: Optional[int] = None):
+                       input_resolution: Optional[int] = None,
+                       accum_steps: int = 1):
     """Build ``step(state, images, boxes, box_mask) -> (state, loss)``
     for the native v5 graph — same contract as train/step.py's darknet
     step, so ``parallel.mesh.shard_train_step`` shards it unchanged.
@@ -258,6 +259,14 @@ def make_train_step_v5(cfg: YoloV5Config, optimizer,
     is bilinearly rescaled in-graph with the boxes scaled to match —
     the multi-scale training mode shared with the darknet step (loader
     stays fixed-shape at the base resolution).
+    ``accum_steps=k``: in-graph gradient accumulation (lax.scan over k
+    microbatches, peak activation memory B/k, one optimizer update).
+    The v5 loss normalizes by the microbatch's matched-anchor count, so
+    summing per-microbatch gradients IS ultralytics' nominal-batch
+    accumulation semantics (utils/torch_utils accumulate; same contract
+    as PipelinedTrainStepV5's microbatching) — not bitwise full-batch
+    equality.  BN batch stats are per microbatch, running stats apply
+    the k updates in order.
     """
     fwd = make_yolov5_forward(cfg, compute_dtype=compute_dtype,
                               bn_mode="batch", return_stats=True)
@@ -284,20 +293,48 @@ def make_train_step_v5(cfg: YoloV5Config, optimizer,
             images, boxes = augment_batch(key, images, boxes,
                                           **(aug_kwargs or {}))
 
-        def loss_fn(params):
-            heads, stats = fwd(params, images)
-            loss, _parts = yolo_loss_v5(heads, boxes, box_mask, nc,
-                                       resolution)
+        def loss_fn(params, images_, boxes_, mask_):
+            heads, stats = fwd(params, images_)
+            loss, _parts = yolo_loss_v5(heads, boxes_, mask_, nc,
+                                        resolution)
             return loss, stats
 
-        (loss, stats), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+        bsz, h, w = images.shape[0], images.shape[1], images.shape[2]
+        if accum_steps > 1:
+            k = accum_steps
+            assert bsz % k == 0, (bsz, k)
+            mb = bsz // k
+
+            def micro(g_acc, inp):
+                im, bx, om = inp
+                (l, st), g = jax.value_and_grad(
+                    loss_fn, has_aux=True)(state.params, im, bx, om)
+                return jax.tree_util.tree_map(jnp.add, g_acc, g), (l, st)
+
+            g0 = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            grads, (losses, stats_stack) = jax.lax.scan(
+                micro, g0,
+                (images.reshape(k, mb, h, w, images.shape[3]),
+                 boxes.reshape(k, mb, *boxes.shape[1:]),
+                 box_mask.reshape(k, mb, box_mask.shape[1])))
+            loss = losses.sum()
+        else:
+            (loss, stats), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params, images, boxes,
+                                       box_mask)
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
         params = optax.apply_updates(state.params, updates)
         if update_bn_stats:
-            bsz, h, w = images.shape[0], images.shape[1], images.shape[2]
-            params = update_running_stats_v5(params, stats, bsz * h * w)
+            if accum_steps > 1:
+                for i in range(accum_steps):  # k sequential EMA updates
+                    params = update_running_stats_v5(
+                        params,
+                        jax.tree_util.tree_map(lambda s: s[i],
+                                               stats_stack),
+                        (bsz // accum_steps) * h * w)
+            else:
+                params = update_running_stats_v5(params, stats, bsz * h * w)
         if ema_decay is not None:
             ema = jax.tree_util.tree_map(
                 lambda e, q: ema_decay * e + (1.0 - ema_decay) * q,
@@ -335,7 +372,8 @@ class TrainerV5(PreemptSupport):
                  warmup_epochs: float = 3.0, lrf: float = 0.01,
                  donate: bool = True,
                  best_on: str = "loss",
-                 tensor_parallel: int = 1):
+                 tensor_parallel: int = 1,
+                 accum_steps: int = 1):
         from ..models.yolov5 import init_yolov5_params
         from ..parallel.mesh import make_mesh, shard_train_step
         assert resolution % 32 == 0
@@ -358,10 +396,12 @@ class TrainerV5(PreemptSupport):
         self._lr_schedule = lr_schedule
         self._warmup_epochs = warmup_epochs
         self._lrf = lrf
+        assert batch_size % max(accum_steps, 1) == 0, \
+            (batch_size, accum_steps)
         self._step_kwargs = dict(
             resolution=self.resolution, compute_dtype=compute_dtype,
             ema_decay=ema_decay, augment=augment, mosaic=mosaic,
-            aug_seed=seed)
+            aug_seed=seed, accum_steps=max(accum_steps, 1))
         self._spatial = spatial
         self._donate = donate
 

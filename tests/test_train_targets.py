@@ -174,3 +174,59 @@ def test_voc_pipeline_matches_reference_golden(tmp_path):
     np.testing.assert_array_equal(np.asarray(mask), d["obj_mask"])
     np.testing.assert_allclose(np.asarray(target), d["target"],
                                rtol=1e-5, atol=1e-5)
+
+
+def test_train_step_accum_semantics():
+    """make_train_step(accum_steps=2): with two IDENTICAL microbatch
+    halves the per-microbatch BN stats equal the full-batch stats, so
+    (a) with running-stat updates off, the accumulated update must
+    reproduce the plain full-batch step exactly (sum-MSE is additive;
+    SGD so the update is linear in the grads — Adam's rsqrt flips the
+    update sign on near-zero grads under float reordering);
+    (b) with updates on, the k sequential running-mean updates follow
+    the closed-form EMA: mean_accum = (2 - m) * mean_plain from zero
+    init (m = BN momentum 0.1)."""
+    from realtimeobjectdetection_tpu.train.step import BN_MOMENTUM
+    spec = get_spec("yolov3-tiny", width=96, height=96)
+    params = init_params(spec, 0)
+    opt = optax.adam(1e-3)
+
+    rng = np.random.RandomState(0)
+    half_img = rng.rand(2, 96, 96, 3).astype(np.float32)
+    images = jnp.asarray(np.concatenate([half_img, half_img], 0))
+    half_box = np.zeros((2, 3, 85), np.float32)
+    half_box[:, :, 0:2] = rng.uniform(30, 66, (2, 3, 2))
+    half_box[:, :, 2:4] = rng.uniform(30, 50, (2, 3, 2))
+    half_box[:, :, 4:6] = 1.0
+    boxes = jnp.asarray(np.concatenate([half_box, half_box], 0))
+    mask = jnp.ones((4, 3), bool)
+
+    # (a) exact equality, stats updates off, linear optimizer
+    sgd = optax.sgd(1e-3)
+    s0_sgd = init_train_state(params, sgd)
+    plain = jax.jit(make_train_step(spec, sgd, resolution=96,
+                                    update_bn_stats=False))
+    accum = jax.jit(make_train_step(spec, sgd, resolution=96,
+                                    update_bn_stats=False, accum_steps=2))
+    sp, lp = plain(s0_sgd, images, boxes, mask)
+    sa, la = accum(s0_sgd, images, boxes, mask)
+    np.testing.assert_allclose(float(la), float(lp), rtol=1e-6)
+    for k in sp.params:
+        for kk in sp.params[k]:
+            # half-grad sums reorder float additions: <= ~1e-6 abs
+            # wiggle on a handful of elements (measured 7e-7 max)
+            np.testing.assert_allclose(
+                np.asarray(sa.params[k][kk]), np.asarray(sp.params[k][kk]),
+                rtol=1e-5, atol=2e-6, err_msg=f"{k}/{kk}")
+
+    # (b) sequential running-stat updates, zero-init mean
+    s0 = init_train_state(params, opt)
+    plain_s = jax.jit(make_train_step(spec, opt, resolution=96))
+    accum_s = jax.jit(make_train_step(spec, opt, resolution=96,
+                                      accum_steps=2))
+    sp2, _ = plain_s(s0, images, boxes, mask)
+    sa2, _ = accum_s(s0, images, boxes, mask)
+    mp = np.asarray(sp2.params["node_0"]["bn_mean"])
+    ma = np.asarray(sa2.params["node_0"]["bn_mean"])
+    np.testing.assert_allclose(ma, (2.0 - BN_MOMENTUM) * mp,
+                               rtol=1e-5, atol=1e-7)

@@ -433,3 +433,60 @@ def test_trainer_v5_preempt(tmp_path):
                     lr=1e-3, out_dir=out, max_boxes=8, mesh=False)
     tr2.restore(os.path.join(out, "preempt"))
     assert int(tr2.state.step) == 1
+
+
+def test_v5_step_accum_matches_manual_sum():
+    """make_train_step_v5(accum_steps=2) == manually accumulating the
+    two microbatch halves (per-half batch-stats forward, summed grads,
+    one update) — ultralytics gradient-accumulation semantics; SGD so
+    the update is linear in the grads.  Loss is the sum of the two
+    per-microbatch normalized losses."""
+    cfg = YoloV5Config("n")
+    reso = 64
+    params = init_yolov5_params(cfg, 0, batch_norm=True)
+    sgd = optax.sgd(1e-3)
+    step = jax.jit(make_train_step_v5(cfg, sgd, resolution=reso,
+                                      update_bn_stats=False,
+                                      accum_steps=2))
+    fwd = make_yolov5_forward(cfg, compute_dtype=jnp.float32,
+                              bn_mode="batch", return_stats=True)
+
+    @jax.jit
+    def micro(p, im, bx, om):
+        def lf(pp):
+            heads, _ = fwd(pp, im)
+            total, _ = yolo_loss_v5(heads, bx, om, 80, reso)
+            return total
+        return jax.value_and_grad(lf)(p)
+
+    rng = np.random.RandomState(1)
+    images = jnp.asarray(rng.rand(4, reso, reso, 3), jnp.float32)
+    boxes, mask = _gt(batch=4, m=6)
+    boxes[:, :2, 0:2] = rng.uniform(16, 48, (4, 2, 2))
+    boxes[:, :2, 2:4] = rng.uniform(10, 30, (4, 2, 2))
+    boxes[:, :2, 4] = boxes[:, :2, 5] = 1.0
+    mask[:, :2] = True
+    boxes, mask = jnp.asarray(boxes), jnp.asarray(mask)
+
+    state = init_train_state(params, sgd)
+    s1, loss = step(state, images, boxes, mask)
+
+    total, g_acc = 0.0, None
+    for m in range(2):
+        sl = slice(2 * m, 2 * (m + 1))
+        l_m, g_m = micro(params, images[sl], boxes[sl], mask[sl])
+        total = total + l_m
+        g_acc = g_m if g_acc is None else jax.tree_util.tree_map(
+            jnp.add, g_acc, g_m)
+    u, _ = sgd.update(g_acc, sgd.init(params), params)
+    ref_p = optax.apply_updates(params, u)
+    np.testing.assert_allclose(float(loss), float(total), rtol=1e-6)
+    ref_leaves = jax.tree_util.tree_leaves_with_path(ref_p)
+    got_flat = {jax.tree_util.keystr(k): v for k, v in
+                jax.tree_util.tree_leaves_with_path(s1.params)}
+    assert len(ref_leaves) == len(got_flat)
+    for k, v in ref_leaves:
+        np.testing.assert_allclose(
+            np.asarray(got_flat[jax.tree_util.keystr(k)]),
+            np.asarray(v), rtol=1e-5, atol=2e-6,
+            err_msg=jax.tree_util.keystr(k))
