@@ -28,6 +28,10 @@ def main():
                     choices=["float32", "bfloat16"])
     ap.add_argument("--variants", nargs="+", default=["rolled"],
                     choices=["rolled", "unrolled", "rolled_noremat"])
+    ap.add_argument("--accum", type=int, nargs="+", default=[],
+                    help="extra accum_steps=k variants (in-graph "
+                         "gradient accumulation) to interleave against "
+                         "the rolled step")
     ap.add_argument("--rounds", type=int, default=3)
     ap.add_argument("--iters", type=int, default=3)
     args = ap.parse_args()
@@ -60,6 +64,10 @@ def main():
             spec, opt, resolution=reso, compute_dtype=dtype,
             scan_ladders=v.startswith("rolled"),
             scan_remat=(v == "rolled")))
+    for k in args.accum:
+        variants[f"accum{k}"] = jax.jit(make_train_step(
+            spec, opt, resolution=reso, compute_dtype=dtype,
+            accum_steps=k))
 
     rng = np.random.RandomState(0)
     for bs in args.bs:
@@ -84,16 +92,25 @@ def main():
             float(loss)
             float(jax.tree_util.tree_leaves(s2.params)[0].ravel()[0])
 
+        dead = set()
         for name, f in variants.items():
             t0 = time.time()
-            s2, loss = f(state, images, boxes, mask)
-            sync(s2, loss)
+            try:
+                s2, loss = f(state, images, boxes, mask)
+                sync(s2, loss)
+            except Exception as e:  # e.g. RESOURCE_EXHAUSTED at large bs
+                dead.add(name)
+                print(f"bs={bs} {name}: FAILED {type(e).__name__}: "
+                      f"{str(e)[:160]}", flush=True)
+                continue
             print(f"bs={bs} {name}: compile+first {time.time() - t0:.1f}s "
                   f"loss={float(loss):.2f}", flush=True)
 
-        best = {k: 1e9 for k in variants}
+        best = {k: 1e9 for k in variants if k not in dead}
         for _ in range(args.rounds):
             for name, f in variants.items():
+                if name in dead:
+                    continue
                 for _ in range(args.iters):
                     t0 = time.time()
                     sync(*f(state, images, boxes, mask))
