@@ -230,3 +230,31 @@ def test_train_step_accum_semantics():
     ma = np.asarray(sa2.params["node_0"]["bn_mean"])
     np.testing.assert_allclose(ma, (2.0 - BN_MOMENTUM) * mp,
                                rtol=1e-5, atol=1e-7)
+
+
+def test_train_step_accum_shards_over_mesh(cpu_devices):
+    """accum_steps composes with the DP mesh: the in-graph [B] ->
+    [k, B/k] reshape partitions under GSPMD (microbatch dim unsharded,
+    batch shards within each microbatch); loss finite, params move."""
+    from realtimeobjectdetection_tpu.parallel.mesh import (make_mesh,
+                                                           shard_train_step)
+    spec = get_spec("yolov3-tiny", width=96, height=96)
+    params = init_params(spec, 0)
+    opt = optax.adam(1e-3)
+    step = make_train_step(spec, opt, resolution=96, accum_steps=2)
+    mesh = make_mesh(8, data=4, space=2)
+    sharded = shard_train_step(step, mesh, spatial=True)
+
+    state = init_train_state(params, opt)
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(8, 96, 96, 3), jnp.float32)
+    boxes = np.zeros((8, 4, 85), np.float32)
+    boxes[:, :, 0:4] = rng.uniform(20, 76, (8, 4, 4))
+    boxes[:, :, 4:6] = 1.0
+    mask = np.ones((8, 4), bool)
+    with mesh:
+        s2, loss = sharded(state, images, jnp.asarray(boxes),
+                           jnp.asarray(mask))
+    assert np.isfinite(float(loss))
+    w0 = np.asarray(params["node_0"]["w"])
+    assert np.abs(np.asarray(s2.params["node_0"]["w"]) - w0).max() > 0
