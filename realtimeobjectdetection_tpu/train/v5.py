@@ -373,7 +373,11 @@ class TrainerV5(PreemptSupport):
                  donate: bool = True,
                  best_on: str = "loss",
                  tensor_parallel: int = 1,
-                 accum_steps: int = 1):
+                 accum_steps: int = 1,
+                 multiscale: bool = False,
+                 multiscale_scales=(512, 640, 768),
+                 multiscale_every: int = 10,
+                 prewarm: bool = True):
         from ..models.yolov5 import init_yolov5_params
         from ..parallel.mesh import make_mesh, shard_train_step
         assert resolution % 32 == 0
@@ -399,11 +403,27 @@ class TrainerV5(PreemptSupport):
         assert batch_size % max(accum_steps, 1) == 0, \
             (batch_size, accum_steps)
         self._step_kwargs = dict(
-            resolution=self.resolution, compute_dtype=compute_dtype,
+            compute_dtype=compute_dtype,
             ema_decay=ema_decay, augment=augment, mosaic=mosaic,
-            aug_seed=seed, accum_steps=max(accum_steps, 1))
+            aug_seed=seed, accum_steps=max(accum_steps, 1),
+            input_resolution=self.resolution)
         self._spatial = spatial
         self._donate = donate
+        # multi-scale training, same machinery as DarknetTrainer: the
+        # loader stays fixed-shape at the base resolution, per-scale
+        # jitted steps rescale in-graph; one program per scale, all
+        # prewarmed before epoch 1 (compile economics in trainer.py)
+        self.multiscale = multiscale
+        self.multiscale_every = multiscale_every
+        self.prewarm = prewarm
+        if multiscale:
+            self._scales = sorted(int(r) for r in multiscale_scales)
+            assert all(r % 32 == 0 for r in self._scales), multiscale_scales
+            if self.resolution not in self._scales:
+                self._scales.append(self.resolution)
+        else:
+            self._scales = [self.resolution]
+        self._prewarmed = False
 
         params = init_yolov5_params(self.cfg, seed, batch_norm=True)
         # lr as a (constant) schedule so the opt_state structure stays
@@ -411,7 +431,8 @@ class TrainerV5(PreemptSupport):
         # (optax: scalar lr -> ScaleState, callable -> ScaleByScheduleState)
         self.optimizer = optax.adam(lambda count: lr)
         self.step_fn = make_train_step_v5(
-            self.cfg, self.optimizer, **self._step_kwargs)
+            self.cfg, self.optimizer, resolution=self.resolution,
+            **self._step_kwargs)
         # tensor_parallel=N: 'model' mesh axis (channel-sharded conv
         # kernels + ZeRO-sharded Adam state); incompatible with spatial
         # (parallel/mesh.make_mesh documents the partitioner miscompile)
@@ -444,6 +465,7 @@ class TrainerV5(PreemptSupport):
             from ..parallel.mesh import shard_params
             self.state = shard_params(self.state, self.mesh)
         self.step_jit = self._jit_step(self.step_fn)
+        self._step_cache = {self.resolution: self.step_jit}
         if resume:
             import os
             self.restore(os.path.join(self.out_dir, "training_output"))
@@ -474,9 +496,46 @@ class TrainerV5(PreemptSupport):
                                    lrf=self._lrf)
         self.optimizer = optax.adam(sched)
         self.step_fn = make_train_step_v5(
-            self.cfg, self.optimizer, **self._step_kwargs)
+            self.cfg, self.optimizer, resolution=self.resolution,
+            **self._step_kwargs)
         self.step_jit = self._jit_step(self.step_fn)
+        # the cached per-scale steps hold the old optimizer — drop them
+        self._step_cache = {self.resolution: self.step_jit}
+        self._prewarmed = False
         self._lr_schedule = "resolved"
+
+    def _get_step(self, resolution: int):
+        """Jitted train step for one target resolution (cached)."""
+        if resolution not in self._step_cache:
+            fn = make_train_step_v5(self.cfg, self.optimizer,
+                                    resolution=resolution,
+                                    **self._step_kwargs)
+            self._step_cache[resolution] = self._jit_step(fn)
+        return self._step_cache[resolution]
+
+    def warm_step_cache(self, verbose: bool = True):
+        """Compile-and-execute one dummy step per multi-scale resolution
+        before epoch 1 (same compile economics as
+        DarknetTrainer.warm_step_cache; state untouched)."""
+        import time
+        if self._prewarmed:
+            return
+        for r in sorted(set(self._scales)):
+            t0 = time.time()
+            step = self._get_step(r)
+            imgs = jnp.zeros((self.batch_size, self.resolution,
+                              self.resolution, 3), jnp.float32)
+            boxes = jnp.zeros((self.batch_size, self.max_boxes, 85),
+                              jnp.float32)
+            mask = jnp.zeros((self.batch_size, self.max_boxes), bool)
+            warm_state = jax.tree_util.tree_map(jnp.array, self.state) \
+                if self._donate else self.state
+            _, loss = step(warm_state, imgs, boxes, mask)
+            float(loss)  # host readback = true completion sync on axon
+            if verbose and len(self._scales) > 1:
+                print(f"\twarmed v5 step @ {r}x{r} in "
+                      f"{time.time() - t0:.1f}s")
+        self._prewarmed = True
 
     @property
     def eval_params(self):
@@ -550,15 +609,21 @@ class TrainerV5(PreemptSupport):
         batch_num = max(1, (len(dataset) + self.batch_size - 1)
                         // self.batch_size)
         self._resolve_schedule(batch_num)
+        if self.prewarm and len(self._scales) > 1:
+            self.warm_step_cache(verbose=verbose)
         self.history.setdefault("train_loss", [])
         best = None
         for epoch in range(1, self.epochs + 1):
             t0 = time.time()
             running = 0.0
+            rng = np.random.RandomState(self.seed + epoch)
+            cur_res = self.resolution
             for b, (images, boxes, mask) in enumerate(padded_batches(
                     dataset, self.batch_size, self.max_boxes,
                     shuffle=True, seed=self.seed, epoch=epoch)):
-                self.state, loss = self.step_jit(
+                if self.multiscale and b % self.multiscale_every == 0:
+                    cur_res = int(rng.choice(self._scales))
+                self.state, loss = self._get_step(cur_res)(
                     self.state, jnp.asarray(images), jnp.asarray(boxes),
                     jnp.asarray(mask))
                 loss = float(loss)

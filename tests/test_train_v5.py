@@ -490,3 +490,21 @@ def test_v5_step_accum_matches_manual_sum():
             np.asarray(got_flat[jax.tree_util.keystr(k)]),
             np.asarray(v), rtol=1e-5, atol=2e-6,
             err_msg=jax.tree_util.keystr(k))
+
+
+def test_trainer_v5_multiscale(tmp_path):
+    """TrainerV5 multiscale: same machinery as DarknetTrainer — loader
+    fixed at the base resolution, per-scale jitted steps rescale
+    in-graph, every scale prewarmed before epoch 1."""
+    from realtimeobjectdetection_tpu.testing import make_synthetic_coco
+    from realtimeobjectdetection_tpu.train.v5 import TrainerV5
+    ann, imgs = make_synthetic_coco(tmp_path, n_images=4,
+                                    img_size=(96, 128))
+    tr = TrainerV5(model_size="n", epochs=1, batch_size=2, resolution=96,
+                   lr=1e-3, out_dir=str(tmp_path / "w5"), max_boxes=8,
+                   mesh=False, multiscale=True,
+                   multiscale_scales=(64, 96, 128), multiscale_every=1)
+    hist = tr.train(ann, imgs, dataset_type="COCO", verbose=False)
+    assert tr._prewarmed
+    assert set(tr._step_cache) == {64, 96, 128}
+    assert np.isfinite(hist["train_loss"][0])
