@@ -279,7 +279,9 @@ def validate_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--confidence", default=None, type=float,
                    help="default 0.6 (P/R mode) or 0.25 (--map mode)")
     p.add_argument("--nms_thresh", default=0.5, type=float)
-    p.add_argument("--reso", default=416, type=int)
+    # None-sentinel (ADVICE r2 pattern): family default resolved after
+    # parsing (416 darknet / 640 yolov5)
+    p.add_argument("--reso", default=None, type=int)
     p.add_argument("--bn_mode", default="batch",
                    choices=["batch", "running", "fold"])
     p.add_argument("--img_scores", action="store_true",
@@ -304,6 +306,26 @@ def validate_cli(argv=None):
     # mode keeps the reference's 0.6 operating point
     if a.confidence is None:
         a.confidence = 0.25 if a.do_map else 0.6
+    if a.cfg_file.lower().startswith("yolov5"):
+        # native v5 evaluation = the all-class mAP mode (the person-P/R
+        # protocol and ROC sweep are the v3 validator's reference
+        # surface, test.py:316-355; the reference has no v5 eval at all)
+        if not a.do_map:
+            raise SystemExit(
+                "yolov5 validation supports --map (the person-P/R and "
+                "ROC modes are the darknet reference protocol)")
+        from .eval.validator import validate_map_v5
+        from .models.yolov5 import (YoloV5Config, init_yolov5_params,
+                                    load_v5_checkpoint)
+        msize = a.cfg_file[6:] or "s"
+        cfg5 = YoloV5Config(msize)
+        params5 = (load_v5_checkpoint(cfg5, a.weights_file)
+                   if a.weights_file else init_yolov5_params(cfg5, 0))
+        return validate_map_v5(a.annot, a.images, msize, params5,
+                               size=a.reso if a.reso is not None else 640,
+                               confidence=a.confidence,
+                               iou_thresh=a.nms_thresh)
+    a.reso = a.reso if a.reso is not None else 416
     spec = resolve_spec(a.cfg_file)
     if a.weights_file:
         params, _ = load_darknet_weights(spec, a.weights_file)

@@ -599,3 +599,19 @@ def test_history_jsonl_streaming(tmp_path):
     assert [l["epoch"] for l in lines] == [1, 2]
     for l in lines:
         assert np.isfinite(l["loss"]) and l["wall_s"] >= 0
+
+
+def test_validate_cli_v5_map(tmp_path):
+    """`validate --cfg yolov5n --map` reaches the native v5 mAP path
+    (the reference has no v5 eval); the family default resolution is
+    640-free here (explicit 96 for speed), and the person-P/R mode is
+    rejected for v5 with a clear error."""
+    from realtimeobjectdetection_tpu.cli import validate_cli
+    ann, imgs = make_synthetic_coco(tmp_path, n_images=2,
+                                    img_size=(96, 128))
+    scores = validate_cli(["--annot", ann, "--images", imgs,
+                           "--cfg", "yolov5n", "--reso", "96", "--map"])
+    assert "mAP@0.5" in scores
+    with pytest.raises(SystemExit):
+        validate_cli(["--annot", ann, "--images", imgs,
+                      "--cfg", "yolov5n"])
