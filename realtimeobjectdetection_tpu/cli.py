@@ -226,6 +226,11 @@ def train_arg_parser() -> argparse.ArgumentParser:
                         "batch/N, one optimizer update (both families; "
                         "v5 follows ultralytics nominal-batch "
                         "accumulation semantics)")
+    p.add_argument("--skip_nonfinite", action="store_true",
+                   help="guard every update in-graph: a batch with an "
+                        "inf/NaN loss or gradient leaves params/opt "
+                        "state/BN stats/EMA untouched and is counted + "
+                        "logged instead of poisoning the run")
     return p
 
 
@@ -249,7 +254,8 @@ def train_cli(argv=None):
                        compute_dtype=jnp.bfloat16 if a.bf16
                        else jnp.float32,
                        tensor_parallel=a.tensor_parallel,
-                       accum_steps=a.accum_steps)
+                       accum_steps=a.accum_steps,
+                       skip_nonfinite=a.skip_nonfinite)
         tr.train(a.xml, a.images, dataset_type=a.dataset)
         return 0
     trainer_params = {
@@ -260,6 +266,7 @@ def train_cli(argv=None):
         "ema_decay": a.ema_decay, "best_on": a.best_on,
         "augment": a.augment, "tensor_parallel": a.tensor_parallel,
         "accum_steps": a.accum_steps,
+        "skip_nonfinite": a.skip_nonfinite,
     }
     train_params = {"annotation_dir": a.xml, "img_dir": a.images,
                     "dataset_type": a.dataset}

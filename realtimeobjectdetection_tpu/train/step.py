@@ -93,7 +93,8 @@ def make_train_step(spec: GraphSpec, optimizer, resolution: int = 416,
                     ema_decay: Optional[float] = None,
                     scan_ladders: bool = True,
                     scan_remat: bool = True,
-                    accum_steps: int = 1):
+                    accum_steps: int = 1,
+                    skip_nonfinite: bool = False):
     """Build ``step(state, images, boxes, box_mask) -> (state, loss)``.
 
     ``images``: [B, H, W, 3]; ``boxes``: [B, M, 5+C] padded gt rows;
@@ -122,6 +123,16 @@ def make_train_step(spec: GraphSpec, optimizer, resolution: int = 416,
     This is the single-device route to the reference-scale effective
     batch when B doesn't fit — the in-graph analog of ultralytics'
     nominal-batch accumulation.
+
+    ``skip_nonfinite=True``: guard every state mutation behind an
+    in-graph finiteness check of the loss AND every gradient leaf — a
+    bad batch (inf/NaN from bf16 overflow, corrupt data, an unlucky LR
+    spike) leaves params, optimizer moments, BN running stats and the
+    EMA untouched instead of poisoning the run irrecoverably.  The step
+    still returns the non-finite loss, so the host loop can count and
+    log skipped steps (trainers expose ``nonfinite_steps``).  The
+    reference has no equivalent (a NaN loss destroys the torch run);
+    production guardrail alongside the preempt tier (train/preempt.py).
     """
     # scan_ladders (default on): rolls the residual ladders into
     # lax.scan with the batch statistics riding out as stacked ys —
@@ -213,10 +224,31 @@ def make_train_step(spec: GraphSpec, optimizer, resolution: int = 416,
             ema = jax.tree_util.tree_map(
                 lambda e, q: ema_decay * e + (1.0 - ema_decay) * q,
                 state.ema_params, params)
-            return EmaTrainState(params=params, opt_state=opt_state,
-                                 step=state.step + 1,
-                                 ema_params=ema), loss
-        return TrainState(params=params, opt_state=opt_state,
-                          step=state.step + 1), loss
+            new_state = EmaTrainState(params=params, opt_state=opt_state,
+                                      step=state.step + 1, ema_params=ema)
+        else:
+            new_state = TrainState(params=params, opt_state=opt_state,
+                                   step=state.step + 1)
+        if skip_nonfinite:
+            new_state = _guard_nonfinite(loss, grads, new_state, state)
+        return new_state, loss
 
     return step
+
+
+def _guard_nonfinite(loss, grads, new_state, old_state):
+    """Select ``new_state`` when the loss and every gradient leaf are
+    finite, ``old_state`` otherwise (params, optimizer moments, BN
+    running stats AND the EMA buffers all stay put on a bad step) — one
+    scalar predicate broadcast through a leafwise ``where``, so the step
+    remains a single XLA program with no host sync.  The step counter
+    still advances: LR schedules and augmentation keys track wall
+    progress, and the non-finite loss the step returns lets the host
+    loop count skips (trainer ``nonfinite_steps``)."""
+    ok = jnp.isfinite(loss)
+    ok = jax.tree_util.tree_reduce(
+        lambda a, g: jnp.logical_and(a, jnp.all(jnp.isfinite(g))),
+        grads, ok)
+    guarded = jax.tree_util.tree_map(
+        lambda n, o: jnp.where(ok, n, o), new_state, old_state)
+    return guarded._replace(step=old_state.step + 1)

@@ -86,7 +86,8 @@ class DarknetTrainer(PreemptSupport):
                  donate: bool = True,
                  best_on: str = "auto",
                  tensor_parallel: int = 1,
-                 accum_steps: int = 1):
+                 accum_steps: int = 1,
+                 skip_nonfinite: bool = False):
         assert isinstance(epochs, int) and isinstance(batch_size, int)
         assert resolution % 32 == 0
         self.cfg_path = cfg_path
@@ -133,11 +134,18 @@ class DarknetTrainer(PreemptSupport):
         # optimizer update; see make_train_step(accum_steps=...)
         assert batch_size % max(accum_steps, 1) == 0, \
             (batch_size, accum_steps)
+        # skip_nonfinite: in-graph guard — a batch producing an inf/NaN
+        # loss or gradient leaves the whole train state untouched
+        # (step._guard_nonfinite); the epoch loop counts such batches in
+        # ``nonfinite_steps`` and keeps them out of the running loss.
+        self.skip_nonfinite = skip_nonfinite
+        self.nonfinite_steps = 0
         self._step_kwargs = dict(
             class_filter=class_filter, compute_dtype=compute_dtype,
             remat=remat, augment=augment, aug_seed=seed,
             input_resolution=self.resolution, ema_decay=ema_decay,
-            accum_steps=max(accum_steps, 1))
+            accum_steps=max(accum_steps, 1),
+            skip_nonfinite=skip_nonfinite)
         self.step_fn = make_train_step(
             self.spec, self.optimizer, resolution=self.resolution,
             **self._step_kwargs)
@@ -390,7 +398,16 @@ class DarknetTrainer(PreemptSupport):
                     self.state, jnp.asarray(images), jnp.asarray(boxes),
                     jnp.asarray(mask))
                 loss = float(loss)
-                running_loss += loss
+                if self.skip_nonfinite and not np.isfinite(loss):
+                    # the in-graph guard already kept the state; keep the
+                    # poisoned loss out of the epoch aggregate too
+                    self.nonfinite_steps += 1
+                    if verbose:
+                        print(f"\n\tWARNING: non-finite loss at epoch "
+                              f"{epoch} batch {b + 1} — update skipped "
+                              f"({self.nonfinite_steps} total)")
+                else:
+                    running_loss += loss
                 if verbose:
                     self.progress_bar(epoch, b + 1, batch_num, loss)
                 if self._preempted:

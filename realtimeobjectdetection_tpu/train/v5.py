@@ -243,7 +243,8 @@ def make_train_step_v5(cfg: YoloV5Config, optimizer,
                        aug_kwargs: Optional[Dict] = None,
                        mosaic: bool = False,
                        input_resolution: Optional[int] = None,
-                       accum_steps: int = 1):
+                       accum_steps: int = 1,
+                       skip_nonfinite: bool = False):
     """Build ``step(state, images, boxes, box_mask) -> (state, loss)``
     for the native v5 graph — same contract as train/step.py's darknet
     step, so ``parallel.mesh.shard_train_step`` shards it unchanged.
@@ -267,6 +268,10 @@ def make_train_step_v5(cfg: YoloV5Config, optimizer,
     as PipelinedTrainStepV5's microbatching) — not bitwise full-batch
     equality.  BN batch stats are per microbatch, running stats apply
     the k updates in order.
+    ``skip_nonfinite=True``: in-graph guard — a batch whose loss or any
+    gradient leaf is inf/NaN leaves params/moments/BN-stats/EMA
+    untouched (train/step._guard_nonfinite; same semantics and tests as
+    the darknet step).
     """
     fwd = make_yolov5_forward(cfg, compute_dtype=compute_dtype,
                               bn_mode="batch", return_stats=True)
@@ -339,11 +344,15 @@ def make_train_step_v5(cfg: YoloV5Config, optimizer,
             ema = jax.tree_util.tree_map(
                 lambda e, q: ema_decay * e + (1.0 - ema_decay) * q,
                 state.ema_params, params)
-            return EmaTrainState(params=params, opt_state=opt_state,
-                                 step=state.step + 1,
-                                 ema_params=ema), loss
-        return TrainState(params=params, opt_state=opt_state,
-                          step=state.step + 1), loss
+            new_state = EmaTrainState(params=params, opt_state=opt_state,
+                                      step=state.step + 1, ema_params=ema)
+        else:
+            new_state = TrainState(params=params, opt_state=opt_state,
+                                   step=state.step + 1)
+        if skip_nonfinite:
+            from .step import _guard_nonfinite
+            new_state = _guard_nonfinite(loss, grads, new_state, state)
+        return new_state, loss
 
     return step
 
@@ -377,7 +386,8 @@ class TrainerV5(PreemptSupport):
                  multiscale: bool = False,
                  multiscale_scales=(512, 640, 768),
                  multiscale_every: int = 10,
-                 prewarm: bool = True):
+                 prewarm: bool = True,
+                 skip_nonfinite: bool = False):
         from ..models.yolov5 import init_yolov5_params
         from ..parallel.mesh import make_mesh, shard_train_step
         assert resolution % 32 == 0
@@ -402,11 +412,17 @@ class TrainerV5(PreemptSupport):
         self._lrf = lrf
         assert batch_size % max(accum_steps, 1) == 0, \
             (batch_size, accum_steps)
+        # skip_nonfinite: same in-graph bad-batch guard as DarknetTrainer
+        # (train/step._guard_nonfinite) — skipped batches counted in
+        # ``nonfinite_steps`` and excluded from the epoch loss
+        self.skip_nonfinite = skip_nonfinite
+        self.nonfinite_steps = 0
         self._step_kwargs = dict(
             compute_dtype=compute_dtype,
             ema_decay=ema_decay, augment=augment, mosaic=mosaic,
             aug_seed=seed, accum_steps=max(accum_steps, 1),
-            input_resolution=self.resolution)
+            input_resolution=self.resolution,
+            skip_nonfinite=skip_nonfinite)
         self._spatial = spatial
         self._donate = donate
         # multi-scale training, same machinery as DarknetTrainer: the
@@ -627,7 +643,14 @@ class TrainerV5(PreemptSupport):
                     self.state, jnp.asarray(images), jnp.asarray(boxes),
                     jnp.asarray(mask))
                 loss = float(loss)
-                running += loss
+                if self.skip_nonfinite and not np.isfinite(loss):
+                    self.nonfinite_steps += 1
+                    if verbose:
+                        print(f"\n\tWARNING: non-finite loss at epoch "
+                              f"{epoch} batch {b + 1} — update skipped "
+                              f"({self.nonfinite_steps} total)")
+                else:
+                    running += loss
                 if verbose:
                     DarknetTrainer.progress_bar(epoch, b + 1, batch_num,
                                                 loss)

@@ -258,3 +258,60 @@ def test_train_step_accum_shards_over_mesh(cpu_devices):
     assert np.isfinite(float(loss))
     w0 = np.asarray(params["node_0"]["w"])
     assert np.abs(np.asarray(s2.params["node_0"]["w"]) - w0).max() > 0
+
+
+def test_train_step_skip_nonfinite_guard():
+    """make_train_step(skip_nonfinite=True): a batch producing a
+    non-finite loss leaves params, optimizer moments, BN running stats
+    and the EMA buffers bit-identical to the pre-step state (only the
+    step counter advances); on a healthy batch the guarded step equals
+    the unguarded one exactly."""
+    spec = get_spec("yolov3-tiny", width=96, height=96)
+    params = init_params(spec, 0)
+    opt = optax.adam(1e-3)
+    plain = jax.jit(make_train_step(spec, opt, resolution=96,
+                                    ema_decay=0.99))
+    guarded = jax.jit(make_train_step(spec, opt, resolution=96,
+                                      ema_decay=0.99,
+                                      skip_nonfinite=True))
+    s0 = init_train_state(params, opt, ema_decay=0.99)
+
+    rng = np.random.RandomState(0)
+    images = rng.rand(2, 96, 96, 3).astype(np.float32)
+    boxes = np.zeros((2, 3, 85), np.float32)
+    boxes[:, :, 0:2] = rng.uniform(30, 66, (2, 3, 2))
+    boxes[:, :, 2:4] = rng.uniform(30, 50, (2, 3, 2))
+    boxes[:, :, 4:6] = 1.0
+    mask = jnp.ones((2, 3), bool)
+
+    # healthy batch: guard is transparent.  The extra where-selects
+    # change XLA's fusion choices, so allow 1-ULP fp32 drift (measured
+    # max 1.2e-7); the poisoned-batch check below stays bit-exact.
+    sp, lp = plain(s0, jnp.asarray(images), jnp.asarray(boxes), mask)
+    sg, lg = guarded(s0, jnp.asarray(images), jnp.asarray(boxes), mask)
+    np.testing.assert_allclose(float(lg), float(lp), rtol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a),
+                                                np.asarray(b), rtol=1e-5,
+                                                atol=1e-6), sp, sg)
+
+    # poisoned batch: NaN pixels -> NaN loss -> every state leaf except
+    # the step counter must be IDENTICAL to the pre-step state
+    bad = images.copy()
+    bad[0, 0, 0, 0] = np.nan
+    sb, lb = guarded(s0, jnp.asarray(bad), jnp.asarray(boxes), mask)
+    assert not np.isfinite(float(lb))
+    assert int(sb.step) == int(s0.step) + 1
+    for tree_new, tree_old in ((sb.params, s0.params),
+                               (sb.ema_params, s0.ema_params),
+                               (sb.opt_state, s0.opt_state)):
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                       np.asarray(b)),
+            tree_new, tree_old)
+
+    # ...and the unguarded step would have been poisoned (the guard is
+    # load-bearing, not vacuous)
+    su, lu = plain(s0, jnp.asarray(bad), jnp.asarray(boxes), mask)
+    assert not np.isfinite(float(lu))
+    assert np.isnan(np.asarray(su.params["node_0"]["w"])).any()

@@ -508,3 +508,50 @@ def test_trainer_v5_multiscale(tmp_path):
     assert tr._prewarmed
     assert set(tr._step_cache) == {64, 96, 128}
     assert np.isfinite(hist["train_loss"][0])
+
+
+def test_v5_step_skip_nonfinite_guard():
+    """make_train_step_v5(skip_nonfinite=True): a NaN batch leaves every
+    state leaf except the step counter bit-identical; a healthy batch is
+    unaffected by the guard (shared train/step._guard_nonfinite)."""
+    cfg = YoloV5Config("n")
+    params = init_yolov5_params(cfg, 0, batch_norm=True)
+    opt = optax.adam(1e-3)
+    plain = jax.jit(make_train_step_v5(cfg, opt, resolution=96))
+    guarded = jax.jit(make_train_step_v5(cfg, opt, resolution=96,
+                                         skip_nonfinite=True))
+    s0 = init_train_state(params, opt)
+    rng = np.random.RandomState(0)
+    images = rng.rand(2, 96, 96, 3).astype(np.float32)
+    boxes, mask = _gt(batch=2, m=4)
+    boxes[:, 0, 0:4] = [48, 48, 24, 24]
+    boxes[:, 0, 4] = 1.0
+    boxes[:, 0, 5] = 1.0
+    mask[:, 0] = True
+
+    sp, lp = plain(s0, jnp.asarray(images), jnp.asarray(boxes),
+                   jnp.asarray(mask))
+    sg, lg = guarded(s0, jnp.asarray(images), jnp.asarray(boxes),
+                     jnp.asarray(mask))
+    # allow 1-ULP fp32 drift from the guard's where-selects changing
+    # XLA fusion (same rationale as the darknet guard test)
+    np.testing.assert_allclose(float(lg), float(lp), rtol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a),
+                                                np.asarray(b), rtol=1e-5,
+                                                atol=1e-6), sp, sg)
+
+    bad = images.copy()
+    bad[0, 0, 0, 0] = np.nan
+    sb, lb = guarded(s0, jnp.asarray(bad), jnp.asarray(boxes),
+                     jnp.asarray(mask))
+    assert not np.isfinite(float(lb))
+    assert int(sb.step) == int(s0.step) + 1
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        sb.params, s0.params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        sb.opt_state, s0.opt_state)
