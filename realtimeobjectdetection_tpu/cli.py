@@ -231,6 +231,11 @@ def train_arg_parser() -> argparse.ArgumentParser:
                         "inf/NaN loss or gradient leaves params/opt "
                         "state/BN stats/EMA untouched and is counted + "
                         "logged instead of poisoning the run")
+    p.add_argument("--scan_ladders", action="store_true",
+                   help="v5 only: roll each C3's bottleneck repeats "
+                        "into lax.scan (~depth-times smaller HLO for "
+                        "yolov5l/x — compile robustness; darknet steps "
+                        "are rolled by default)")
     return p
 
 
@@ -255,7 +260,8 @@ def train_cli(argv=None):
                        else jnp.float32,
                        tensor_parallel=a.tensor_parallel,
                        accum_steps=a.accum_steps,
-                       skip_nonfinite=a.skip_nonfinite)
+                       skip_nonfinite=a.skip_nonfinite,
+                       scan_ladders=a.scan_ladders)
         tr.train(a.xml, a.images, dataset_type=a.dataset)
         return 0
     trainer_params = {

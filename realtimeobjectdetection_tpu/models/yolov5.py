@@ -242,12 +242,44 @@ def _bottleneck(x, p, shortcut, dtype, odt=jnp.float32, bn="fold",
 
 
 def _c3(x, p, shortcut, dtype, odt=jnp.float32, bn="fold", stats=None,
-        name=""):
+        name="", scan=False, remat=False):
     y1 = _conv(x, p["cv1"], 1, dtype, out_dtype=odt, bn=bn, stats=stats,
                name=name + ".cv1")
-    for j, bp in enumerate(p["m"]):
-        y1 = _bottleneck(y1, bp, shortcut, dtype, odt, bn, stats,
-                         f"{name}.m{j}")
+    reps = p["m"]
+    if scan and len(reps) >= 2:
+        # Roll the n identical bottleneck repeats into lax.scan over the
+        # stacked weights — the v5 analog of model._find_ladders on the
+        # darknet side: every repeat inside a C3 has the same shapes
+        # (c_->c_ 1x1 then c_->c_ 3x3, same shortcut flag), so one scan
+        # body replaces n copies of the HLO.  Shrinks the v5l/x program
+        # ~linearly in depth (compile robustness: the unrolled yolov3
+        # train graph provably hit degraded-executable windows on the
+        # remote compiler, PERFORMANCE.md round-3 drill-down).  With
+        # bn="batch" the per-repeat batch statistics ride out as stacked
+        # scan ys and are re-keyed to the exact unrolled names, so the
+        # running-stat update in train/v5.py is layout-agnostic.
+        # ``remat``: jax.checkpoint the body — backward recomputes body
+        # intermediates instead of stacking them per repeat.
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack([jnp.asarray(a) for a in xs]), *reps)
+
+        def body(carry, bp):
+            st = {} if stats is not None else None
+            y = _bottleneck(carry, bp, shortcut, dtype, odt, bn, st, "")
+            return y, st
+
+        if remat:
+            body = jax.checkpoint(body)
+        y1, ys = lax.scan(body, y1, stacked)
+        if stats is not None:
+            for j in range(len(reps)):
+                for suffix in (".cv1", ".cv2"):
+                    mean_s, var_s = ys[suffix]
+                    stats[f"{name}.m{j}{suffix}"] = (mean_s[j], var_s[j])
+    else:
+        for j, bp in enumerate(reps):
+            y1 = _bottleneck(y1, bp, shortcut, dtype, odt, bn, stats,
+                             f"{name}.m{j}")
     y2 = _conv(x, p["cv2"], 1, dtype, out_dtype=odt, bn=bn, stats=stats,
                name=name + ".cv2")
     return _conv(jnp.concatenate([y1, y2], -1), p["cv3"], 1, dtype,
@@ -327,7 +359,8 @@ def _v5_steps():
     def c3(m, shortcut):
         def f(p, ctx, x):
             return _c3(x, p[m], shortcut, ctx["dt"], ctx["odt"], ctx["bn"],
-                       ctx["stats"], m)
+                       ctx["stats"], m, scan=ctx.get("scan", False),
+                       remat=ctx.get("scan_remat", False))
         return f
 
     def sppf(m):
@@ -431,7 +464,9 @@ def make_yolov5_forward(cfg: YoloV5Config, compute_dtype=jnp.bfloat16,
                         bn_mode: str = "fold",
                         return_stats: bool = False,
                         stage_range=None,
-                        s2d_stem: bool = False):
+                        s2d_stem: bool = False,
+                        scan_ladders: bool = False,
+                        scan_remat: bool = False):
     """Build ``forward(params, x) -> [p3, p4, p5]`` raw heads (NHWC).
 
     ``activation_dtype``: dtype of the materialized inter-layer
@@ -456,6 +491,15 @@ def make_yolov5_forward(cfg: YoloV5Config, compute_dtype=jnp.bfloat16,
     identical to the full forward (same table), so chained stages are
     bit-exact (tests/test_pipeline_parallel.py).  Serving path only
     (``return_stats`` unsupported).
+
+    ``scan_ladders=True``: roll each C3's n identical bottleneck
+    repeats into ``lax.scan`` over stacked weights (see :func:`_c3`) —
+    ~linearly smaller HLO for the deep sizes (v5l 9-repeat, v5x
+    12-repeat C3s), the same compile-robustness trade the darknet train
+    step makes (PERFORMANCE.md round-3 drill-down).  ``scan_remat``
+    additionally checkpoints the scan body (training memory lever).
+    Numerics equal the unrolled forward up to XLA fusion ULPs
+    (tests/test_yolov5.py::test_scan_ladders_*).
     """
     assert bn_mode in ("fold", "batch", "running")
     odt = activation_dtype or jnp.float32
@@ -475,7 +519,8 @@ def make_yolov5_forward(cfg: YoloV5Config, compute_dtype=jnp.bfloat16,
         lo, hi = stage_range if stage_range is not None else (0, len(steps))
         stats = {} if return_stats and bn_mode == "batch" else None
         ctx = {"dt": compute_dtype, "odt": odt, "hdt": hdt,
-               "bn": bn_mode, "stats": stats, "s2d": s2d_stem}
+               "bn": bn_mode, "stats": stats, "s2d": s2d_stem,
+               "scan": scan_ladders, "scan_remat": scan_remat}
         env = dict(carry) if carry else {}
         if lo == 0:
             env["in"] = x

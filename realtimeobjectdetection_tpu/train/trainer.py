@@ -67,6 +67,63 @@ def append_history_jsonl(out_dir: str, record: Dict) -> None:
         f.write(json.dumps(record) + "\n")
 
 
+class _LaggedLoss:
+    """Per-epoch loss accounting with the host sync deferred ``lag``
+    steps behind dispatch.
+
+    The reference's torch loop implicitly syncs every batch (printing
+    ``loss.item()``, /root/reference/train.py:242-267); a literal port
+    would call ``float(loss)`` right after each step and block the host
+    on the step it *just enqueued* — through the tunnel that serializes
+    every dispatch behind a full device round-trip.  Instead the device
+    scalar is parked in a small deque and read back only once ``lag``
+    newer steps have been enqueued, so the device always has work queued
+    ahead and the readback of step *k* overlaps the execution of step
+    *k+1*.  Observable behavior is identical one batch later: the
+    progress bar, the running-loss aggregate, and the
+    ``skip_nonfinite`` counting all see every loss, just with a
+    ``lag``-batch delay (``lag=0`` restores the fully synchronous
+    loop).  ``finish()`` drains the tail and returns the epoch sum."""
+
+    def __init__(self, trainer, epoch: int, batch_num: int,
+                 verbose: bool, lag: int = 1):
+        from collections import deque
+        self._t = trainer
+        self._epoch = epoch
+        self._batch_num = batch_num
+        self._verbose = verbose
+        self._lag = max(0, int(lag))
+        self._pending = deque()
+        self.running = 0.0
+
+    def push(self, batch_idx: int, device_loss) -> None:
+        self._pending.append((batch_idx, device_loss))
+        while len(self._pending) > self._lag:
+            self._consume()
+
+    def finish(self) -> float:
+        while self._pending:
+            self._consume()
+        return self.running
+
+    def _consume(self) -> None:
+        b, dev = self._pending.popleft()
+        loss = float(dev)
+        if self._t.skip_nonfinite and not np.isfinite(loss):
+            # the in-graph guard already kept the state; keep the
+            # poisoned loss out of the epoch aggregate too
+            self._t.nonfinite_steps += 1
+            if self._verbose:
+                print(f"\n\tWARNING: non-finite loss at epoch "
+                      f"{self._epoch} batch {b} — update skipped "
+                      f"({self._t.nonfinite_steps} total)")
+        else:
+            self.running += loss
+        if self._verbose:
+            DarknetTrainer.progress_bar(self._epoch, b, self._batch_num,
+                                        loss)
+
+
 class DarknetTrainer(PreemptSupport):
     def __init__(self, cfg_path: str, weights_path: Optional[str] = None,
                  epochs: int = 10, batch_size: int = 16,
@@ -87,7 +144,8 @@ class DarknetTrainer(PreemptSupport):
                  best_on: str = "auto",
                  tensor_parallel: int = 1,
                  accum_steps: int = 1,
-                 skip_nonfinite: bool = False):
+                 skip_nonfinite: bool = False,
+                 loss_lag: int = 1):
         assert isinstance(epochs, int) and isinstance(batch_size, int)
         assert resolution % 32 == 0
         self.cfg_path = cfg_path
@@ -140,6 +198,10 @@ class DarknetTrainer(PreemptSupport):
         # ``nonfinite_steps`` and keeps them out of the running loss.
         self.skip_nonfinite = skip_nonfinite
         self.nonfinite_steps = 0
+        # loss_lag: defer the per-batch loss readback this many steps
+        # behind dispatch (see _LaggedLoss) — keeps the device queue
+        # non-empty through the tunnel; 0 = reference-style synchronous
+        self.loss_lag = max(0, int(loss_lag))
         self._step_kwargs = dict(
             class_filter=class_filter, compute_dtype=compute_dtype,
             remat=remat, augment=augment, aug_seed=seed,
@@ -385,7 +447,8 @@ class DarknetTrainer(PreemptSupport):
 
         for epoch in range(1, self.epochs + 1):
             t_start = time.time()
-            running_loss = 0.0
+            acct = _LaggedLoss(self, epoch, batch_num, verbose,
+                               lag=self.loss_lag)
             rng = np.random.RandomState(self.seed + epoch)
             cur_res = self.resolution
             for b, (images, boxes, mask) in enumerate(padded_batches(
@@ -397,21 +460,11 @@ class DarknetTrainer(PreemptSupport):
                 self.state, loss = step(
                     self.state, jnp.asarray(images), jnp.asarray(boxes),
                     jnp.asarray(mask))
-                loss = float(loss)
-                if self.skip_nonfinite and not np.isfinite(loss):
-                    # the in-graph guard already kept the state; keep the
-                    # poisoned loss out of the epoch aggregate too
-                    self.nonfinite_steps += 1
-                    if verbose:
-                        print(f"\n\tWARNING: non-finite loss at epoch "
-                              f"{epoch} batch {b + 1} — update skipped "
-                              f"({self.nonfinite_steps} total)")
-                else:
-                    running_loss += loss
-                if verbose:
-                    self.progress_bar(epoch, b + 1, batch_num, loss)
+                acct.push(b + 1, loss)
                 if self._preempted:
+                    acct.finish()
                     return self._save_preempt(epoch, b + 1, verbose)
+            running_loss = acct.finish()
 
             self.save(f"weight_epoch{epoch}")
             if self.validator is None:

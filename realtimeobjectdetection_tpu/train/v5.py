@@ -244,7 +244,9 @@ def make_train_step_v5(cfg: YoloV5Config, optimizer,
                        mosaic: bool = False,
                        input_resolution: Optional[int] = None,
                        accum_steps: int = 1,
-                       skip_nonfinite: bool = False):
+                       skip_nonfinite: bool = False,
+                       scan_ladders: bool = False,
+                       scan_remat: bool = False):
     """Build ``step(state, images, boxes, box_mask) -> (state, loss)``
     for the native v5 graph — same contract as train/step.py's darknet
     step, so ``parallel.mesh.shard_train_step`` shards it unchanged.
@@ -272,9 +274,15 @@ def make_train_step_v5(cfg: YoloV5Config, optimizer,
     gradient leaf is inf/NaN leaves params/moments/BN-stats/EMA
     untouched (train/step._guard_nonfinite; same semantics and tests as
     the darknet step).
+    ``scan_ladders``/``scan_remat``: roll the C3 bottleneck repeats into
+    ``lax.scan`` (smaller HLO for the deep sizes; optional body remat) —
+    see make_yolov5_forward; the batch statistics re-key to the unrolled
+    names so the running-stat update below is layout-agnostic.
     """
     fwd = make_yolov5_forward(cfg, compute_dtype=compute_dtype,
-                              bn_mode="batch", return_stats=True)
+                              bn_mode="batch", return_stats=True,
+                              scan_ladders=scan_ladders,
+                              scan_remat=scan_remat)
     nc = cfg.num_classes
     base = input_resolution or resolution
 
@@ -387,7 +395,10 @@ class TrainerV5(PreemptSupport):
                  multiscale_scales=(512, 640, 768),
                  multiscale_every: int = 10,
                  prewarm: bool = True,
-                 skip_nonfinite: bool = False):
+                 skip_nonfinite: bool = False,
+                 loss_lag: int = 1,
+                 scan_ladders: bool = False,
+                 scan_remat: bool = False):
         from ..models.yolov5 import init_yolov5_params
         from ..parallel.mesh import make_mesh, shard_train_step
         assert resolution % 32 == 0
@@ -417,12 +428,15 @@ class TrainerV5(PreemptSupport):
         # ``nonfinite_steps`` and excluded from the epoch loss
         self.skip_nonfinite = skip_nonfinite
         self.nonfinite_steps = 0
+        # loss_lag: defer the per-batch loss readback (trainer._LaggedLoss)
+        self.loss_lag = max(0, int(loss_lag))
         self._step_kwargs = dict(
             compute_dtype=compute_dtype,
             ema_decay=ema_decay, augment=augment, mosaic=mosaic,
             aug_seed=seed, accum_steps=max(accum_steps, 1),
             input_resolution=self.resolution,
-            skip_nonfinite=skip_nonfinite)
+            skip_nonfinite=skip_nonfinite,
+            scan_ladders=scan_ladders, scan_remat=scan_remat)
         self._spatial = spatial
         self._donate = donate
         # multi-scale training, same machinery as DarknetTrainer: the
@@ -631,7 +645,9 @@ class TrainerV5(PreemptSupport):
         best = None
         for epoch in range(1, self.epochs + 1):
             t0 = time.time()
-            running = 0.0
+            from .trainer import _LaggedLoss
+            acct = _LaggedLoss(self, epoch, batch_num, verbose,
+                               lag=self.loss_lag)
             rng = np.random.RandomState(self.seed + epoch)
             cur_res = self.resolution
             for b, (images, boxes, mask) in enumerate(padded_batches(
@@ -642,20 +658,11 @@ class TrainerV5(PreemptSupport):
                 self.state, loss = self._get_step(cur_res)(
                     self.state, jnp.asarray(images), jnp.asarray(boxes),
                     jnp.asarray(mask))
-                loss = float(loss)
-                if self.skip_nonfinite and not np.isfinite(loss):
-                    self.nonfinite_steps += 1
-                    if verbose:
-                        print(f"\n\tWARNING: non-finite loss at epoch "
-                              f"{epoch} batch {b + 1} — update skipped "
-                              f"({self.nonfinite_steps} total)")
-                else:
-                    running += loss
-                if verbose:
-                    DarknetTrainer.progress_bar(epoch, b + 1, batch_num,
-                                                loss)
+                acct.push(b + 1, loss)
                 if self._preempted:
+                    acct.finish()
                     return self._save_preempt(epoch, b + 1, verbose)
+            running = acct.finish()
             self.save(f"weight_epoch{epoch}")
             if self.best_on == "map" and dataset_type.upper() != "VOC":
                 from ..eval.validator import validate_map_v5

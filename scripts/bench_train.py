@@ -34,6 +34,13 @@ def main():
                          "the rolled step")
     ap.add_argument("--rounds", type=int, default=3)
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--lag_ab", type=int, nargs="+", default=[],
+                    help="trainer-loop A/B: run --loop_steps consecutive "
+                         "steps with the loss readback deferred this many "
+                         "steps behind dispatch (trainer._LaggedLoss; 0 = "
+                         "the reference-style per-batch sync) and report "
+                         "wall ms/step per lag, interleaved")
+    ap.add_argument("--loop_steps", type=int, default=8)
     args = ap.parse_args()
 
     import jax
@@ -124,6 +131,41 @@ def main():
                   f"{100 * tflops / peak_tflops:.1f}% MFU "
                   f"(3x-fwd convention, "
                   f"{train_gflop_per_img:.0f} GFLOP/img)", flush=True)
+
+        if args.lag_ab:
+            # trainer-loop A/B: K back-to-back steps, reading each loss
+            # back `lag` steps late (exactly what _LaggedLoss does in the
+            # epoch loop).  lag=0 is the per-batch sync the reference's
+            # torch loop implies; higher lags keep the device queue full
+            # through the tunnel.
+            from collections import deque
+            f = next(v for k, v in variants.items() if k not in dead)
+            K = args.loop_steps
+
+            def run_loop(lag):
+                s, pend = state, deque()
+                t0 = time.time()
+                for _ in range(K):
+                    s, loss = f(s, images, boxes, mask)
+                    pend.append(loss)
+                    while len(pend) > lag:
+                        float(pend.popleft())
+                while pend:
+                    float(pend.popleft())
+                float(jax.tree_util.tree_leaves(s.params)[0].ravel()[0])
+                return time.time() - t0
+
+            for lag in args.lag_ab:   # warm each path once
+                run_loop(lag)
+            best_lag = {lag: 1e9 for lag in args.lag_ab}
+            for _ in range(args.rounds):
+                for lag in args.lag_ab:
+                    best_lag[lag] = min(best_lag[lag], run_loop(lag))
+            for lag, t in best_lag.items():
+                per = t / K
+                print(f"{args.model} {reso}² bs={bs} {args.dtype} "
+                      f"loop[lag={lag}] x{K}: {per * 1000:.1f} ms/step = "
+                      f"{bs / per:.0f} img/s", flush=True)
     return 0
 
 

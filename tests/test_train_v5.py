@@ -555,3 +555,37 @@ def test_v5_step_skip_nonfinite_guard():
         lambda a, b: np.testing.assert_array_equal(np.asarray(a),
                                                    np.asarray(b)),
         sb.opt_state, s0.opt_state)
+
+
+def test_v5_step_scan_ladders_equivalence():
+    """make_train_step_v5(scan_ladders=True): one full step (fwd +
+    targets + loss + bwd + Adam + BN running-stat update) lands within
+    fp32 fusion tolerance of the unrolled step — params, BN stats, and
+    loss all close, so the rolled program is a drop-in for yolov5l/x
+    training where the unrolled HLO is depth-times larger."""
+    cfg = YoloV5Config("n")
+    params = init_yolov5_params(cfg, 0, batch_norm=True)
+    opt = optax.adam(1e-3)
+    s0 = init_train_state(params, opt)
+    rng = np.random.RandomState(1)
+    images = rng.rand(2, 96, 96, 3).astype(np.float32)
+    boxes, mask = _gt(batch=2, m=4)
+    boxes[:, 0, 0:4] = [48, 48, 24, 24]
+    boxes[:, 0, 4] = 1.0
+    boxes[:, 0, 5] = 1.0
+    mask[:, 0] = True
+    outs = []
+    for scan in (False, True):
+        step = jax.jit(make_train_step_v5(cfg, opt, resolution=96,
+                                          scan_ladders=scan,
+                                          scan_remat=scan))
+        s1, loss = step(s0, jnp.asarray(images), jnp.asarray(boxes),
+                        jnp.asarray(mask))
+        outs.append((s1, float(loss)))
+    (su, lu), (sr, lr) = outs
+    np.testing.assert_allclose(lr, lu, rtol=1e-4)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a),
+                                                np.asarray(b), rtol=2e-3,
+                                                atol=2e-5),
+        su.params, sr.params)

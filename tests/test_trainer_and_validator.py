@@ -615,3 +615,39 @@ def test_validate_cli_v5_map(tmp_path):
     with pytest.raises(SystemExit):
         validate_cli(["--annot", ann, "--images", imgs,
                       "--cfg", "yolov5n"])
+
+
+def test_loss_lag_equivalent_history(tmp_path, capsys):
+    """loss_lag>0 (deferred loss readback, trainer._LaggedLoss) produces
+    the same epoch losses, final params, and skip counting as the fully
+    synchronous loop — only the readback timing moves."""
+    from realtimeobjectdetection_tpu.train.trainer import (DarknetTrainer,
+                                                           _LaggedLoss)
+    ann, imgs = make_synthetic_coco(tmp_path, n_images=4)
+    hists, finals = [], []
+    for lag in (0, 2):
+        out = str(tmp_path / f"w{lag}")
+        tr = DarknetTrainer("yolov3-tiny", epochs=2, batch_size=2,
+                            resolution=160, lr=1e-3, out_dir=out,
+                            mesh=None, max_boxes=8, loss_lag=lag)
+        hists.append(tr.train(ann, imgs, dataset_type="COCO",
+                              verbose=False))
+        finals.append(np.asarray(tr.state.params["node_0"]["w"]))
+    np.testing.assert_allclose(hists[0]["train_loss"],
+                               hists[1]["train_loss"], rtol=1e-6)
+    np.testing.assert_array_equal(finals[0], finals[1])
+
+    # _LaggedLoss unit semantics: drains in order, counts non-finite
+    # losses when the trainer opts in, and excludes them from the sum
+    class T:
+        skip_nonfinite = True
+        nonfinite_steps = 0
+    acct = _LaggedLoss(T(), epoch=1, batch_num=3, verbose=True, lag=2)
+    capsys.readouterr()                       # drop trainer-init chatter
+    acct.push(1, np.float32(2.0))
+    acct.push(2, np.float32(np.nan))
+    assert capsys.readouterr().out == ""      # lag 2: nothing drained yet
+    acct.push(3, np.float32(3.0))             # drains batch 1
+    assert "Batch:   1" in capsys.readouterr().out
+    assert acct.finish() == 5.0               # nan excluded
+    assert acct._t.nonfinite_steps == 1

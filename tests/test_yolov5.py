@@ -526,3 +526,52 @@ def test_s2d_stem_exact():
             # normalized heads (CPU fp32), 1.1e-7 on the folded layout.
             np.testing.assert_allclose(np.asarray(ha), np.asarray(hb),
                                        rtol=1e-4, atol=5e-4)
+
+
+def test_scan_ladders_forward_equivalence():
+    """make_yolov5_forward(scan_ladders=True) rolls each C3's repeats
+    into lax.scan over stacked weights — numerics must equal the
+    unrolled forward (same ops, XLA-fusion ULPs only) in the folded
+    serving layout, including under remat."""
+    cfg = YoloV5Config("l")  # deep size: 3/6/9/3-repeat C3s
+    x = jnp.asarray(np.random.RandomState(3).rand(1, 64, 64, 3),
+                    jnp.float32)
+    params = init_yolov5_params(cfg, 0)
+    base = jax.jit(make_yolov5_forward(cfg, compute_dtype=jnp.float32))
+    for remat in (False, True):
+        rolled = jax.jit(make_yolov5_forward(
+            cfg, compute_dtype=jnp.float32, scan_ladders=True,
+            scan_remat=remat))
+        for ha, hb in zip(base(params, x), rolled(params, x)):
+            np.testing.assert_allclose(np.asarray(ha), np.asarray(hb),
+                                       rtol=1e-5, atol=1e-5)
+
+
+def test_scan_ladders_batch_stats_rekey():
+    """With bn_mode='batch' the scanned C3 re-keys its per-repeat batch
+    statistics back to the exact unrolled names — heads AND every
+    (mean, var) entry must match the unrolled forward, so the
+    running-stat update in train/v5.py is layout-agnostic."""
+    cfg = YoloV5Config("n")
+    x = jnp.asarray(np.random.RandomState(5).rand(2, 64, 64, 3),
+                    jnp.float32)
+    params = init_yolov5_params(cfg, 0, batch_norm=True)
+    base = jax.jit(make_yolov5_forward(
+        cfg, compute_dtype=jnp.float32, bn_mode="batch",
+        return_stats=True))
+    rolled = jax.jit(make_yolov5_forward(
+        cfg, compute_dtype=jnp.float32, bn_mode="batch",
+        return_stats=True, scan_ladders=True))
+    hb, sb = base(params, x)
+    hr, sr = rolled(params, x)
+    for ha, hc in zip(hb, hr):
+        np.testing.assert_allclose(np.asarray(ha), np.asarray(hc),
+                                   rtol=2e-4, atol=5e-4)
+    assert set(sb) == set(sr)
+    for k in sb:
+        np.testing.assert_allclose(np.asarray(sb[k][0]),
+                                   np.asarray(sr[k][0]),
+                                   rtol=1e-4, atol=1e-5, err_msg=k)
+        np.testing.assert_allclose(np.asarray(sb[k][1]),
+                                   np.asarray(sr[k][1]),
+                                   rtol=1e-4, atol=1e-5, err_msg=k)
