@@ -213,8 +213,14 @@ def train_arg_parser() -> argparse.ArgumentParser:
                    help="v5 only: ultralytics one-cycle cosine schedule "
                         "with 3-epoch linear warmup (lrf=0.01)")
     p.add_argument("--bf16", action="store_true",
-                   help="v5 only: bf16 MXU compute in the train step "
-                        "(fp32 master weights unchanged)")
+                   help="bf16 MXU compute in the train step "
+                        "(fp32 master weights unchanged; both families)")
+    p.add_argument("--bf16_act", action="store_true",
+                   help="bf16 activation residency in the train forward: "
+                        "materialized inter-layer activations (and the "
+                        "buffers autodiff stashes for the backward pass) "
+                        "are bf16; BN statistics and the loss stay fp32 "
+                        "(both families)")
     p.add_argument("--tp", dest="tensor_parallel", default=1, type=int,
                    help="tensor-parallel degree: adds a 'model' mesh "
                         "axis (conv kernels channel-sharded, Adam state "
@@ -261,9 +267,12 @@ def train_cli(argv=None):
                        tensor_parallel=a.tensor_parallel,
                        accum_steps=a.accum_steps,
                        skip_nonfinite=a.skip_nonfinite,
-                       scan_ladders=a.scan_ladders)
+                       scan_ladders=a.scan_ladders,
+                       activation_dtype=jnp.bfloat16 if a.bf16_act
+                       else None)
         tr.train(a.xml, a.images, dataset_type=a.dataset)
         return 0
+    import jax.numpy as jnp
     trainer_params = {
         "cfg_path": a.cfg_file, "weights_path": a.weights_file,
         "epochs": a.epoch, "batch_size": a.bs,
@@ -273,6 +282,8 @@ def train_cli(argv=None):
         "augment": a.augment, "tensor_parallel": a.tensor_parallel,
         "accum_steps": a.accum_steps,
         "skip_nonfinite": a.skip_nonfinite,
+        "compute_dtype": jnp.bfloat16 if a.bf16 else jnp.float32,
+        "activation_dtype": jnp.bfloat16 if a.bf16_act else None,
     }
     train_params = {"annotation_dir": a.xml, "img_dir": a.images,
                     "dataset_type": a.dataset}

@@ -295,10 +295,14 @@ def make_forward(spec: GraphSpec, bn_mode: str = "fold",
     bn_mode="fold"; see ops/quantize.py for semantics + drift gates).
 
     ``activation_dtype``: dtype the inter-layer activations are
-    materialized in (fold mode only).  ``jnp.bfloat16`` halves activation
-    HBM traffic — the dominant memory stream of a conv net — at a bounded
-    numeric drift (heads are always cast back to fp32 before decode;
+    materialized in.  ``jnp.bfloat16`` halves activation HBM traffic —
+    the dominant memory stream of a conv net — at a bounded numeric
+    drift (heads are always cast back to ``head_dtype`` before decode;
     drift gated by tests/test_forward_parity.py).  None keeps fp32.
+    Composes with batch/running BN (training): statistics and
+    normalization stay fp32, only the materialized post-activation
+    tensor is cast, halving the forward stream AND the stashed-for-
+    backward activations (see make_train_step(activation_dtype=...)).
 
     ``stage_range=(lo, hi)``: pipeline-parallel stage mode — run only
     nodes ``[lo, hi)`` and return ``(heads_emitted, boundary)`` where
@@ -326,9 +330,14 @@ def make_forward(spec: GraphSpec, bn_mode: str = "fold",
             spec, compute_dtype=activation_dtype or jnp.bfloat16,
             head_dtype=head_dtype)
     act_dtype = activation_dtype or jnp.float32
-    if activation_dtype is not None:
-        assert bn_mode == "fold", \
-            "bf16 activation residency is an inference-fold-path knob"
+    # activation_dtype composes with every bn mode: in batch/running BN
+    # the conv output, the batch statistics, and the normalization all
+    # stay fp32 (stat stability), and only the MATERIALIZED post-
+    # activation tensor is cast — so bf16 residency halves the HBM bytes
+    # of both the forward stream and the activations autodiff stashes
+    # for the backward pass (the training-side twin of the serving
+    # fast path; numerics gated by tests/test_train_targets.py and
+    # test_train_v5.py bf16-activation step tests).
     # head_dtype: dtype the raw heads are returned in.  Default fp32 (the
     # parity paths decode fp32); the serving fast path passes bf16 so
     # decode_topk's reshape/concat/gather of the [B, N, 85] raw tensor
@@ -396,7 +405,9 @@ def make_forward(spec: GraphSpec, bn_mode: str = "fold",
                 y = jnp.where(y > 0, y, 0.1 * y)
                 ys = (bm1, bv1, bm2, bv2) if want_stats \
                     and bn_mode == "batch" else None
-                return h + y, ys
+                # keep the scan carry at the residency dtype (the carry
+                # dtype must be loop-invariant; h is act_dtype)
+                return h + y.astype(h.dtype), ys
 
         if scan_remat:
             # Store only the scan carry; recompute body intermediates in
@@ -482,7 +493,7 @@ def make_forward(spec: GraphSpec, bn_mode: str = "fold",
                     y = y + entry["b"][None, None, None, :].astype(y.dtype)
                 if node.activation == "leaky":
                     y = jnp.where(y > 0, y, 0.1 * y)
-                out = y
+                out = y.astype(act_dtype)
             elif isinstance(node, MaxPoolSpec):
                 out = _maxpool(prev, node)
             elif isinstance(node, UpsampleSpec):

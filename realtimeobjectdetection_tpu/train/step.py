@@ -85,6 +85,7 @@ def make_train_step(spec: GraphSpec, optimizer, resolution: int = 416,
                     reference_bug_wh_iou: bool = True,
                     parity_swap_xy: bool = False,
                     compute_dtype=jnp.float32, precision=None,
+                    activation_dtype=None,
                     update_bn_stats: bool = True,
                     remat: bool = False,
                     augment: bool = False, aug_seed: int = 0,
@@ -146,8 +147,15 @@ def make_train_step(spec: GraphSpec, optimizer, resolution: int = 416,
     # buffers), which OOMs the full yolov3 step at bs=64 on a 16 GB
     # chip; checkpointing the scan body stores only carries and
     # recomputes body intermediates in the backward pass.
+    # activation_dtype=bfloat16: materialize the inter-layer activations
+    # (and therefore everything autodiff stashes for the backward pass)
+    # in bf16 while BN statistics/normalization and the loss stay fp32 —
+    # the training twin of the serving residency lever
+    # (make_forward(activation_dtype=...)); measured verdict in
+    # PERFORMANCE.md.
     fwd = make_forward(spec, bn_mode="batch", compute_dtype=compute_dtype,
                        return_stats=True, precision=precision,
+                       activation_dtype=activation_dtype,
                        scan_ladders=scan_ladders,
                        scan_remat=scan_remat and scan_ladders)
     if remat:

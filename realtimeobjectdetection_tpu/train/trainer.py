@@ -145,7 +145,8 @@ class DarknetTrainer(PreemptSupport):
                  tensor_parallel: int = 1,
                  accum_steps: int = 1,
                  skip_nonfinite: bool = False,
-                 loss_lag: int = 1):
+                 loss_lag: int = 1,
+                 activation_dtype=None):
         assert isinstance(epochs, int) and isinstance(batch_size, int)
         assert resolution % 32 == 0
         self.cfg_path = cfg_path
@@ -207,7 +208,8 @@ class DarknetTrainer(PreemptSupport):
             remat=remat, augment=augment, aug_seed=seed,
             input_resolution=self.resolution, ema_decay=ema_decay,
             accum_steps=max(accum_steps, 1),
-            skip_nonfinite=skip_nonfinite)
+            skip_nonfinite=skip_nonfinite,
+            activation_dtype=activation_dtype)
         self.step_fn = make_train_step(
             self.spec, self.optimizer, resolution=self.resolution,
             **self._step_kwargs)

@@ -246,7 +246,8 @@ def make_train_step_v5(cfg: YoloV5Config, optimizer,
                        accum_steps: int = 1,
                        skip_nonfinite: bool = False,
                        scan_ladders: bool = False,
-                       scan_remat: bool = False):
+                       scan_remat: bool = False,
+                       activation_dtype=None):
     """Build ``step(state, images, boxes, box_mask) -> (state, loss)``
     for the native v5 graph — same contract as train/step.py's darknet
     step, so ``parallel.mesh.shard_train_step`` shards it unchanged.
@@ -279,8 +280,13 @@ def make_train_step_v5(cfg: YoloV5Config, optimizer,
     see make_yolov5_forward; the batch statistics re-key to the unrolled
     names so the running-stat update below is layout-agnostic.
     """
+    # activation_dtype=bfloat16: bf16 inter-layer residency in the train
+    # forward (batch statistics are still computed from fp32 casts in
+    # models/yolov5._conv); halves the activation bytes the backward
+    # pass re-reads — the train twin of the serving fast path.
     fwd = make_yolov5_forward(cfg, compute_dtype=compute_dtype,
                               bn_mode="batch", return_stats=True,
+                              activation_dtype=activation_dtype,
                               scan_ladders=scan_ladders,
                               scan_remat=scan_remat)
     nc = cfg.num_classes
@@ -398,7 +404,8 @@ class TrainerV5(PreemptSupport):
                  skip_nonfinite: bool = False,
                  loss_lag: int = 1,
                  scan_ladders: bool = False,
-                 scan_remat: bool = False):
+                 scan_remat: bool = False,
+                 activation_dtype=None):
         from ..models.yolov5 import init_yolov5_params
         from ..parallel.mesh import make_mesh, shard_train_step
         assert resolution % 32 == 0
@@ -436,7 +443,8 @@ class TrainerV5(PreemptSupport):
             aug_seed=seed, accum_steps=max(accum_steps, 1),
             input_resolution=self.resolution,
             skip_nonfinite=skip_nonfinite,
-            scan_ladders=scan_ladders, scan_remat=scan_remat)
+            scan_ladders=scan_ladders, scan_remat=scan_remat,
+            activation_dtype=activation_dtype)
         self._spatial = spatial
         self._donate = donate
         # multi-scale training, same machinery as DarknetTrainer: the

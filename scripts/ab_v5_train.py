@@ -2,9 +2,11 @@
 """Interleaved A/B of the v5 train-step levers on the real TPU.
 
 Variants (one process, alternating windows):
-  fp32       — round-2b shipping step (fp32 MXU compute)
-  bf16       — compute_dtype=bfloat16 (fp32 master weights unchanged)
-  bf16+rec   — bf16 + in-graph mosaic + flip/HSV (the full recipe cost)
+  fp32          — round-2b shipping step (fp32 MXU compute)
+  bf16          — compute_dtype=bfloat16 (fp32 master weights unchanged)
+  bf16+recipe   — bf16 + in-graph mosaic + flip/HSV (full recipe cost)
+  bf16+act      — bf16 compute + bf16 activation residency (round 3)
+  bf16+act+scan — + scan-rolled C3 ladders (compile-robustness trade)
 
 Usage: python scripts/ab_v5_train.py [--size s --bs 16 --reso 640]
 """
@@ -38,16 +40,20 @@ def main():
     opt = optax.adam(1e-3)
     params = init_yolov5_params(cfg, seed=0, batch_norm=True)
 
-    def make(dtype, mosaic, augment):
+    def make(dtype, mosaic, augment, adt=None, scan=False):
         step = make_train_step_v5(cfg, opt, resolution=args.reso,
                                   compute_dtype=dtype, mosaic=mosaic,
-                                  augment=augment)
+                                  augment=augment, activation_dtype=adt,
+                                  scan_ladders=scan, scan_remat=scan)
         return jax.jit(step)
 
     variants = {
         "fp32": make(jnp.float32, False, False),
         "bf16": make(jnp.bfloat16, False, False),
         "bf16+recipe": make(jnp.bfloat16, True, True),
+        "bf16+act": make(jnp.bfloat16, False, False, adt=jnp.bfloat16),
+        "bf16+act+scan": make(jnp.bfloat16, False, False,
+                              adt=jnp.bfloat16, scan=True),
     }
     state = jax.device_put(init_train_state(params, opt))
     rng = np.random.RandomState(0)

@@ -27,7 +27,8 @@ def main():
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["float32", "bfloat16"])
     ap.add_argument("--variants", nargs="+", default=["rolled"],
-                    choices=["rolled", "unrolled", "rolled_noremat"])
+                    choices=["rolled", "unrolled", "rolled_noremat",
+                             "bf16act"])
     ap.add_argument("--accum", type=int, nargs="+", default=[],
                     help="extra accum_steps=k variants (in-graph "
                          "gradient accumulation) to interleave against "
@@ -67,6 +68,12 @@ def main():
 
     variants = {}
     for v in args.variants:
+        if v == "bf16act":
+            # rolled+remat step with bf16 activation residency
+            variants[v] = jax.jit(make_train_step(
+                spec, opt, resolution=reso, compute_dtype=dtype,
+                activation_dtype=jnp.bfloat16))
+            continue
         variants[v] = jax.jit(make_train_step(
             spec, opt, resolution=reso, compute_dtype=dtype,
             scan_ladders=v.startswith("rolled"),

@@ -315,3 +315,39 @@ def test_train_step_skip_nonfinite_guard():
     su, lu = plain(s0, jnp.asarray(bad), jnp.asarray(boxes), mask)
     assert not np.isfinite(float(lu))
     assert np.isnan(np.asarray(su.params["node_0"]["w"])).any()
+
+
+def test_train_step_bf16_activation_residency():
+    """make_train_step(activation_dtype=bf16): the step runs, the loss
+    lands within bf16 drift of the fp32-resident step, params update
+    finitely, and the BN running stats (fp32 in the state) move — the
+    training twin of the serving residency lever."""
+    spec = get_spec("yolov3-tiny", width=96, height=96)
+    params = init_params(spec, 0)
+    opt = optax.adam(1e-3)
+    s0 = init_train_state(params, opt)
+    rng = np.random.RandomState(0)
+    images = rng.rand(2, 96, 96, 3).astype(np.float32)
+    boxes = np.zeros((2, 3, 85), np.float32)
+    boxes[:, :, 0:2] = rng.uniform(30, 66, (2, 3, 2))
+    boxes[:, :, 2:4] = rng.uniform(30, 50, (2, 3, 2))
+    boxes[:, :, 4:6] = 1.0
+    mask = jnp.ones((2, 3), bool)
+    losses = {}
+    states = {}
+    for name, adt in (("fp32", None), ("bf16", jnp.bfloat16)):
+        step = jax.jit(make_train_step(spec, opt, resolution=96,
+                                       activation_dtype=adt))
+        s1, loss = step(s0, jnp.asarray(images), jnp.asarray(boxes), mask)
+        losses[name] = float(loss)
+        states[name] = s1
+    assert np.isfinite(losses["bf16"])
+    np.testing.assert_allclose(losses["bf16"], losses["fp32"], rtol=0.05)
+    s1 = states["bf16"]
+    for leaf in jax.tree_util.tree_leaves(s1.params):
+        assert leaf.dtype == jnp.float32          # master weights stay fp32
+        assert np.isfinite(np.asarray(leaf)).all()
+    # BN running stats moved
+    moved = np.abs(np.asarray(s1.params["node_0"]["bn_mean"])
+                   - np.asarray(s0.params["node_0"]["bn_mean"])).max()
+    assert moved > 0

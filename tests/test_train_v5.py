@@ -589,3 +589,36 @@ def test_v5_step_scan_ladders_equivalence():
                                                 np.asarray(b), rtol=2e-3,
                                                 atol=2e-5),
         su.params, sr.params)
+
+
+def test_v5_step_bf16_activation_residency():
+    """make_train_step_v5(activation_dtype=bf16): runs, loss within bf16
+    drift of the fp32-resident step, fp32 master weights, stats move."""
+    cfg = YoloV5Config("n")
+    params = init_yolov5_params(cfg, 0, batch_norm=True)
+    opt = optax.adam(1e-3)
+    s0 = init_train_state(params, opt)
+    rng = np.random.RandomState(2)
+    images = rng.rand(2, 96, 96, 3).astype(np.float32)
+    boxes, mask = _gt(batch=2, m=4)
+    boxes[:, 0, 0:4] = [48, 48, 24, 24]
+    boxes[:, 0, 4] = 1.0
+    boxes[:, 0, 5] = 1.0
+    mask[:, 0] = True
+    losses = {}
+    final = None
+    for name, adt in (("fp32", None), ("bf16", jnp.bfloat16)):
+        step = jax.jit(make_train_step_v5(cfg, opt, resolution=96,
+                                          activation_dtype=adt))
+        s1, loss = step(s0, jnp.asarray(images), jnp.asarray(boxes),
+                        jnp.asarray(mask))
+        losses[name] = float(loss)
+        if name == "bf16":
+            final = s1
+    assert np.isfinite(losses["bf16"])
+    np.testing.assert_allclose(losses["bf16"], losses["fp32"], rtol=0.05)
+    for leaf in jax.tree_util.tree_leaves(final.params):
+        assert leaf.dtype == jnp.float32
+        assert np.isfinite(np.asarray(leaf)).all()
+    assert float(jnp.abs(jnp.asarray(
+        final.params["m0"]["bn_mean"])).max()) > 0
