@@ -53,11 +53,13 @@ def run_detect(detector_params: dict):
 
 
 def run_train(trainer_params: dict, validator_params: dict,
-              train_params: dict):
+              train_params: dict, resume_preempt: bool = False):
     from .train.trainer import DarknetTrainer
     trainer = DarknetTrainer(**trainer_params)
     if validator_params.get("annotation_dir"):
         trainer.get_validator(**validator_params)
+    if resume_preempt:
+        trainer.resume_preempt()
     trainer.train(**train_params)
     return trainer
 
@@ -196,6 +198,11 @@ def train_arg_parser() -> argparse.ArgumentParser:
                    help="input resolution (default 416 darknet / 640 v5)")
     p.add_argument("--fine_tune", dest="resume", action="store_true",
                    help="Resume from checkpoint")
+    p.add_argument("--resume_preempt", action="store_true",
+                   help="resume a SIGTERM-preempted run exactly: restore "
+                        "the 'preempt' tier and fast-forward to the "
+                        "saved (epoch, batch) — bit-identical to an "
+                        "uninterrupted run (train/preempt.py)")
     p.add_argument("--dataset", default="COCO", choices=["COCO", "VOC"])
     p.add_argument("--ema", dest="ema_decay", default=None, type=float,
                    help="EMA decay for deploy weights (e.g. 0.999); "
@@ -270,6 +277,8 @@ def train_cli(argv=None):
                        scan_ladders=a.scan_ladders,
                        activation_dtype=jnp.bfloat16 if a.bf16_act
                        else None)
+        if a.resume_preempt:
+            tr.resume_preempt()
         tr.train(a.xml, a.images, dataset_type=a.dataset)
         return 0
     import jax.numpy as jnp
@@ -287,7 +296,8 @@ def train_cli(argv=None):
     }
     train_params = {"annotation_dir": a.xml, "img_dir": a.images,
                     "dataset_type": a.dataset}
-    return run_train(trainer_params, {}, train_params)
+    return run_train(trainer_params, {}, train_params,
+                     resume_preempt=a.resume_preempt)
 
 
 

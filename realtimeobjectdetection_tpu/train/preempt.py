@@ -56,6 +56,31 @@ class PreemptSupport:
             return lambda: None
         return lambda: signal.signal(signal.SIGTERM, prev)
 
+    def resume_preempt(self) -> dict:
+        """Restore the ``preempt`` tier AND arm the next ``train()`` call
+        to fast-forward to the exact saved position: training continues
+        at preempt.json's (epoch, batch) with the same shuffled data
+        order (``padded_batches`` is seeded per epoch) and the same
+        multi-scale resolution draws, so the preempted + resumed run is
+        bit-identical to an uninterrupted one
+        (tests/test_trainer_and_validator.py::
+        test_preempt_midepoch_resume_exact).  Plain ``restore(preempt)``
+        without this re-runs the interrupted epoch from its first batch
+        — safe but repeats work.  Returns the sidecar metadata."""
+        self.restore(os.path.join(self.out_dir, "preempt"))
+        with open(os.path.join(self.out_dir, "preempt.json")) as f:
+            meta = json.load(f)
+        self._resume_meta = dict(meta)
+        return meta
+
+    def _resume_position(self):
+        """(start_epoch, batches_to_skip) for the epoch loop; one-shot."""
+        meta = getattr(self, "_resume_meta", None)
+        self._resume_meta = None
+        if meta:
+            return int(meta["epoch"]), int(meta["batch"])
+        return 1, 0
+
     def _save_preempt(self, epoch: int, batch: int, verbose: bool):
         self.save("preempt")
         meta = {"epoch": epoch, "batch": batch,

@@ -446,9 +446,15 @@ class DarknetTrainer(PreemptSupport):
         self.history.setdefault("train_recall", [])
         self.history.setdefault("train_f_score", [])
         best_metric = None
+        # mid-epoch preempt resume (resume_preempt): fast-forward to the
+        # saved (epoch, batch).  Skipped batches are still drawn from the
+        # loader and the multiscale rng still advances, so the data order
+        # and resolution schedule stay identical to an uninterrupted run.
+        start_epoch, skip = self._resume_position()
 
-        for epoch in range(1, self.epochs + 1):
+        for epoch in range(start_epoch, self.epochs + 1):
             t_start = time.time()
+            n_batches = batch_num - (skip if epoch == start_epoch else 0)
             acct = _LaggedLoss(self, epoch, batch_num, verbose,
                                lag=self.loss_lag)
             rng = np.random.RandomState(self.seed + epoch)
@@ -458,6 +464,8 @@ class DarknetTrainer(PreemptSupport):
                     shuffle=True, seed=self.seed, epoch=epoch)):
                 if self.multiscale and b % self.multiscale_every == 0:
                     cur_res = int(rng.choice(self._scales))
+                if epoch == start_epoch and b < skip:
+                    continue
                 step = self._get_step(cur_res)
                 self.state, loss = step(
                     self.state, jnp.asarray(images), jnp.asarray(boxes),
@@ -505,8 +513,8 @@ class DarknetTrainer(PreemptSupport):
                     best_metric = metric
                     self.save("checkpoint")
 
-            self.history["train_loss"].append(running_loss / batch_num)
-            rec = {"epoch": epoch, "loss": running_loss / batch_num,
+            self.history["train_loss"].append(running_loss / n_batches)
+            rec = {"epoch": epoch, "loss": running_loss / n_batches,
                    "wall_s": round(time.time() - t_start, 2)}
             if self.validator is not None:
                 rec.update(precision=self.validator.precision,

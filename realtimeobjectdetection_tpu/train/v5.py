@@ -651,8 +651,12 @@ class TrainerV5(PreemptSupport):
             self.warm_step_cache(verbose=verbose)
         self.history.setdefault("train_loss", [])
         best = None
-        for epoch in range(1, self.epochs + 1):
+        # mid-epoch preempt resume: same fast-forward contract as
+        # DarknetTrainer._train (preempt.PreemptSupport.resume_preempt)
+        start_epoch, skip = self._resume_position()
+        for epoch in range(start_epoch, self.epochs + 1):
             t0 = time.time()
+            n_batches = batch_num - (skip if epoch == start_epoch else 0)
             from .trainer import _LaggedLoss
             acct = _LaggedLoss(self, epoch, batch_num, verbose,
                                lag=self.loss_lag)
@@ -663,6 +667,8 @@ class TrainerV5(PreemptSupport):
                     shuffle=True, seed=self.seed, epoch=epoch)):
                 if self.multiscale and b % self.multiscale_every == 0:
                     cur_res = int(rng.choice(self._scales))
+                if epoch == start_epoch and b < skip:
+                    continue
                 self.state, loss = self._get_step(cur_res)(
                     self.state, jnp.asarray(images), jnp.asarray(boxes),
                     jnp.asarray(mask))
@@ -689,15 +695,15 @@ class TrainerV5(PreemptSupport):
             if improved:
                 best = metric
                 self.save("checkpoint")
-            self.history["train_loss"].append(running / batch_num)
+            self.history["train_loss"].append(running / n_batches)
             from .trainer import append_history_jsonl
-            rec = {"epoch": epoch, "loss": running / batch_num,
+            rec = {"epoch": epoch, "loss": running / n_batches,
                    "wall_s": round(time.time() - t0, 2)}
             if self.history.get("train_map50"):
                 rec["map50"] = self.history["train_map50"][-1]
             append_history_jsonl(self.out_dir, rec)
             if verbose:
-                print(f"\n\tAverage Epoch Loss: {running / batch_num}")
+                print(f"\n\tAverage Epoch Loss: {running / n_batches}")
                 DarknetTrainer.epoch_eta(t0, time.time(),
                                          self.epochs - epoch)
         self.save("training_output")

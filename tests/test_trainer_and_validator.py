@@ -651,3 +651,71 @@ def test_loss_lag_equivalent_history(tmp_path, capsys):
     assert "Batch:   1" in capsys.readouterr().out
     assert acct.finish() == 5.0               # nan excluded
     assert acct._t.nonfinite_steps == 1
+
+
+def test_preempt_midepoch_resume_exact(tmp_path):
+    """resume_preempt() fast-forwards to the exact saved (epoch, batch):
+    the preempted + resumed run consumes exactly the remaining batches
+    in the same order, so final params and step count are bit-identical
+    to an uninterrupted run (same jitted program, same data)."""
+    import jax
+    from realtimeobjectdetection_tpu.train.trainer import DarknetTrainer
+    ann, imgs = make_synthetic_coco(tmp_path, n_images=6)
+    kw = dict(epochs=2, batch_size=3, resolution=160, lr=1e-3,
+              mesh=None, max_boxes=8)
+
+    # uninterrupted reference: 2 epochs x 2 batches = 4 steps
+    ref = DarknetTrainer("yolov3-tiny", out_dir=str(tmp_path / "ref"),
+                         **kw)
+    ref.train(ann, imgs, dataset_type="COCO", verbose=False)
+    assert int(ref.state.step) == 4
+
+    # preempt after batch 1 of epoch 1
+    out = str(tmp_path / "w")
+    t1 = DarknetTrainer("yolov3-tiny", out_dir=out, **kw)
+    t1.request_preempt()
+    t1.train(ann, imgs, dataset_type="COCO", verbose=False)
+    assert int(t1.state.step) == 1
+
+    # resume mid-epoch: 3 more steps (epoch-1 batch 2, epoch 2 x 2)
+    t2 = DarknetTrainer("yolov3-tiny", out_dir=out, **kw)
+    meta = t2.resume_preempt()
+    assert meta["epoch"] == 1 and meta["batch"] == 1
+    hist = t2.train(ann, imgs, dataset_type="COCO", verbose=False)
+    assert int(t2.state.step) == 4
+    # the resumed epoch averaged over only its remaining batch
+    assert len(hist["train_loss"]) == 2
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        t2.state.params, ref.state.params)
+
+
+def test_preempt_midepoch_resume_exact_v5(tmp_path):
+    """Same fast-forward contract for TrainerV5 (its epoch loop is a
+    separate copy of the machinery)."""
+    import jax
+    from realtimeobjectdetection_tpu.train.v5 import TrainerV5
+    ann, imgs = make_synthetic_coco(tmp_path, n_images=4,
+                                    img_size=(96, 128))
+    kw = dict(model_size="n", epochs=2, batch_size=2, resolution=96,
+              best_on="loss", max_boxes=8, prewarm=False)
+
+    ref = TrainerV5(out_dir=str(tmp_path / "ref"), **kw)
+    ref.train(ann, imgs, dataset_type="COCO", verbose=False)
+    assert int(ref.state.step) == 4
+
+    out = str(tmp_path / "w")
+    t1 = TrainerV5(out_dir=out, **kw)
+    t1.request_preempt()
+    t1.train(ann, imgs, dataset_type="COCO", verbose=False)
+    assert int(t1.state.step) == 1
+
+    t2 = TrainerV5(out_dir=out, **kw)
+    t2.resume_preempt()
+    t2.train(ann, imgs, dataset_type="COCO", verbose=False)
+    assert int(t2.state.step) == 4
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        t2.state.params, ref.state.params)
