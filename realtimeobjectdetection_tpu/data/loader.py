@@ -23,8 +23,11 @@ def padded_batches(dataset, batch_size: int, max_boxes: int = 64,
                    shuffle: bool = True, seed: int = 42,
                    num_attrs: int = 85, drop_last: bool = False,
                    prefetch: int = 4,
-                   epoch: int = 0) -> Iterator[Tuple[np.ndarray, np.ndarray,
-                                                     np.ndarray]]:
+                   epoch: int = 0,
+                   host_id: int = 0,
+                   num_hosts: int = 1) -> Iterator[Tuple[np.ndarray,
+                                                         np.ndarray,
+                                                         np.ndarray]]:
     """Yield fixed-shape (images, boxes, mask) batches.
 
     Boxes beyond ``max_boxes`` per image are dropped (logged-by-contract:
@@ -33,11 +36,25 @@ def padded_batches(dataset, batch_size: int, max_boxes: int = 64,
     all-false box mask (zero frames would pollute batch-statistics BN for
     the real images — the train step runs BN in batch mode); pass
     ``drop_last=True`` for strict epoch statistics.
+
+    ``host_id``/``num_hosts``: multi-host data sharding for
+    ``jax.distributed`` training (parallel/distributed.py) — every host
+    shuffles the SAME (seed, epoch) order, takes the round-robin slice
+    ``order[host_id::num_hosts]``, and all slices are trimmed to the
+    common floor(n/num_hosts) length so every host sees the same batch
+    count (unequal counts would deadlock lockstep collectives).  Shards
+    are disjoint and their union covers all but at most
+    ``num_hosts - 1`` samples per epoch
+    (tests/test_trainer_and_validator.py::test_loader_host_sharding).
     """
     n = len(dataset)
     order = np.arange(n)
     if shuffle:
         np.random.RandomState(seed + epoch).shuffle(order)
+    if num_hosts > 1:
+        assert 0 <= host_id < num_hosts, (host_id, num_hosts)
+        order = order[host_id::num_hosts][:n // num_hosts]
+        n = len(order)
 
     q: "queue.Queue" = queue.Queue(maxsize=prefetch)
     stop = threading.Event()

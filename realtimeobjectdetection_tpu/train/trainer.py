@@ -438,7 +438,11 @@ class DarknetTrainer(PreemptSupport):
         if self.prewarm and len(self._scales) > 1:
             self.warm_step_cache(verbose=verbose)
         dataset = self._make_dataset(annotation_dir, img_dir, dataset_type)
-        data_num = len(dataset)
+        # multi-host runs (jax.distributed): each process trains on its
+        # disjoint loader shard (padded_batches host_id/num_hosts), so
+        # the per-host epoch length is len(dataset)/process_count
+        data_num = (len(dataset) if jax.process_count() == 1
+                    else len(dataset) // jax.process_count())
         batch_num = max(1, (data_num + self.batch_size - 1)
                         // self.batch_size)
         self.history.setdefault("train_loss", [])
@@ -461,7 +465,9 @@ class DarknetTrainer(PreemptSupport):
             cur_res = self.resolution
             for b, (images, boxes, mask) in enumerate(padded_batches(
                     dataset, self.batch_size, self.max_boxes,
-                    shuffle=True, seed=self.seed, epoch=epoch)):
+                    shuffle=True, seed=self.seed, epoch=epoch,
+                    host_id=jax.process_index(),
+                    num_hosts=jax.process_count())):
                 if self.multiscale and b % self.multiscale_every == 0:
                     cur_res = int(rng.choice(self._scales))
                 if epoch == start_epoch and b < skip:

@@ -644,7 +644,11 @@ class TrainerV5(PreemptSupport):
             dataset = VOCDataset(annotation_dir, img_dir, self.resolution)
         else:
             dataset = COCODataset(annotation_dir, img_dir, self.resolution)
-        batch_num = max(1, (len(dataset) + self.batch_size - 1)
+        # per-host epoch length under multi-host data sharding (see
+        # DarknetTrainer._train / data/loader.padded_batches)
+        data_num = (len(dataset) if jax.process_count() == 1
+                    else len(dataset) // jax.process_count())
+        batch_num = max(1, (data_num + self.batch_size - 1)
                         // self.batch_size)
         self._resolve_schedule(batch_num)
         if self.prewarm and len(self._scales) > 1:
@@ -664,7 +668,9 @@ class TrainerV5(PreemptSupport):
             cur_res = self.resolution
             for b, (images, boxes, mask) in enumerate(padded_batches(
                     dataset, self.batch_size, self.max_boxes,
-                    shuffle=True, seed=self.seed, epoch=epoch)):
+                    shuffle=True, seed=self.seed, epoch=epoch,
+                    host_id=jax.process_index(),
+                    num_hosts=jax.process_count())):
                 if self.multiscale and b % self.multiscale_every == 0:
                     cur_res = int(rng.choice(self._scales))
                 if epoch == start_epoch and b < skip:

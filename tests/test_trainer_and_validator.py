@@ -719,3 +719,38 @@ def test_preempt_midepoch_resume_exact_v5(tmp_path):
         lambda a, b: np.testing.assert_array_equal(np.asarray(a),
                                                    np.asarray(b)),
         t2.state.params, ref.state.params)
+
+
+def test_loader_host_sharding(tmp_path):
+    """padded_batches(host_id, num_hosts): disjoint per-host shards of
+    the same shuffled order, trimmed to a common length so every host
+    sees the same batch count (lockstep-collective safety); the union
+    covers all but at most num_hosts-1 samples."""
+    ann, imgs = make_synthetic_coco(tmp_path, n_images=7)
+    ds = COCODataset(ann, imgs, resolution=96)
+    per_host = []
+    for h in range(3):
+        seen = []
+        for images, boxes, mask in padded_batches(
+                ds, batch_size=2, max_boxes=8, shuffle=True, seed=1,
+                epoch=4, host_id=h, num_hosts=3):
+            # identify samples by image checksum
+            for j in range(images.shape[0]):
+                if mask[j].any() or images[j].any():
+                    seen.append(round(float(images[j].sum()), 3))
+        per_host.append(seen)
+    # trimmed: 7 // 3 = 2 real samples per host (batch pads repeat the
+    # last sample; dedupe)
+    uniq = [set(s) for s in per_host]
+    assert all(len(u) == 2 for u in uniq)
+    # disjoint shards
+    assert len(uniq[0] | uniq[1] | uniq[2]) == 6
+    # single-host default unchanged: covers all 7
+    all_seen = set()
+    for images, boxes, mask in padded_batches(ds, batch_size=2,
+                                              max_boxes=8, shuffle=True,
+                                              seed=1, epoch=4):
+        for j in range(images.shape[0]):
+            all_seen.add(round(float(images[j].sum()), 3))
+    assert uniq[0] | uniq[1] | uniq[2] <= all_seen
+    assert len(all_seen) == 7
