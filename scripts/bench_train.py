@@ -42,6 +42,12 @@ def main():
                          "the reference-style per-batch sync) and report "
                          "wall ms/step per lag, interleaved")
     ap.add_argument("--loop_steps", type=int, default=8)
+    ap.add_argument("--donate", action="store_true",
+                    help="donate the state argument (the real trainer's "
+                         "default) — halves train-state HBM residency, "
+                         "required to probe the true batch-size "
+                         "capability boundary; each variant then times "
+                         "a state CHAIN instead of replaying one state")
     args = ap.parse_args()
 
     import jax
@@ -62,9 +68,14 @@ def main():
     spec = get_spec(args.model, width=reso, height=reso)
     params = init_params(spec, 0)
     opt = optax.adam(1e-3)
-    state = jax.device_put(init_train_state(params, opt))
+    # donate mode: no long-lived global state (it would pin ~3x params
+    # of HBM next to the per-variant chains)
+    state = None if args.donate \
+        else jax.device_put(init_train_state(params, opt))
     train_gflop_per_img = 3.0 * conv_flops(spec, reso) / 1e9
     peak_tflops = 197.0 if args.dtype == "bfloat16" else 197.0 / 4
+
+    donate_kw = {"donate_argnums": (0,)} if args.donate else {}
 
     variants = {}
     for v in args.variants:
@@ -72,16 +83,19 @@ def main():
             # rolled+remat step with bf16 activation residency
             variants[v] = jax.jit(make_train_step(
                 spec, opt, resolution=reso, compute_dtype=dtype,
-                activation_dtype=jnp.bfloat16))
+                activation_dtype=jnp.bfloat16), **donate_kw)
             continue
         variants[v] = jax.jit(make_train_step(
             spec, opt, resolution=reso, compute_dtype=dtype,
             scan_ladders=v.startswith("rolled"),
-            scan_remat=(v == "rolled")))
+            scan_remat=(v == "rolled")), **donate_kw)
     for k in args.accum:
         variants[f"accum{k}"] = jax.jit(make_train_step(
             spec, opt, resolution=reso, compute_dtype=dtype,
-            accum_steps=k))
+            accum_steps=k), **donate_kw)
+
+    def fresh_state():
+        return jax.device_put(init_train_state(params, opt))
 
     rng = np.random.RandomState(0)
     for bs in args.bs:
@@ -107,11 +121,14 @@ def main():
             float(jax.tree_util.tree_leaves(s2.params)[0].ravel()[0])
 
         dead = set()
+        chains = {}      # donate mode: per-variant state chain
         for name, f in variants.items():
             t0 = time.time()
             try:
-                s2, loss = f(state, images, boxes, mask)
+                s_in = fresh_state() if args.donate else state
+                s2, loss = f(s_in, images, boxes, mask)
                 sync(s2, loss)
+                chains[name] = s2
             except Exception as e:  # e.g. RESOURCE_EXHAUSTED at large bs
                 dead.add(name)
                 print(f"bs={bs} {name}: FAILED {type(e).__name__}: "
@@ -127,7 +144,11 @@ def main():
                     continue
                 for _ in range(args.iters):
                     t0 = time.time()
-                    sync(*f(state, images, boxes, mask))
+                    s_in = chains[name] if args.donate else state
+                    s2, loss = f(s_in, images, boxes, mask)
+                    sync(s2, loss)
+                    if args.donate:
+                        chains[name] = s2
                     best[name] = min(best[name], time.time() - t0)
         for name, t in best.items():
             img_s = bs / t
@@ -150,7 +171,8 @@ def main():
             K = args.loop_steps
 
             def run_loop(lag):
-                s, pend = state, deque()
+                s = fresh_state() if args.donate else state
+                pend = deque()
                 t0 = time.time()
                 for _ in range(K):
                     s, loss = f(s, images, boxes, mask)
