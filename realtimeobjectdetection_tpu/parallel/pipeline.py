@@ -141,6 +141,16 @@ class _StagedPipeline:
         batch NamedSharding when the stage is data-parallel (PPxDP)."""
         return getattr(self, "_carry_targets", None) or self.devices
 
+    def update_params(self, params) -> None:
+        """Hot-swap the per-stage weight slices (serving weight reload).
+
+        ``params`` must be in the layout the pipeline was built with
+        (same pytree/shapes — the jitted stage programs are reused, no
+        recompile).  The swap is one attribute store; callers that may
+        be mid-``__call__`` on another thread must serialize around it
+        (DetectionService holds its reload lock)."""
+        self._params = self._place(params)
+
     def __call__(self, x):
         """Full heads-forward for one batch across the stage devices."""
         heads: List[jnp.ndarray] = []
@@ -271,12 +281,18 @@ class PipelinedForward(_StagedPipeline):
             else:
                 jfn = jax.jit(f)
             self._fns.append(jfn)
-            stage_params = {
-                f"node_{i}": params[f"node_{i}"]
-                for i in range(lo, hi) if f"node_{i}" in params}
-            self._params.append(jax.device_put(
-                stage_params,
-                self._repl[k] if dp > 1 else self.devices[k]))
+
+        def _place(full):
+            placed = []
+            for k, (lo, hi) in enumerate(self.ranges):
+                sp = {f"node_{i}": full[f"node_{i}"]
+                      for i in range(lo, hi) if f"node_{i}" in full}
+                placed.append(jax.device_put(
+                    sp, self._repl[k] if dp > 1 else self.devices[k]))
+            return placed
+
+        self._place = _place
+        self._params = _place(params)
 
 
 def balance_cuts_v5(cfg, n_stages: int,
@@ -336,17 +352,23 @@ class PipelinedForwardV5(_StagedPipeline):
             else:
                 jfn = jax.jit(lambda p, c, fn=fn: fn(p, None, c))
             self._fns.append(jfn)
-            stage_params: Dict = {}
-            for name, _, _, _ in steps[lo:hi]:
-                if name.startswith("m24."):
-                    sub = name.split(".", 1)[1]
-                    stage_params.setdefault("m24", {})[sub] = \
-                        params["m24"][sub]
-                    continue
-                for key in _V5_STEP_PARAM_KEYS.get(name, (name,)):
-                    stage_params[key] = params[key]
-            self._params.append(
-                jax.device_put(stage_params, self.devices[k]))
+
+        def _place(full):
+            placed = []
+            for k, (lo, hi) in enumerate(self.ranges):
+                sp: Dict = {}
+                for name, _, _, _ in steps[lo:hi]:
+                    if name.startswith("m24."):
+                        sub = name.split(".", 1)[1]
+                        sp.setdefault("m24", {})[sub] = full["m24"][sub]
+                        continue
+                    for key in _V5_STEP_PARAM_KEYS.get(name, (name,)):
+                        sp[key] = full[key]
+                placed.append(jax.device_put(sp, self.devices[k]))
+            return placed
+
+        self._place = _place
+        self._params = _place(params)
 
 
 class _GPipeTrain:

@@ -146,6 +146,7 @@ class DetectionService:
         self.batch_size = batch_size
         self.batch_window_s = batch_window_ms / 1000.0
         self.classes = class_names or COCO80
+        self._folds_bn = bn_mode == "fold"   # reload_params mirrors this
         if bn_mode == "fold":
             params = fold_batchnorm(spec, params)
         self.params = jax.device_put(params)
@@ -203,9 +204,53 @@ class DetectionService:
         self.stats = ServiceStats()
         self._q: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
+        self._reload_lock = threading.Lock()
         self._worker = threading.Thread(target=self._batch_loop,
                                         daemon=True)
         self._worker.start()
+
+    # ------------------------------------------------------------------
+    def reload_params(self, params, folded: bool = False) -> None:
+        """Hot-swap the serving weights without restarting the service.
+
+        ``params`` must match the spec the service was built with (same
+        pytree structure and shapes) — the compiled executable is
+        reused, so the swap costs one host->device upload and zero
+        recompiles.  ``folded=False`` params in the training layout are
+        BN-folded first, exactly as ``__init__`` does.  The swap holds
+        the batch lock, so in-flight batches finish on the old weights
+        and the next batch picks up the new ones — no dropped or mixed
+        requests.  Production surface beyond the reference (which must
+        restart detect.py to change weights)."""
+        if not folded and self._folds_bn and any(
+                "bn_gamma" in v for v in params.values()
+                if isinstance(v, dict)):
+            try:
+                params = fold_batchnorm(self.spec, params)
+            except KeyError as e:   # params from a different graph
+                raise ValueError(
+                    f"params do not match the serving spec "
+                    f"({len(self.spec.nodes)} nodes): missing {e}")
+        new = jax.device_put(params)
+        old_td = jax.tree_util.tree_structure(self.params)
+        new_td = jax.tree_util.tree_structure(new)
+        if old_td != new_td:
+            raise ValueError(f"params tree mismatch: {new_td} != {old_td}")
+        for a, b in zip(jax.tree_util.tree_leaves(self.params),
+                        jax.tree_util.tree_leaves(new)):
+            if a.shape != b.shape:
+                raise ValueError(f"shape mismatch {b.shape} != {a.shape}")
+        with self._reload_lock:
+            if self.pipeline is not None:
+                self.pipeline.update_params(new)
+            self.params = new
+
+    def reload_weights(self, path: str) -> None:
+        """Load a darknet ``.weights`` checkpoint (any trainer tier's
+        ``.weights`` export) and hot-swap it (see reload_params)."""
+        from ..weights import load_darknet_weights
+        params, _ = load_darknet_weights(self.spec, path)
+        self.reload_params(params, folded=False)
 
     def describe(self) -> Dict:
         return {"model_nodes": len(self.spec.nodes),
@@ -248,7 +293,9 @@ class DetectionService:
                 batch[j] = canvas
             self.stats.record_batch(len(items))
             try:
-                boxes, valid = self._detect(self.params, jnp.asarray(batch))
+                with self._reload_lock:   # weight swaps land between batches
+                    boxes, valid = self._detect(self.params,
+                                                jnp.asarray(batch))
                 boxes = np.asarray(boxes)
                 valid = np.asarray(valid)
                 for j, (_, dims, done) in enumerate(items):
@@ -321,6 +368,7 @@ class DetectionServiceV5(DetectionService):
         self.batch_size = batch_size
         self.batch_window_s = batch_window_ms / 1000.0
         self.classes = class_names or COCO80
+        self._folds_bn = True   # v5 serving always consumes folded params
         if weights_path is None:
             params = init_yolov5_params(self.cfg, seed=0)
         else:
@@ -369,6 +417,30 @@ class DetectionServiceV5(DetectionService):
         return {"model": f"yolov5{self.cfg.size}",
                 "resolution": self.resolution,
                 "batch_size": self.batch_size}
+
+    def reload_params(self, params, folded: bool = False) -> None:
+        """v5 reload: training-layout params are folded via
+        fold_v5_batchnorm (the v5 twin of the darknet fold); otherwise
+        identical swap semantics to DetectionService.reload_params."""
+        from ..models.yolov5 import fold_v5_batchnorm
+
+        def _has_bn(t):
+            if isinstance(t, dict):
+                return "bn_gamma" in t or any(_has_bn(v)
+                                              for v in t.values())
+            if isinstance(t, list):
+                return any(_has_bn(v) for v in t)
+            return False
+        if not folded and _has_bn(params):
+            params = fold_v5_batchnorm(params)
+        DetectionService.reload_params(self, params, folded=True)
+
+    def reload_weights(self, path: str) -> None:
+        """Load any v5 checkpoint format load_v5_checkpoint accepts
+        (.npz deploy artifact, orbax dir, ultralytics .pt) and swap."""
+        from ..models.yolov5 import load_v5_checkpoint
+        self.reload_params(load_v5_checkpoint(self.cfg, path),
+                           folded=False)
 
     def _prep(self, img_bgr: np.ndarray) -> np.ndarray:
         from .yolov5 import letterbox_v5
@@ -505,6 +577,33 @@ def _make_handler(service: DetectionService):
         def do_POST(self):
             if self.path == "/detect_stream":
                 self._detect_stream()
+                return
+            if self.path == "/reload":
+                # hot weight reload: {"weights": "<path>"} — swaps the
+                # device params between batches, zero recompiles (see
+                # DetectionService.reload_params).  Path-based by design:
+                # the checkpoint must already be on the serving host
+                # (a trainer tier's .weights / .npz / orbax dir).
+                length = int(self.headers.get("Content-Length", 0))
+                try:
+                    body = json.loads(self.rfile.read(length) or b"{}")
+                    path = body["weights"]
+                except (ValueError, KeyError) as e:
+                    self._json(400, {"error": f"bad reload body: {e!r}"})
+                    return
+                t0 = time.time()
+                try:
+                    service.reload_weights(path)
+                except FileNotFoundError as e:
+                    self._json(404, {"error": repr(e)})
+                    return
+                except BaseException as e:
+                    service.stats.record_error()
+                    self._json(400, {"error": repr(e)})
+                    return
+                self._json(200, {"reloaded": path,
+                                 "ms": round(1000 * (time.time() - t0),
+                                             2)})
                 return
             if self.path != "/detect":
                 self._json(404, {"error": "unknown path"})

@@ -396,3 +396,97 @@ def test_metrics_endpoint(server):
     assert (metrics["detector_request_latency_seconds_count"]
             == metrics["detector_requests_total"])
     assert metrics['detector_info{field="resolution"}'] == 160.0
+
+
+def test_reload_params_hot_swap():
+    """DetectionService.reload_params: the serving weights swap without
+    a restart or recompile — results change to the new weights' output,
+    mismatched trees are rejected, and the fold path folds training-
+    layout params exactly as __init__ does."""
+    spec = get_spec("yolov3-tiny", width=160, height=160)
+    svc = DetectionService(spec, init_params(spec, 0), resolution=160,
+                           confidence=0.05, batch_size=2,
+                           bn_mode="fold", compute_dtype=jnp.float32,
+                           top_k=32)
+    try:
+        svc.warmup()
+        rng = np.random.RandomState(0)
+        img = rng.randint(0, 255, (160, 160, 3), np.uint8)
+        rows0 = svc.detect_image(img)
+        leaf0 = np.asarray(svc.params["node_0"]["w"]).copy()
+
+        svc.reload_params(init_params(spec, 1))   # training layout: folds
+        leaf1 = np.asarray(svc.params["node_0"]["w"])
+        assert np.abs(leaf1 - leaf0).max() > 0
+        rows1 = svc.detect_image(img)             # same program, new weights
+        assert rows0.shape[1] == rows1.shape[1]
+        assert (rows0.shape != rows1.shape
+                or np.abs(rows0 - rows1).max() > 1e-3)
+
+        # structure mismatch (different model) must be rejected cleanly
+        other = get_spec("yolov3", width=160, height=160)
+        with pytest.raises(ValueError):
+            svc.reload_params(init_params(other, 0))
+        # ... and the service still serves
+        assert svc.detect_image(img) is not None
+    finally:
+        svc.close()
+
+
+def test_reload_endpoint(server, tmp_path):
+    """POST /reload: hot weight reload over HTTP — happy path swaps a
+    .weights checkpoint in, missing files 404, garbage bodies 400, and
+    /detect keeps working after every case."""
+    import os
+    from realtimeobjectdetection_tpu.models import get_spec as _gs
+    from realtimeobjectdetection_tpu.weights import (export_darknet_weights,
+                                                     init_params as _ip)
+    spec = _gs("yolov3-tiny", width=160, height=160)
+    blob = export_darknet_weights(spec, _ip(spec, 7), seen=7)
+    wpath = str(tmp_path / "new.weights")
+    with open(wpath, "wb") as f:
+        f.write(blob)
+
+    status, data = _request(server, "POST", "/reload",
+                            body=json.dumps({"weights": wpath}))
+    assert status == 200 and data["reloaded"] == wpath and data["ms"] >= 0
+
+    status, data = _request(server, "POST", "/reload",
+                            body=json.dumps({"weights": "/nope.weights"}))
+    assert status == 404
+
+    status, data = _request(server, "POST", "/reload", body=b"not json")
+    assert status == 400 and "bad reload body" in data["error"]
+
+    # service is still healthy after the swap + failures
+    ok, png = True, cv2.imencode(".png", np.zeros((64, 80, 3), np.uint8))[1]
+    status, data = _request(server, "POST", "/detect", body=png.tobytes())
+    assert status == 200 and "boxes" in data
+
+
+def test_reload_params_v5_folds_training_layout():
+    """DetectionServiceV5.reload_params: a training-layout checkpoint
+    (batch_norm=True, e.g. straight out of TrainerV5) is BN-folded on
+    the way in (fold_v5_batchnorm) and swaps cleanly."""
+    from realtimeobjectdetection_tpu.models.yolov5 import (
+        YoloV5Config, init_yolov5_params)
+    from realtimeobjectdetection_tpu.pipeline.server import \
+        DetectionServiceV5
+    svc = DetectionServiceV5(model_size="n", size=192, batch_size=2,
+                             compute_dtype=jnp.float32,
+                             activation_dtype=None, top_k=32,
+                             confidence=0.05)
+    try:
+        svc.warmup()
+        rng = np.random.RandomState(3)
+        img = rng.randint(0, 255, (192, 192, 3), np.uint8)
+        svc.detect_image(img)
+        leaf0 = np.asarray(svc.params["m0"]["w"]).copy()
+        cfg = YoloV5Config("n")
+        svc.reload_params(init_yolov5_params(cfg, 5, batch_norm=True))
+        leaf1 = np.asarray(svc.params["m0"]["w"])
+        assert np.abs(leaf1 - leaf0).max() > 0
+        assert "bn_gamma" not in svc.params["m0"]   # folded layout
+        assert svc.detect_image(img) is not None    # still serves
+    finally:
+        svc.close()
