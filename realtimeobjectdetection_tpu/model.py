@@ -477,8 +477,17 @@ def make_forward(spec: GraphSpec, bn_mode: str = "fold",
                     y = conv_w8a8(prev, entry["w_q"], entry["scale"],
                                   node.stride, node.pad)
                 else:
+                    # batch/running BN: keep the conv output fp32 so the
+                    # batch statistics and the normalization stay fp32
+                    # (the documented residency invariant); only the
+                    # final post-activation tensor is cast to act_dtype
+                    # below.  Fold/no-BN convs materialize act_dtype
+                    # directly (the serving fast path).
+                    conv_dt = act_dtype if (bn_mode == "fold"
+                                            or not node.batch_normalize) \
+                        else jnp.float32
                     y = _conv(prev, entry["w"], node.stride, node.pad,
-                              compute_dtype, precision, act_dtype)
+                              compute_dtype, precision, conv_dt)
                 if node.batch_normalize and bn_mode != "fold":
                     if bn_mode == "batch":
                         y, m, v = _batch_stats_bn(

@@ -231,15 +231,25 @@ class DetectionService:
                 raise ValueError(
                     f"params do not match the serving spec "
                     f"({len(self.spec.nodes)} nodes): missing {e}")
-        new = jax.device_put(params)
+        # validate on the host BEFORE any device upload (the tunnel's
+        # host->device bandwidth makes a rejected device_put expensive)
         old_td = jax.tree_util.tree_structure(self.params)
-        new_td = jax.tree_util.tree_structure(new)
+        new_td = jax.tree_util.tree_structure(params)
         if old_td != new_td:
             raise ValueError(f"params tree mismatch: {new_td} != {old_td}")
-        for a, b in zip(jax.tree_util.tree_leaves(self.params),
-                        jax.tree_util.tree_leaves(new)):
-            if a.shape != b.shape:
-                raise ValueError(f"shape mismatch {b.shape} != {a.shape}")
+        old_leaves = jax.tree_util.tree_leaves(self.params)
+        for a, b in zip(old_leaves, jax.tree_util.tree_leaves(params)):
+            if a.shape != np.shape(b):
+                raise ValueError(
+                    f"shape mismatch {np.shape(b)} != {a.shape}")
+        # cast to the built dtypes: the jitted executable is keyed on
+        # input avals, so a dtype drift (e.g. a bf16-saved artifact into
+        # an fp32-built service) would silently trigger a multi-minute
+        # recompile instead of reusing the program
+        params = jax.tree_util.tree_unflatten(
+            old_td, [jnp.asarray(b, a.dtype) for a, b in
+                     zip(old_leaves, jax.tree_util.tree_leaves(params))])
+        new = jax.device_put(params)
         with self._reload_lock:
             if self.pipeline is not None:
                 self.pipeline.update_params(new)
@@ -587,8 +597,8 @@ def _make_handler(service: DetectionService):
                 length = int(self.headers.get("Content-Length", 0))
                 try:
                     body = json.loads(self.rfile.read(length) or b"{}")
-                    path = body["weights"]
-                except (ValueError, KeyError) as e:
+                    path = body["weights"]   # TypeError: non-dict JSON
+                except (ValueError, KeyError, TypeError) as e:
                     self._json(400, {"error": f"bad reload body: {e!r}"})
                     return
                 t0 = time.time()

@@ -455,10 +455,15 @@ class DarknetTrainer(PreemptSupport):
         # loader and the multiscale rng still advances, so the data order
         # and resolution schedule stay identical to an uninterrupted run.
         start_epoch, skip = self._resume_position()
+        if skip >= batch_num:
+            # preempt fired at an epoch's final batch (or the dataset
+            # shrank): nothing left in that epoch — continue at the next
+            start_epoch, skip = start_epoch + 1, 0
 
         for epoch in range(start_epoch, self.epochs + 1):
             t_start = time.time()
-            n_batches = batch_num - (skip if epoch == start_epoch else 0)
+            n_batches = max(1, batch_num
+                            - (skip if epoch == start_epoch else 0))
             acct = _LaggedLoss(self, epoch, batch_num, verbose,
                                lag=self.loss_lag)
             rng = np.random.RandomState(self.seed + epoch)
@@ -483,8 +488,12 @@ class DarknetTrainer(PreemptSupport):
             running_loss = acct.finish()
 
             self.save(f"weight_epoch{epoch}")
+            # the loss metric is the PER-BATCH AVERAGE, not the epoch
+            # sum: a mid-epoch-resumed (partial) epoch sums fewer
+            # batches, and a raw-sum comparison would pin the
+            # best-checkpoint tier on the artificially small partial sum
             if self.validator is None:
-                metric, higher_better = running_loss, False
+                metric, higher_better = running_loss / n_batches, False
             else:
                 self.validator.validate_model(
                     self.spec, self.eval_params, verbose=verbose,
@@ -506,7 +515,7 @@ class DarknetTrainer(PreemptSupport):
                         scores["mAP@0.5"])
                     metric, higher_better = scores["mAP@0.5"], True
                 elif self.best_on == "loss":
-                    metric, higher_better = running_loss, False
+                    metric, higher_better = running_loss / n_batches, False
                 else:
                     metric, higher_better = self.validator.f_score, True
             # NaN metrics (e.g. zero detections early in training) never

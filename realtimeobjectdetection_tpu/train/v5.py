@@ -658,9 +658,12 @@ class TrainerV5(PreemptSupport):
         # mid-epoch preempt resume: same fast-forward contract as
         # DarknetTrainer._train (preempt.PreemptSupport.resume_preempt)
         start_epoch, skip = self._resume_position()
+        if skip >= batch_num:   # preempt fired at an epoch's final batch
+            start_epoch, skip = start_epoch + 1, 0
         for epoch in range(start_epoch, self.epochs + 1):
             t0 = time.time()
-            n_batches = batch_num - (skip if epoch == start_epoch else 0)
+            n_batches = max(1, batch_num
+                            - (skip if epoch == start_epoch else 0))
             from .trainer import _LaggedLoss
             acct = _LaggedLoss(self, epoch, batch_num, verbose,
                                lag=self.loss_lag)
@@ -695,7 +698,9 @@ class TrainerV5(PreemptSupport):
                 improved = (not np.isnan(metric)
                             and (best is None or metric > best))
             else:
-                metric = running
+                # per-batch average (not the sum): a partial resumed
+                # epoch must not pin the best tier with a small raw sum
+                metric = running / n_batches
                 improved = (not np.isnan(metric)
                             and (best is None or metric < best))
             if improved:

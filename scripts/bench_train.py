@@ -167,7 +167,12 @@ def main():
             # torch loop implies; higher lags keep the device queue full
             # through the tunnel.
             from collections import deque
-            f = next(v for k, v in variants.items() if k not in dead)
+            alive = [v for k, v in variants.items() if k not in dead]
+            if not alive:
+                print(f"bs={bs}: all variants dead — skipping lag A/B",
+                      flush=True)
+                continue
+            f = alive[0]
             K = args.loop_steps
 
             def run_loop(lag):

@@ -351,3 +351,11 @@ def test_train_step_bf16_activation_residency():
     moved = np.abs(np.asarray(s1.params["node_0"]["bn_mean"])
                    - np.asarray(s0.params["node_0"]["bn_mean"])).max()
     assert moved > 0
+    # fp32-stats invariant: the FIRST conv's batch statistics see the
+    # same fp32 conv output in both variants (the bf16 cast happens at
+    # materialization, after BN) — its running-stat update must match
+    # the fp32-resident step to fp32 tolerance, NOT bf16 rounding
+    np.testing.assert_allclose(
+        np.asarray(states["bf16"].params["node_0"]["bn_mean"]),
+        np.asarray(states["fp32"].params["node_0"]["bn_mean"]),
+        rtol=1e-6, atol=1e-7)

@@ -754,3 +754,52 @@ def test_loader_host_sharding(tmp_path):
             all_seen.add(round(float(images[j].sum()), 3))
     assert uniq[0] | uniq[1] | uniq[2] <= all_seen
     assert len(all_seen) == 7
+
+
+def test_preempt_resume_at_epoch_final_batch(tmp_path):
+    """A preempt that fires at an epoch's LAST batch resumes at the next
+    epoch (skip == batch_num would otherwise leave a zero-batch epoch
+    and divide by zero); final params still match the uninterrupted
+    run, and the best-checkpoint loss metric is the per-batch average
+    so the partial epoch cannot pin the tier."""
+    import jax
+    from realtimeobjectdetection_tpu.train.trainer import DarknetTrainer
+    ann, imgs = make_synthetic_coco(tmp_path, n_images=4)
+    kw = dict(epochs=2, batch_size=2, resolution=160, lr=1e-3,
+              mesh=None, max_boxes=8)
+
+    ref = DarknetTrainer("yolov3-tiny", out_dir=str(tmp_path / "ref"),
+                         **kw)
+    ref.train(ann, imgs, dataset_type="COCO", verbose=False)
+    assert int(ref.state.step) == 4
+
+    out = str(tmp_path / "w")
+    t1 = DarknetTrainer("yolov3-tiny", out_dir=out, **kw)
+
+    # preempt exactly at epoch 1's final batch (batch 2 of 2).  Wrap the
+    # JITTED step (step_jit, what the loop dispatches) — wrapping the
+    # raw step_fn would run it eagerly with different fusion numerics.
+    orig = t1.step_jit
+    calls = {"n": 0}
+
+    def wrapped(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            t1.request_preempt()
+        return orig(*a, **k)
+    t1._step_cache = {t1.resolution: wrapped}
+    t1.train(ann, imgs, dataset_type="COCO", verbose=False)
+    assert int(t1.state.step) == 2
+    import json as _json
+    meta = _json.load(open(os.path.join(out, "preempt.json")))
+    assert meta == {"epoch": 1, "batch": 2, "step": 2}
+
+    t2 = DarknetTrainer("yolov3-tiny", out_dir=out, **kw)
+    t2.resume_preempt()
+    hist = t2.train(ann, imgs, dataset_type="COCO", verbose=False)
+    assert int(t2.state.step) == 4          # exactly epoch 2's 2 batches
+    assert len(hist["train_loss"]) == 1     # only epoch 2 recorded
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        t2.state.params, ref.state.params)
