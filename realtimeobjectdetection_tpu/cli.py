@@ -249,6 +249,11 @@ def train_arg_parser() -> argparse.ArgumentParser:
                         "into lax.scan (~depth-times smaller HLO for "
                         "yolov5l/x — compile robustness; darknet steps "
                         "are rolled by default)")
+    p.add_argument("--loss_lag", default=1, type=int,
+                   help="defer the per-batch loss readback N steps "
+                        "behind dispatch (keeps the device queue full "
+                        "through the tunnel, +7-14%% measured; 0 = "
+                        "reference-style synchronous loop)")
     return p
 
 
@@ -275,6 +280,7 @@ def train_cli(argv=None):
                        accum_steps=a.accum_steps,
                        skip_nonfinite=a.skip_nonfinite,
                        scan_ladders=a.scan_ladders,
+                       loss_lag=a.loss_lag,
                        activation_dtype=jnp.bfloat16 if a.bf16_act
                        else None)
         if a.resume_preempt:
@@ -293,6 +299,7 @@ def train_cli(argv=None):
         "skip_nonfinite": a.skip_nonfinite,
         "compute_dtype": jnp.bfloat16 if a.bf16 else jnp.float32,
         "activation_dtype": jnp.bfloat16 if a.bf16_act else None,
+        "loss_lag": a.loss_lag,
     }
     train_params = {"annotation_dir": a.xml, "img_dir": a.images,
                     "dataset_type": a.dataset}
