@@ -499,6 +499,12 @@ def serve_arg_parser() -> argparse.ArgumentParser:
                         "416² — see PERFORMANCE.md; recall >= 0.95 of "
                         ">threshold rows — changes results; exact sort "
                         "is the default)")
+    p.add_argument("--aot", default=None, type=str, metavar="ARTIFACT",
+                   help="serve a rodtpu export artifact (rodtpu export "
+                        "--dst ...) instead of live model code: weights "
+                        "baked in, no --cfg/--weights, numerics pinned; "
+                        "a --batch_sizes bundle dispatches each device "
+                        "batch at its natural size")
     return p
 
 
@@ -506,7 +512,10 @@ def serve_cli(argv=None):
     a = serve_arg_parser().parse_args(argv)
     from .pipeline.server import DetectionService, DetectionServiceV5, serve
 
-    if a.cfg_file.lower().startswith("yolov5"):
+    if a.aot:
+        from .pipeline.server import AOTDetectionService
+        service = AOTDetectionService(a.aot)
+    elif a.cfg_file.lower().startswith("yolov5"):
         service = DetectionServiceV5(
             model_size=a.cfg_file[6:] or "s",
             weights_path=a.weights_file,
@@ -639,12 +648,19 @@ def export_cli(argv=None):
             params = init_yolov5_params(YoloV5Config(size))
         # None-sentinel defaults (ADVICE r2): explicit values equal to
         # the darknet defaults must NOT be remapped to v5 defaults
-        meta = save_detector_v5(
-            a.dst, size, params, batch_size=a.batch_size,
+        kw = dict(
             size=a.reso if a.reso is not None else 640,
             confidence=a.confidence if a.confidence is not None else 0.25,
             iou_thresh=a.nms_thresh if a.nms_thresh is not None else 0.45,
             top_k=a.top_k)
+        if a.batch_sizes:
+            from .pipeline.export import save_detector_bundle_v5
+            sizes = tuple(int(b) for b in a.batch_sizes.split(","))
+            meta = save_detector_bundle_v5(a.dst, size, params,
+                                           batch_sizes=sizes, **kw)
+        else:
+            meta = save_detector_v5(a.dst, size, params,
+                                    batch_size=a.batch_size, **kw)
         print(f"wrote {a.dst}: {meta}")
         return 0
     from .models.zoo import resolve_spec

@@ -27,7 +27,8 @@ from ..ops.decode import decode_heads
 from ..ops.nms import nms_batch
 
 __all__ = ["save_detector", "save_detector_v5", "load_detector",
-           "save_detector_bundle", "load_detector_bundle"]
+           "save_detector_bundle", "save_detector_bundle_v5",
+           "load_detector_bundle"]
 
 _MAGIC = b"RODTPU1\n"
 _MAGIC2 = b"RODTPU2\n"  # multi-batch-size bundle
@@ -157,11 +158,10 @@ def load_detector(path: str):
 # loader dispatches each call to the smallest program that fits (padding
 # the tail, slicing the result back).
 
-def save_detector_bundle(path: str, spec: GraphSpec, params,
-                         batch_sizes=(1, 8, 32), **kw) -> dict:
-    """Export the detect program at several static batch sizes into one
-    artifact.  ``kw`` = the save_detector knobs (resolution, confidence,
-    nms_thresh, num_classes, top_k, compute_dtype, fold, platforms)."""
+def _save_bundle(path: str, save_one, batch_sizes) -> dict:
+    """Shared bundle writer: ``save_one(tmp_path, bs) -> meta`` exports
+    one batch size; the per-size blobs are concatenated under one
+    _MAGIC2 header."""
     import os
     import tempfile
 
@@ -171,8 +171,7 @@ def save_detector_bundle(path: str, spec: GraphSpec, params,
         tmp = tempfile.NamedTemporaryFile(delete=False)
         tmp.close()
         try:
-            metas.append(save_detector(tmp.name, spec, params,
-                                       batch_size=bs, **kw))
+            metas.append(save_one(tmp.name, bs))
             with open(tmp.name, "rb") as f:
                 f.read(len(_MAGIC))
                 (mlen,) = struct.unpack("<I", f.read(4))
@@ -192,6 +191,28 @@ def save_detector_bundle(path: str, spec: GraphSpec, params,
             f.write(struct.pack("<Q", len(blob)))
             f.write(blob)
     return meta
+
+
+def save_detector_bundle(path: str, spec: GraphSpec, params,
+                         batch_sizes=(1, 8, 32), **kw) -> dict:
+    """Export the detect program at several static batch sizes into one
+    artifact.  ``kw`` = the save_detector knobs (resolution, confidence,
+    nms_thresh, num_classes, top_k, compute_dtype, fold, platforms)."""
+    return _save_bundle(
+        path, lambda p, bs: save_detector(p, spec, params,
+                                          batch_size=bs, **kw),
+        batch_sizes)
+
+
+def save_detector_bundle_v5(path: str, model_size: str, params,
+                            batch_sizes=(1, 8, 32), **kw) -> dict:
+    """The YOLOv5 twin of :func:`save_detector_bundle` (``kw`` = the
+    save_detector_v5 knobs).  The bundle's ``family`` meta key lets the
+    AOT serving backend pick the v5 letterbox/rescale path."""
+    return _save_bundle(
+        path, lambda p, bs: save_detector_v5(p, model_size, params,
+                                             batch_size=bs, **kw),
+        batch_sizes)
 
 
 class _LoadedBundle:

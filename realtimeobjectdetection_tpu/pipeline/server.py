@@ -51,8 +51,8 @@ from ..ops.decode import decode_heads
 from ..ops.letterbox import prep_image_host_u8, unletterbox_boxes
 from ..ops.nms import nms_batch
 
-__all__ = ["DetectionService", "DetectionServiceV5", "ServiceStats",
-           "serve"]
+__all__ = ["AOTDetectionService", "DetectionService",
+           "DetectionServiceV5", "ServiceStats", "serve"]
 
 
 class ServiceStats:
@@ -131,6 +131,12 @@ class ServiceStats:
 
 class DetectionService:
     """Micro-batching detection backend shared by server workers."""
+
+    # the jitted program has one static batch shape, so the batcher pads
+    # every device call up to batch_size; AOT *bundle* backends flip
+    # this to dispatch each call at its natural size instead (the
+    # bundle ships a ladder of batch shapes — see _AOTBackend)
+    _variable_batch = False
 
     def __init__(self, spec: GraphSpec, params, resolution: int = 416,
                  confidence: float = 0.6, nms_thresh: float = 0.5,
@@ -297,7 +303,8 @@ class DetectionService:
                     items.append(self._q.get(timeout=remaining))
                 except queue.Empty:
                     break
-            batch = np.zeros((self.batch_size, self.resolution,
+            nb = len(items) if self._variable_batch else self.batch_size
+            batch = np.zeros((nb, self.resolution,
                               self.resolution, 3), np.uint8)
             for j, (canvas, _, _) in enumerate(items):
                 batch[j] = canvas
@@ -463,6 +470,114 @@ class DetectionServiceV5(DetectionService):
             return np.zeros((0, 6), np.float32)
         return unletterbox_boxes(rows, w, h, self.resolution,
                                  params_fn=letterbox_params_round)
+
+
+class AOTDetectionService(DetectionService):
+    """Serve from an ahead-of-time export artifact (pipeline/export.py)
+    instead of live model code.
+
+    The artifact — ``save_detector``/``save_detector_v5`` single-shape
+    program or a ``save_detector_bundle[_v5]`` multi-batch-size bundle —
+    carries the weights as constants and pins the exact numerics that
+    were validated offline, so the serving host needs no cfg/weights
+    files and pays no trace-and-lower at startup (deserialize + one
+    warm execution per shape).  With a bundle, the micro-batcher
+    dispatches each device call at its natural size and the bundle
+    routes it to the smallest compiled batch shape that fits
+    (``_variable_batch``): low-traffic windows run the bs=1 program
+    instead of padding to the ladder top.  ``rodtpu serve --aot
+    model.stablehlo``.  Beyond the reference, which rebuilds the torch
+    model from cfg+weights on every start (detect.py:185-194)."""
+
+    def __init__(self, artifact_path: str,
+                 batch_window_ms: float = 5.0,
+                 class_names: Optional[List[str]] = None):
+        from .export import load_detector
+        self.classes = class_names or COCO80
+        self.batch_window_s = batch_window_ms / 1000.0
+        self.pipeline = None
+        self.params = None   # weights live inside the artifact
+        self._install(load_detector(artifact_path), artifact_path)
+        self._start_worker()
+
+    def _install(self, loaded, path: str) -> None:
+        meta = loaded.meta
+        self._loaded = loaded
+        self._artifact = path
+        self._family = meta.get("family", "darknet")
+        self.resolution = int(meta["resolution"])
+        self._rungs = (list(loaded.batch_sizes)
+                       if hasattr(loaded, "batch_sizes")
+                       else [int(meta["batch_size"])])
+        # bundles pad internally to the chosen rung; a single-shape
+        # artifact needs the batcher's full-size padding
+        self._variable_batch = hasattr(loaded, "batch_sizes")
+        self.batch_size = self._rungs[-1]
+        self.cls_col = 5 if self._family.startswith("yolov5") else 6
+        self._detect = lambda _params, x: self._loaded(x)
+
+    def describe(self) -> Dict:
+        return {"model": self._family, "artifact": self._artifact,
+                "resolution": self.resolution,
+                "batch_size": self.batch_size,
+                "batch_sizes": self._rungs}
+
+    def warmup(self):
+        # one execution per compiled shape: the deserialized programs
+        # still compile on first run, and a bundle's smaller rungs must
+        # not pay that on the first low-traffic request
+        for bs in self._rungs:
+            x = np.zeros((bs, self.resolution, self.resolution, 3),
+                         np.uint8)
+            np.asarray(self._loaded(jnp.asarray(x))[0])
+        self.ready = True
+
+    def reload_params(self, params, folded: bool = False) -> None:
+        raise ValueError(
+            "AOT artifacts bake the weights in; POST /reload with "
+            '{"weights": "<new artifact path>"} to swap programs')
+
+    def reload_weights(self, path: str) -> None:
+        """Hot-swap the entire artifact (weights AND program).  The
+        replacement must keep the request contract clients rely on —
+        same family (row layout) and input resolution — anything else
+        is rejected before the swap."""
+        from .export import load_detector
+        new = load_detector(path)
+        fam = new.meta.get("family", "darknet")
+        if fam != self._family:
+            raise ValueError(f"artifact family {fam!r} != serving "
+                             f"{self._family!r}")
+        if int(new.meta["resolution"]) != self.resolution:
+            raise ValueError(
+                f"artifact resolution {new.meta['resolution']} != "
+                f"serving {self.resolution}")
+        # warm outside the lock so in-flight traffic keeps the old
+        # program while the new one compiles
+        rungs = (list(new.batch_sizes) if hasattr(new, "batch_sizes")
+                 else [int(new.meta["batch_size"])])
+        for bs in rungs:
+            x = np.zeros((bs, self.resolution, self.resolution, 3),
+                         np.uint8)
+            np.asarray(new(jnp.asarray(x))[0])
+        with self._reload_lock:
+            self._install(new, path)
+
+    def _prep(self, img_bgr: np.ndarray) -> np.ndarray:
+        if self._family.startswith("yolov5"):
+            from .yolov5 import letterbox_v5
+            return np.ascontiguousarray(
+                letterbox_v5(img_bgr, self.resolution)[:, :, ::-1])
+        return prep_image_host_u8(img_bgr, self.resolution)[0]
+
+    def _unletterbox(self, rows: np.ndarray, w: int, h: int) -> np.ndarray:
+        if rows is None or len(rows) == 0:
+            return np.zeros((0, self.cls_col + 1), np.float32)
+        if self._family.startswith("yolov5"):
+            from ..ops.letterbox import letterbox_params_round
+            return unletterbox_boxes(rows, w, h, self.resolution,
+                                     params_fn=letterbox_params_round)
+        return unletterbox_boxes(rows, w, h, self.resolution)
 
 
 def _make_handler(service: DetectionService):

@@ -113,3 +113,24 @@ def test_v5_export_round_trip(tmp_path):
     boxes, valid = det(x)
     assert boxes.shape == (2, 20, 6)      # [x1,y1,x2,y2,conf,cls]
     assert np.isfinite(np.asarray(boxes)).all()
+
+
+def test_v5_bundle_round_trip(tmp_path):
+    """save_detector_bundle_v5: family meta propagates, dispatch pads a
+    tail batch to the next rung and slices back."""
+    from realtimeobjectdetection_tpu.models.yolov5 import (
+        YoloV5Config, init_yolov5_params)
+    from realtimeobjectdetection_tpu.pipeline.export import (
+        load_detector, save_detector_bundle_v5)
+    params = init_yolov5_params(YoloV5Config("n"), 0)
+    path = str(tmp_path / "v5n.bundle")
+    meta = save_detector_bundle_v5(path, "n", params, batch_sizes=(1, 2),
+                                   size=96, fast=False, top_k=32,
+                                   max_det=20)
+    assert meta["family"] == "yolov5n" and meta["batch_sizes"] == [1, 2]
+    det = load_detector(path)
+    x = np.random.RandomState(0).randint(0, 256, (2, 96, 96, 3), np.uint8)
+    boxes, valid = det(x)
+    assert boxes.shape == (2, 20, 6)
+    b1, v1 = det(x[:1])                   # bs=1 rung, no padding
+    np.testing.assert_allclose(np.asarray(b1[0]), np.asarray(boxes[0]))

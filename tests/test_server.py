@@ -490,3 +490,156 @@ def test_reload_params_v5_folds_training_layout():
         assert svc.detect_image(img) is not None    # still serves
     finally:
         svc.close()
+
+
+# ----------------------------------------------------------------------
+# AOT serving backend: serve an export artifact (weights baked in)
+
+
+@pytest.fixture(scope="module")
+def aot_setup(tmp_path_factory):
+    """A bundle artifact (bs 1 and 4) + a live service with identical
+    knobs, so AOT results can be checked against live results."""
+    from realtimeobjectdetection_tpu.pipeline.export import \
+        save_detector_bundle
+    from realtimeobjectdetection_tpu.pipeline.server import \
+        AOTDetectionService
+    tmp = tmp_path_factory.mktemp("aot")
+    spec = get_spec("yolov3-tiny", width=160, height=160)
+    params = init_params(spec, 0)
+    kw = dict(resolution=160, confidence=0.7, nms_thresh=0.5, top_k=32,
+              compute_dtype=jnp.float32, fold=False)
+    path = str(tmp / "tiny.bundle")
+    save_detector_bundle(path, spec, params, batch_sizes=(1, 4), **kw)
+    svc = AOTDetectionService(path)
+    live = DetectionService(spec, params, resolution=160, confidence=0.7,
+                            batch_size=4, bn_mode="running",
+                            compute_dtype=jnp.float32, top_k=32,
+                            fused_decode=False)
+    yield svc, live, spec, tmp
+    svc.close()
+    live.close()
+
+
+def test_aot_service_matches_live(aot_setup):
+    """detect_image through the AOT bundle == the live jitted service
+    (same weights, running BN, fp32, full decode)."""
+    svc, live, _, _ = aot_setup
+    assert svc.describe()["batch_sizes"] == [1, 4]
+    assert svc.resolution == 160 and svc.cls_col == 6
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 255, (120, 160, 3), np.uint8)
+    a = svc.detect_image(img)
+    b = live.detect_image(img)
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-4)
+
+
+def test_aot_variable_batch_dispatch(aot_setup):
+    """A lone request runs at its natural size (the bs=1 rung), not
+    padded to the ladder top — the point of _variable_batch."""
+    svc, _, _, _ = aot_setup
+    seen = []
+    orig = svc._detect
+
+    def spy(p, x):
+        seen.append(int(x.shape[0]))
+        return orig(p, x)
+
+    svc._detect = spy
+    try:
+        img = np.random.RandomState(8).randint(0, 255, (90, 160, 3),
+                                               np.uint8)
+        svc.detect_image(img)
+    finally:
+        svc._detect = orig
+    assert seen == [1]
+
+
+def test_aot_reload_semantics(aot_setup):
+    """reload_weights swaps the whole artifact; incompatible artifacts
+    (other resolution) and reload_params are rejected."""
+    from realtimeobjectdetection_tpu.pipeline.export import save_detector
+    svc, _, spec, tmp = aot_setup
+    img = np.random.RandomState(9).randint(0, 255, (120, 160, 3),
+                                           np.uint8)
+    before = svc.detect_image(img)
+
+    other = str(tmp / "tiny_other.stablehlo")
+    save_detector(other, spec, init_params(spec, 99), batch_size=2,
+                  resolution=160, confidence=0.7, top_k=32,
+                  compute_dtype=jnp.float32, fold=False)
+    svc.reload_weights(other)
+    assert svc.describe()["batch_sizes"] == [2]
+    after = svc.detect_image(img)
+    assert before.shape != after.shape or \
+        np.abs(np.asarray(before) - np.asarray(after)).max() > 0
+
+    wrong = str(tmp / "tiny_wrong.stablehlo")
+    spec96 = get_spec("yolov3-tiny", width=96, height=96)
+    save_detector(wrong, spec96, init_params(spec96, 0), batch_size=1,
+                  resolution=96, confidence=0.7, top_k=32,
+                  compute_dtype=jnp.float32, fold=False)
+    with pytest.raises(ValueError, match="resolution"):
+        svc.reload_weights(wrong)
+    with pytest.raises(ValueError, match="bake the weights in"):
+        svc.reload_params({})
+
+
+def test_aot_http_roundtrip(aot_setup):
+    """Full HTTP path over the AOT backend, including /reload to a new
+    artifact and the family/reso guards surfacing as 400s."""
+    svc, _, _, tmp = aot_setup
+    httpd = serve(svc, host="127.0.0.1", port=0, block=False)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        addr = httpd.server_address
+        status, data = _request(addr, "GET", "/healthz")
+        assert status == 200 and "artifact" in data
+        img = np.random.RandomState(10).randint(0, 255, (100, 130, 3),
+                                                np.uint8)
+        jpg = cv2.imencode(".png", img)[1].tobytes()
+        status, data = _request(addr, "POST", "/detect", jpg)
+        assert status == 200 and "boxes" in data
+        for row in data["boxes"]:
+            assert len(row) == 7
+        status, data = _request(
+            addr, "POST", "/reload",
+            body=json.dumps({"weights": str(tmp / "tiny_wrong.stablehlo")}))
+        assert status == 400 and "resolution" in data["error"]
+    finally:
+        httpd.shutdown()
+
+
+def test_aot_service_v5_family(tmp_path):
+    """A v5 artifact routes the AOT service onto the v5 letterbox /
+    round-extent rescale / 6-col row layout."""
+    from realtimeobjectdetection_tpu.models.yolov5 import (
+        YoloV5Config, init_yolov5_params)
+    from realtimeobjectdetection_tpu.pipeline.export import save_detector_v5
+    from realtimeobjectdetection_tpu.pipeline.server import (
+        AOTDetectionService, DetectionServiceV5)
+    params = init_yolov5_params(YoloV5Config("n"), 0)
+    path = str(tmp_path / "v5n.stablehlo")
+    save_detector_v5(path, "n", params, batch_size=1, size=96,
+                     fast=False, confidence=0.05, top_k=32, max_det=20,
+                     compute_dtype=jnp.float32)
+    svc = AOTDetectionService(path)
+    # DetectionServiceV5(weights_path=None) inits the SAME params
+    # (init_yolov5_params seed 0, inference layout), so rows must match
+    live = DetectionServiceV5(model_size="n", size=96, batch_size=1,
+                              compute_dtype=jnp.float32,
+                              activation_dtype=None, top_k=32,
+                              confidence=0.05, max_det=20,
+                              fused_decode=False)
+    try:
+        assert svc.cls_col == 5 and svc._family == "yolov5n"
+        img = np.random.RandomState(11).randint(0, 255, (80, 96, 3),
+                                                np.uint8)
+        rows = svc.detect_image(img)
+        assert rows.shape[1] == 6
+        np.testing.assert_allclose(rows, live.detect_image(img),
+                                   rtol=1e-5, atol=1e-4)
+    finally:
+        svc.close()
+        live.close()
