@@ -499,6 +499,10 @@ def serve_arg_parser() -> argparse.ArgumentParser:
                         "416² — see PERFORMANCE.md; recall >= 0.95 of "
                         ">threshold rows — changes results; exact sort "
                         "is the default)")
+    p.add_argument("--pipeline_depth", default=2, type=int,
+                   help="device batches kept in flight by the "
+                        "micro-batcher (async dispatch); 1 = serial "
+                        "dispatch-then-readback")
     p.add_argument("--aot", default=None, type=str, metavar="ARTIFACT",
                    help="serve a rodtpu export artifact (rodtpu export "
                         "--dst ...) instead of live model code: weights "
@@ -514,7 +518,7 @@ def serve_cli(argv=None):
 
     if a.aot:
         from .pipeline.server import AOTDetectionService
-        service = AOTDetectionService(a.aot)
+        service = AOTDetectionService(a.aot, pipeline_depth=a.pipeline_depth)
     elif a.cfg_file.lower().startswith("yolov5"):
         service = DetectionServiceV5(
             model_size=a.cfg_file[6:] or "s",
@@ -523,7 +527,7 @@ def serve_cli(argv=None):
             confidence=a.confidence if a.confidence is not None else 0.25,
             iou_thresh=a.nms_thresh if a.nms_thresh is not None else 0.45,
             batch_size=a.batch_size, pipeline_stages=a.pp_stages,
-            approx_topk=a.approx_topk)
+            approx_topk=a.approx_topk, pipeline_depth=a.pipeline_depth)
     else:
         from .models.zoo import resolve_spec
         from .weights import init_params, load_darknet_weights
@@ -537,7 +541,7 @@ def serve_cli(argv=None):
             confidence=a.confidence if a.confidence is not None else 0.6,
             nms_thresh=a.nms_thresh if a.nms_thresh is not None else 0.5,
             batch_size=a.batch_size, pipeline_stages=a.pp_stages,
-            approx_topk=a.approx_topk)
+            approx_topk=a.approx_topk, pipeline_depth=a.pipeline_depth)
     return serve(service, a.host, a.port)
 
 

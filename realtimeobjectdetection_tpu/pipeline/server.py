@@ -19,8 +19,10 @@ server.  This one is stdlib-only (http.server + threads):
   :class:`ServiceStats`);
 * a micro-batcher thread collects concurrent requests into one
   fixed-shape device batch (up to ``batch_size`` within
-  ``batch_window_ms``), so throughput under load approaches the
-  pipelined device rate while a lone request only pays the window.
+  ``batch_window_ms``) and keeps up to ``pipeline_depth`` batches in
+  flight (async dispatch; batch N launches before batch N-1's readback),
+  so throughput under load approaches the pipelined device rate while a
+  lone request only pays the window.
 
 Run: ``rodtpu serve --cfg yolov3-tiny --weights w.weights --port 8000``.
 """
@@ -146,11 +148,13 @@ class DetectionService:
                  class_names: Optional[List[str]] = None,
                  fused_decode: bool = True,
                  pipeline_stages: Optional[int] = None,
-                 approx_topk: bool = False):
+                 approx_topk: bool = False,
+                 pipeline_depth: int = 2):
         self.spec = spec
         self.resolution = resolution
         self.batch_size = batch_size
         self.batch_window_s = batch_window_ms / 1000.0
+        self.pipeline_depth = max(1, int(pipeline_depth))
         self.classes = class_names or COCO80
         self._folds_bn = bn_mode == "fold"   # reload_params mirrors this
         if bn_mode == "fold":
@@ -288,7 +292,36 @@ class DetectionService:
 
     # ------------------------------------------------------------------
     def _batch_loop(self):
+        """Collect -> dispatch -> (later) materialize.
+
+        JAX dispatch is asynchronous, so up to ``pipeline_depth``
+        batches stay in flight: batch N is dispatched before batch
+        N-1's results are read back, which keeps the device busy while
+        the host collects the next batch and materializes the previous
+        one (the +55-69%% under-load lever the bench pipelined windows
+        measure — PERFORMANCE.md).  A lone request pays nothing extra:
+        with the queue empty the dispatched batch is materialized
+        immediately, identical to the serial loop."""
+        inflight: List = []   # [(items, boxes_dev, valid_dev)] oldest first
+
+        def materialize_oldest():
+            items, boxes, valid = inflight.pop(0)
+            try:
+                b = np.asarray(boxes)
+                v = np.asarray(valid)
+                for j, (_, dims, done) in enumerate(items):
+                    done((b[j][v[j]], dims, None))
+            except BaseException as e:  # pragma: no cover
+                for _, dims, done in items:
+                    done((None, dims, e))
+
         while not self._stop.is_set():
+            if inflight and self._q.empty():
+                # no request waiting: deliver the oldest in-flight
+                # batch instead of idling on the queue with results
+                # pending
+                materialize_oldest()
+                continue
             try:
                 first = self._q.get(timeout=0.1)
             except queue.Empty:
@@ -313,13 +346,15 @@ class DetectionService:
                 with self._reload_lock:   # weight swaps land between batches
                     boxes, valid = self._detect(self.params,
                                                 jnp.asarray(batch))
-                boxes = np.asarray(boxes)
-                valid = np.asarray(valid)
-                for j, (_, dims, done) in enumerate(items):
-                    done((boxes[j][valid[j]], dims, None))
-            except BaseException as e:  # pragma: no cover
+            except BaseException as e:  # pragma: no cover — dispatch-time
                 for _, dims, done in items:
                     done((None, dims, e))
+            else:
+                inflight.append((items, boxes, valid))
+            while len(inflight) >= self.pipeline_depth:
+                materialize_oldest()
+        while inflight:   # close(): deliver everything already launched
+            materialize_oldest()
 
     # ------------------------------------------------------------------
     def submit_image(self, img_bgr: np.ndarray) -> "queue.Queue":
@@ -374,7 +409,8 @@ class DetectionServiceV5(DetectionService):
                  activation_dtype=jnp.bfloat16,
                  approx_topk: bool = False,
                  class_names: Optional[List[str]] = None,
-                 pipeline_stages: Optional[int] = None):
+                 pipeline_stages: Optional[int] = None,
+                 pipeline_depth: int = 2):
         from ..models.yolov5 import (YoloV5Config, decode_v5, decode_v5_topk,
                                      init_yolov5_params, load_v5_checkpoint,
                                      make_yolov5_forward)
@@ -384,6 +420,7 @@ class DetectionServiceV5(DetectionService):
         self.resolution = size
         self.batch_size = batch_size
         self.batch_window_s = batch_window_ms / 1000.0
+        self.pipeline_depth = max(1, int(pipeline_depth))
         self.classes = class_names or COCO80
         self._folds_bn = True   # v5 serving always consumes folded params
         if weights_path is None:
@@ -491,10 +528,12 @@ class AOTDetectionService(DetectionService):
 
     def __init__(self, artifact_path: str,
                  batch_window_ms: float = 5.0,
-                 class_names: Optional[List[str]] = None):
+                 class_names: Optional[List[str]] = None,
+                 pipeline_depth: int = 2):
         from .export import load_detector
         self.classes = class_names or COCO80
         self.batch_window_s = batch_window_ms / 1000.0
+        self.pipeline_depth = max(1, int(pipeline_depth))
         self.pipeline = None
         self.params = None   # weights live inside the artifact
         self._install(load_detector(artifact_path), artifact_path)
@@ -756,10 +795,18 @@ def _make_handler(service: DetectionService):
     return Handler
 
 
+class _Server(ThreadingHTTPServer):
+    # socketserver's default listen backlog of 5 RSTs concurrent
+    # connection bursts (a 16-client flood loses connections at accept
+    # time before the handler ever runs); the micro-batcher exists
+    # precisely for such bursts, so give the kernel room to queue them
+    request_queue_size = 128
+
+
 def serve(service: DetectionService, host: str = "0.0.0.0",
           port: int = 8000, block: bool = True):
     service.warmup()
-    httpd = ThreadingHTTPServer((host, port), _make_handler(service))
+    httpd = _Server((host, port), _make_handler(service))
     if block:  # pragma: no cover
         print(f"serving detection on {host}:{port}")
         httpd.serve_forever()

@@ -643,3 +643,28 @@ def test_aot_service_v5_family(tmp_path):
     finally:
         svc.close()
         live.close()
+
+
+def test_pipelined_batcher_maps_results_correctly():
+    """pipeline_depth=2: a flood of distinct images split across
+    several in-flight device batches still delivers each request its
+    own boxes (compare against the same service answering serially)."""
+    spec = get_spec("yolov3-tiny", width=160, height=160)
+    svc = DetectionService(spec, init_params(spec, 0), resolution=160,
+                           confidence=0.6, batch_size=2,
+                           batch_window_ms=2.0, bn_mode="running",
+                           compute_dtype=jnp.float32, top_k=16,
+                           pipeline_depth=2)
+    try:
+        svc.warmup()
+        rng = np.random.RandomState(42)
+        imgs = [rng.randint(0, 255, (120, 160, 3), np.uint8)
+                for _ in range(7)]
+        serial = [svc.detect_image(im) for im in imgs]   # lone requests
+        handles = [svc.submit_image(im) for im in imgs]  # flood
+        flooded = [svc.collect(h) for h in handles]
+        assert svc.stats.batches_total >= 4   # really split into batches
+        for a, b in zip(serial, flooded):
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-4)
+    finally:
+        svc.close()
