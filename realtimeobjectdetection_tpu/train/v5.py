@@ -247,7 +247,8 @@ def make_train_step_v5(cfg: YoloV5Config, optimizer,
                        skip_nonfinite: bool = False,
                        scan_ladders: bool = False,
                        scan_remat: bool = False,
-                       activation_dtype=None):
+                       activation_dtype=None,
+                       s2d_stem: bool = False):
     """Build ``step(state, images, boxes, box_mask) -> (state, loss)``
     for the native v5 graph — same contract as train/step.py's darknet
     step, so ``parallel.mesh.shard_train_step`` shards it unchanged.
@@ -279,16 +280,28 @@ def make_train_step_v5(cfg: YoloV5Config, optimizer,
     ``lax.scan`` (smaller HLO for the deep sizes; optional body remat) —
     see make_yolov5_forward; the batch statistics re-key to the unrolled
     names so the running-stat update below is layout-agnostic.
+    ``s2d_stem``: exact space-to-depth rewrite of the 6x6/2 stem in the
+    train forward (gradient-exact — the rewrite is a reshape of the
+    same parameter; see the comment at the ``make_yolov5_forward``
+    call below and PERFORMANCE.md for the measured verdict).
     """
     # activation_dtype=bfloat16: bf16 inter-layer residency in the train
     # forward (batch statistics are still computed from fp32 casts in
     # models/yolov5._conv); halves the activation bytes the backward
     # pass re-reads — the train twin of the serving fast path.
+    # s2d_stem: train-side use of the exact 6x6/2 -> s2d+3x3/1 stem
+    # rewrite (models/yolov5._stem_s2d).  The rearrangement happens on
+    # p["w"] inside the trace, so autodiff maps the gradient back onto
+    # the ORIGINAL 6x6 parameter — loss and grads are bit-equal to the
+    # plain stem up to fp summation order.  Measured because the stem
+    # BACKWARD is the train profile's single largest HLO (6% of device
+    # time at bs=16; PERFORMANCE.md round-3 v5 train drill-down).
     fwd = make_yolov5_forward(cfg, compute_dtype=compute_dtype,
                               bn_mode="batch", return_stats=True,
                               activation_dtype=activation_dtype,
                               scan_ladders=scan_ladders,
-                              scan_remat=scan_remat)
+                              scan_remat=scan_remat,
+                              s2d_stem=s2d_stem)
     nc = cfg.num_classes
     base = input_resolution or resolution
 

@@ -622,3 +622,41 @@ def test_v5_step_bf16_activation_residency():
         assert np.isfinite(np.asarray(leaf)).all()
     assert float(jnp.abs(jnp.asarray(
         final.params["m0"]["bn_mean"])).max()) > 0
+
+
+def test_v5_step_s2d_stem_gradient_exact():
+    """make_train_step_v5(s2d_stem=True): the space-to-depth stem
+    rewrite happens on p["w"] INSIDE the trace, so the gradient maps
+    back onto the original 6x6 parameter — one full step (fwd + targets
+    + loss + bwd + Adam + BN stats) matches the plain-stem step to fp
+    summation-order tolerance (models/yolov5._stem_s2d)."""
+    cfg = YoloV5Config("n")
+    params = init_yolov5_params(cfg, 0, batch_norm=True)
+    opt = optax.adam(1e-3)
+    s0 = init_train_state(params, opt)
+    rng = np.random.RandomState(3)
+    images = rng.rand(2, 96, 96, 3).astype(np.float32)
+    boxes, mask = _gt(batch=2, m=4)
+    boxes[:, 0, 0:4] = [48, 48, 24, 24]
+    boxes[:, 0, 4] = 1.0
+    boxes[:, 0, 5] = 1.0
+    mask[:, 0] = True
+    outs = []
+    for s2d in (False, True):
+        step = jax.jit(make_train_step_v5(cfg, opt, resolution=96,
+                                          s2d_stem=s2d))
+        s1, loss = step(s0, jnp.asarray(images), jnp.asarray(boxes),
+                        jnp.asarray(mask))
+        outs.append((s1, float(loss)))
+    (sp, lp), (ss, ls) = outs
+    np.testing.assert_allclose(ls, lp, rtol=1e-5)
+    # stem param shape is unchanged (6x6 kernel) and its update matches.
+    # atol: Adam's g/(sqrt(v)+eps) is sign-like for near-zero grads, so
+    # fp summation-order drift can move a single update by up to 2*lr
+    # (2e-3 here) — the loss check above is the tight gate.
+    assert ss.params["m0"]["w"].shape == sp.params["m0"]["w"].shape
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a),
+                                                np.asarray(b), rtol=2e-3,
+                                                atol=2.5e-3),
+        sp.params, ss.params)
