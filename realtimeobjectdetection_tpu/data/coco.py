@@ -22,7 +22,7 @@ from typing import Dict, List, Optional
 import numpy as np
 from PIL import Image
 
-from ..ops.letterbox import prep_image_host
+from ..ops.letterbox import prep_image_host, prep_image_host_u8
 
 __all__ = ["COCODataset"]
 
@@ -47,11 +47,18 @@ def coco2yolo(category_id: int) -> int:
 class COCODataset:
     def __init__(self, annotations_json: str, img_dir: str,
                  resolution: int = 416, keep_img_name: bool = False,
-                 only_ground_truth: bool = False, non_crowd: bool = True):
+                 only_ground_truth: bool = False, non_crowd: bool = True,
+                 uint8: bool = False):
+        # uint8=True: __getitem__ returns the RGB uint8 letterbox canvas
+        # (prep_image_host_u8) instead of the /255 float — bit-identical
+        # after the train step's on-device normalization, 4x less
+        # host->device upload per batch (the training twin of the
+        # serving pipeline's uint8 feed).
         self.resolution = int(resolution)
         self.img_dir = img_dir
         self.keep_img_name = keep_img_name
         self.only_gt = only_ground_truth
+        self.uint8 = uint8
 
         ann = json.load(open(annotations_json))
         self.images = {i["id"]: i for i in ann["images"]}
@@ -115,8 +122,8 @@ class COCODataset:
         w, h = img.size
         pad, ratio = self._pad_ratio(w, h)
         boxes = self.boxes_for(img_id, pad, ratio)
-        sample = prep_image_host(np.asarray(img), self.resolution,
-                                 mode="RGB")[0]
+        prep = prep_image_host_u8 if self.uint8 else prep_image_host
+        sample = prep(np.asarray(img), self.resolution, mode="RGB")[0]
         if self.keep_img_name:
             return info["file_name"], sample, boxes
         return sample, boxes

@@ -69,7 +69,10 @@ def padded_batches(dataset, batch_size: int, max_boxes: int = 64,
                     break
                 first = dataset[int(idxs[0])]
                 d = first[0].shape[0]
-                images = np.zeros((batch_size, d, d, 3), np.float32)
+                # dtype follows the dataset (uint8 canvases upload 4x
+                # less than /255 floats; the train step normalizes
+                # on device — bit-identical either way)
+                images = np.zeros((batch_size, d, d, 3), first[0].dtype)
                 boxes = np.zeros((batch_size, max_boxes, num_attrs),
                                  np.float32)
                 mask = np.zeros((batch_size, max_boxes), bool)

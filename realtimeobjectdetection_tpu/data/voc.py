@@ -22,14 +22,20 @@ from xml.etree import ElementTree as ET
 import numpy as np
 from PIL import Image
 
-from ..ops.letterbox import letterbox_params, prep_image_host
+from ..ops.letterbox import (letterbox_params, prep_image_host,
+                             prep_image_host_u8)
 
 __all__ = ["VOCDataset"]
 
 
 class VOCDataset:
     def __init__(self, xml_directory: str, img_directory: str,
-                 resolution: int = 416, fformat: str = ".jpg"):
+                 resolution: int = 416, fformat: str = ".jpg",
+                 uint8: bool = False):
+        # uint8=True: return the RGB uint8 letterbox canvas (see
+        # COCODataset) — bit-identical after on-device /255, 4x less
+        # host->device upload.
+        self.uint8 = uint8
         self.resolution = int(resolution)
         self.xml_paths = sorted(glob.glob(os.path.join(xml_directory,
                                                        "*.xml")))
@@ -65,7 +71,8 @@ class VOCDataset:
         w, h = img.size
         scale, _, _, off_x, off_y = letterbox_params(w, h, self.resolution)
         arr = np.asarray(img)
-        sample = prep_image_host(arr, self.resolution, mode="RGB")[0]
+        prep = prep_image_host_u8 if self.uint8 else prep_image_host
+        sample = prep(arr, self.resolution, mode="RGB")[0]
 
         xyxy = self.read_boxes(self.xml_paths[i])
         if xyxy is None:

@@ -449,6 +449,11 @@ class _GPipeTrain:
         per-stage params/opt state in place and returns the summed loss
         (a device scalar on the last stage's device)."""
         S = len(self.ranges)
+        images = jnp.asarray(images)
+        if images.dtype == jnp.uint8:
+            # uint8 loader canvases (data/coco.py uint8 mode): normalize
+            # once up front — the stage programs consume 0-1 floats.
+            images = images.astype(jnp.float32) / 255.0
         B = images.shape[0]
         assert B % self.n_micro == 0, (B, self.n_micro)
         mb = B // self.n_micro

@@ -163,6 +163,11 @@ def make_train_step(spec: GraphSpec, optimizer, resolution: int = 416,
     base = input_resolution or resolution
 
     def step(state: TrainState, images, boxes, box_mask):
+        if images.dtype == jnp.uint8:
+            # uint8 letterbox canvases (data loaders' uint8 mode):
+            # normalize on device — bit-identical to a host-side /255,
+            # 4x less host->device upload per batch.
+            images = images.astype(jnp.float32) / 255.0
         if base != resolution:
             b = images.shape[0]
             images = jax.image.resize(
@@ -260,3 +265,40 @@ def _guard_nonfinite(loss, grads, new_state, old_state):
     guarded = jax.tree_util.tree_map(
         lambda n, o: jnp.where(ok, n, o), new_state, old_state)
     return guarded._replace(step=old_state.step + 1)
+
+
+def make_chained_step(step, k: int):
+    """Wrap a ``step(state, images, boxes, mask) -> (state, loss)`` into
+    one XLA program running ``k`` consecutive optimizer steps via
+    ``lax.scan`` over pre-stacked inputs.
+
+    TPU-first dispatch amortization: through the axon tunnel a single
+    train-step dispatch costs tens of ms of host/RPC time that ``k``
+    in-graph steps pay ONCE (round-3 profile: v5s bs=16 device time
+    38 ms vs ~76 ms wall even with the lag=1 loop).  Semantics are
+    exactly ``k`` sequential calls of ``step`` — distinct batches, one
+    optimizer update per batch, BN running stats applied in order —
+    NOT gradient accumulation (that is ``make_train_step(accum_steps=
+    k)``, one update from k microbatches).
+
+    Inputs gain a leading chain axis: ``images [k,B,H,W,3]``, ``boxes
+    [k,B,M,5+C]``, ``mask [k,B,M]``; returns ``(state, losses[k])``.
+    The host keeps uploading the next superbatch while the device runs
+    the current one (same double-buffering as the per-step loop), so
+    the trade is purely dispatch-count vs per-loss readback latency —
+    the per-step losses still come back, one scan ys vector per chain.
+    """
+    assert k >= 1
+    if k == 1:
+        return step
+
+    def chained(state, images, boxes, box_mask):
+        def body(st, xs):
+            x, b, m = xs
+            st, loss = step(st, x, b, m)
+            return st, loss
+        state, losses = jax.lax.scan(body, state,
+                                     (images, boxes, box_mask))
+        return state, losses
+
+    return chained

@@ -391,9 +391,14 @@ class DarknetTrainer(PreemptSupport):
 
     # ------------------------------------------------------------------
     def _make_dataset(self, annotation_dir, img_dir, dataset_type):
+        # uint8=True: the loaders ship RGB uint8 letterbox canvases and
+        # the train step normalizes on device — bit-identical numerics,
+        # 4x less host->device upload per batch (train/step.py).
         if dataset_type.upper() == "VOC":
-            return VOCDataset(annotation_dir, img_dir, self.resolution)
-        return COCODataset(annotation_dir, img_dir, self.resolution)
+            return VOCDataset(annotation_dir, img_dir, self.resolution,
+                              uint8=True)
+        return COCODataset(annotation_dir, img_dir, self.resolution,
+                           uint8=True)
 
     def warm_step_cache(self, verbose: bool = True):
         """Compile-and-execute one dummy step per multi-scale resolution.
@@ -409,7 +414,14 @@ class DarknetTrainer(PreemptSupport):
         for r in sorted(set(self._scales)):
             t0 = time.time()
             step = self._get_step(r)
-            imgs = jnp.zeros((self.batch_size, r, r, 3), jnp.float32)
+            # Shape/dtype must match what the epoch loop feeds: the
+            # loader always ships BASE-resolution uint8 canvases and the
+            # step resizes in-graph to r (input_resolution above) — a
+            # (bs, r, r, 3) warm input compiled a program the epoch
+            # loop never runs (pre-round-3 bug: non-base scales were
+            # never actually prewarmed).
+            imgs = jnp.zeros((self.batch_size, self.resolution,
+                              self.resolution, 3), jnp.uint8)
             boxes = jnp.zeros((self.batch_size, self.max_boxes, 85),
                               jnp.float32)
             mask = jnp.zeros((self.batch_size, self.max_boxes), bool)

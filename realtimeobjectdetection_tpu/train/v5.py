@@ -306,6 +306,11 @@ def make_train_step_v5(cfg: YoloV5Config, optimizer,
     base = input_resolution or resolution
 
     def step(state, images, boxes, box_mask):
+        if images.dtype == jnp.uint8:
+            # uint8 canvases from the loaders' uint8 mode: on-device
+            # /255, bit-identical to the host float path, 4x less
+            # upload (see data/coco.py uint8 + train/step.py twin).
+            images = images.astype(jnp.float32) / 255.0
         if base != resolution:
             bsz = images.shape[0]
             images = jax.image.resize(
@@ -574,8 +579,10 @@ class TrainerV5(PreemptSupport):
         for r in sorted(set(self._scales)):
             t0 = time.time()
             step = self._get_step(r)
+            # uint8: the loaders ship uint8 canvases (dtype is part of
+            # the jit signature)
             imgs = jnp.zeros((self.batch_size, self.resolution,
-                              self.resolution, 3), jnp.float32)
+                              self.resolution, 3), jnp.uint8)
             boxes = jnp.zeros((self.batch_size, self.max_boxes, 85),
                               jnp.float32)
             mask = jnp.zeros((self.batch_size, self.max_boxes), bool)
@@ -653,10 +660,14 @@ class TrainerV5(PreemptSupport):
         from ..data.loader import padded_batches
         from ..data.voc import VOCDataset
         from .trainer import DarknetTrainer
+        # uint8 canvases + on-device /255: bit-identical, 4x less
+        # upload (see DarknetTrainer._make_dataset).
         if dataset_type.upper() == "VOC":
-            dataset = VOCDataset(annotation_dir, img_dir, self.resolution)
+            dataset = VOCDataset(annotation_dir, img_dir, self.resolution,
+                                 uint8=True)
         else:
-            dataset = COCODataset(annotation_dir, img_dir, self.resolution)
+            dataset = COCODataset(annotation_dir, img_dir, self.resolution,
+                                  uint8=True)
         # per-host epoch length under multi-host data sharding (see
         # DarknetTrainer._train / data/loader.padded_batches)
         data_num = (len(dataset) if jax.process_count() == 1

@@ -33,7 +33,10 @@ def main():
     ap.add_argument("--bs", type=int, nargs="+", default=[16])
     ap.add_argument("--reso", type=int, default=640)
     ap.add_argument("--variants", nargs="+", default=["act"],
-                    help="any of: act act+s2d accum2 accum4 fp32res")
+                    help="any of: act act+s2d accum2 accum4 fp32res "
+                         "chain2 chain4 chain8 (k steps per dispatch "
+                         "via train.step.make_chained_step; composes "
+                         "s2d: chain4+s2d)")
     ap.add_argument("--steps", type=int, default=8,
                     help="steps per timed lag-loop window")
     ap.add_argument("--rounds", type=int, default=3,
@@ -58,19 +61,34 @@ def main():
     gflop_img = 3 * conv_flops_v5(cfg, args.reso) / 1e9  # fwd+bwd ~ 3x fwd
     peak_tflops = 197.0
 
-    def build(variant, bs):
+    from realtimeobjectdetection_tpu.train.step import make_chained_step
+
+    def parse_variant(variant):
+        chain = 1
         kw = dict(resolution=args.reso, compute_dtype=jnp.bfloat16,
                   activation_dtype=jnp.bfloat16)
-        if variant == "fp32res":
-            kw["activation_dtype"] = None
-        if variant == "act+s2d":
-            kw["s2d_stem"] = True
-        if variant.startswith("accum"):
-            kw["accum_steps"] = int(variant[5:])
+        for part in variant.split("+"):
+            if part == "fp32res":
+                kw["activation_dtype"] = None
+            elif part in ("s2d", "act+s2d", "act"):
+                if part != "act":
+                    kw["s2d_stem"] = True
+            elif part.startswith("accum"):
+                kw["accum_steps"] = int(part[5:])
+            elif part.startswith("chain"):
+                chain = int(part[5:])
+            else:
+                raise SystemExit(f"unknown variant part {part}")
+        return kw, chain
+
+    def build(variant, bs):
+        kw, chain = parse_variant(variant)
         step = make_train_step_v5(cfg, opt, **kw)
+        if chain > 1:
+            step = make_chained_step(step, chain)
         # donate the state like TrainerV5 does (in-place param/opt
         # update — the realistic memory profile)
-        return jax.jit(step, donate_argnums=0)
+        return jax.jit(step, donate_argnums=0), chain
 
     rng = np.random.RandomState(0)
     for bs in args.bs:
@@ -92,12 +110,23 @@ def main():
 
         for variant in args.variants:
             params = init_yolov5_params(cfg, seed=0, batch_norm=True)
+            _, chain = parse_variant(variant)
+            if chain > 1:
+                xa = jnp.broadcast_to(x, (chain,) + x.shape)
+                bxa = jnp.broadcast_to(bx, (chain,) + bx.shape)
+                mka = jnp.broadcast_to(mk, (chain,) + mk.shape)
+            else:
+                xa, bxa, mka = x, bx, mk
+
+            def last(loss):
+                return float(np.asarray(loss).ravel()[-1])
+
             try:
-                f = build(variant, bs)
+                f, chain = build(variant, bs)
                 state = jax.device_put(init_train_state(params, opt))
                 t0 = time.time()
-                state, loss = f(state, x, bx, mk)
-                float(loss)
+                state, loss = f(state, xa, bxa, mka)
+                last(loss)
                 compile_s = time.time() - t0
             except Exception as e:  # OOM / compiler wall — report, go on
                 print(f"v5{args.size} {args.reso}² bs={bs} {variant}: "
@@ -106,9 +135,9 @@ def main():
                 continue
             # warm + one serial reference step (readback-synced)
             t0 = time.time()
-            state, loss = f(state, x, bx, mk)
-            float(loss)
-            serial_ms = (time.time() - t0) * 1000
+            state, loss = f(state, xa, bxa, mka)
+            last(loss)
+            serial_ms = (time.time() - t0) * 1000 / chain
 
             best = None
             for _ in range(args.rounds):
@@ -116,9 +145,9 @@ def main():
                 t0 = time.time()
                 for _ in range(args.steps):
                     if prev is not None:
-                        float(prev)  # lag=1: read loss k-1 after dispatch k
-                    state, prev = f(state, x, bx, mk)
-                float(prev)
+                        last(prev)  # lag=1: read loss k-1 after dispatch k
+                    state, prev = f(state, xa, bxa, mka)
+                last(prev)
                 # param-leaf readback: the loss is computed mid-program,
                 # the Adam tail finishes after it (axon block_until_ready
                 # is not a true sync)
@@ -126,8 +155,8 @@ def main():
                            ).ravel()[0]
                 dt = time.time() - t0
                 best = dt if best is None else min(best, dt)
-            ms = best / args.steps * 1000
-            imgs = bs / (best / args.steps)
+            ms = best / (args.steps * chain) * 1000
+            imgs = bs / (best / (args.steps * chain))
             mfu = imgs * gflop_img / 1000.0 / peak_tflops * 100
             print(f"v5{args.size} {args.reso}² bs={bs} {variant}: "
                   f"lag1 {ms:.1f} ms/step = {imgs:.0f} img/s "

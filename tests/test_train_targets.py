@@ -359,3 +359,53 @@ def test_train_step_bf16_activation_residency():
         np.asarray(states["bf16"].params["node_0"]["bn_mean"]),
         np.asarray(states["fp32"].params["node_0"]["bn_mean"]),
         rtol=1e-6, atol=1e-7)
+
+
+def test_chained_step_equals_sequential():
+    """train.step.make_chained_step(step, k): one dispatch running k
+    in-graph optimizer steps over DISTINCT stacked batches equals k
+    sequential jitted calls of the same step — params, BN running
+    stats, and the per-step loss vector all match up to XLA fusion ULPs
+    (the scan body fuses slightly differently than the standalone jitted
+    program).  The lever exists purely to amortize the per-dispatch
+    tunnel RPC; semantics must not move."""
+    from realtimeobjectdetection_tpu.train.step import (init_train_state,
+                                                        make_chained_step,
+                                                        make_train_step)
+    spec = get_spec("yolov3-tiny", width=96, height=96)
+    opt = optax.adam(1e-3)
+    step = make_train_step(spec, opt, resolution=96)
+    k = 3
+    rng = np.random.RandomState(7)
+    images = jnp.asarray(rng.rand(k, 2, 96, 96, 3), jnp.float32)
+    boxes = np.zeros((k, 2, 3, 85), np.float32)
+    boxes[..., 0, 0:2] = rng.uniform(30, 66, (k, 2, 2))
+    boxes[..., 0, 2:4] = rng.uniform(30, 50, (k, 2, 2))
+    boxes[..., 0, 4] = 1.0
+    boxes[..., 0, 5] = 1.0
+    mask = np.zeros((k, 2, 3), bool)
+    mask[..., 0] = True
+    boxes = jnp.asarray(boxes)
+    mask = jnp.asarray(mask)
+
+    s0 = init_train_state(init_params(spec, 0), opt)
+    chained = jax.jit(make_chained_step(step, k))
+    sc, losses = chained(s0, images, boxes, mask)
+
+    sstep = jax.jit(step)
+    ss = s0
+    ref = []
+    for i in range(k):
+        ss, l = sstep(ss, images[i], boxes[i], mask[i])
+        ref.append(float(l))
+    np.testing.assert_allclose(np.asarray(losses), ref, rtol=1e-5)
+    # atol: Adam's update is sign-like (g/(sqrt(v)+eps)) for near-zero
+    # gradients, so a fusion-ULP grad difference can move one weight by
+    # up to ~lr per step (k*lr = 3e-3 worst case over the chain) — the
+    # per-step loss vector above is the tight semantic gate.
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=3e-3),
+        sc.params, ss.params)
+    # k=1 passthrough returns the step itself
+    assert make_chained_step(step, 1) is step

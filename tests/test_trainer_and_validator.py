@@ -803,3 +803,83 @@ def test_preempt_resume_at_epoch_final_batch(tmp_path):
         lambda a, b: np.testing.assert_array_equal(np.asarray(a),
                                                    np.asarray(b)),
         t2.state.params, ref.state.params)
+
+
+def test_uint8_dataset_and_step_bit_identity(tmp_path):
+    """Datasets' uint8 mode: the RGB uint8 letterbox canvas /255 equals
+    the float sample EXACTLY (cv2's INTER_CUBIC on uint8 yields uint8;
+    the 128-gray canvas is integral — ops/letterbox.prep_image_host_u8),
+    the loader inherits the dtype, and both train steps normalize uint8
+    on device to the same loss as the float feed.  This is the training
+    twin of the serving pipeline's uint8 upload (4x less host->device
+    traffic per batch)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from realtimeobjectdetection_tpu.data.loader import padded_batches
+    from realtimeobjectdetection_tpu.models import get_spec
+    from realtimeobjectdetection_tpu.train.step import (init_train_state,
+                                                        make_train_step)
+    from realtimeobjectdetection_tpu.weights import init_params
+
+    ann, imgs = make_synthetic_coco(tmp_path, n_images=3, img_size=(96, 128))
+    d_f32 = COCODataset(ann, imgs, resolution=96)
+    d_u8 = COCODataset(ann, imgs, resolution=96, uint8=True)
+    for i in range(len(d_f32)):
+        sf, rf = d_f32[i]
+        su, ru = d_u8[i]
+        assert su.dtype == np.uint8 and sf.dtype == np.float32
+        np.testing.assert_array_equal(sf, su.astype(np.float32) / 255.0)
+        if rf is None:
+            assert ru is None
+        else:
+            np.testing.assert_array_equal(rf, ru)
+
+    # loader inherits the dtype
+    bu = next(iter(padded_batches(d_u8, 2, shuffle=False)))
+    assert bu[0].dtype == np.uint8
+    bf = next(iter(padded_batches(d_f32, 2, shuffle=False)))
+    assert bf[0].dtype == np.float32
+    np.testing.assert_array_equal(bf[0], bu[0].astype(np.float32) / 255.0)
+
+    # darknet step: identical loss from either feed
+    spec = get_spec("yolov3-tiny", width=96, height=96)
+    opt = optax.adam(1e-3)
+    step = jax.jit(make_train_step(spec, opt, resolution=96))
+    s0 = init_train_state(init_params(spec, 0), opt)
+    _, loss_f = step(s0, jnp.asarray(bf[0]), jnp.asarray(bf[1]),
+                     jnp.asarray(bf[2]))
+    _, loss_u = step(s0, jnp.asarray(bu[0]), jnp.asarray(bu[1]),
+                     jnp.asarray(bu[2]))
+    np.testing.assert_allclose(float(loss_u), float(loss_f), rtol=1e-6)
+
+
+def test_uint8_step_v5_and_gpipe(tmp_path):
+    """The v5 train step accepts the uint8 feed with the same loss as
+    the float path (to fusion ULPs — XLA fuses the /255 into the first
+    conv differently per program)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from realtimeobjectdetection_tpu.models.yolov5 import (
+        YoloV5Config, init_yolov5_params)
+    from realtimeobjectdetection_tpu.train.step import init_train_state
+    from realtimeobjectdetection_tpu.train.v5 import make_train_step_v5
+
+    cfg = YoloV5Config("n")
+    opt = optax.adam(1e-3)
+    step = jax.jit(make_train_step_v5(cfg, opt, resolution=96))
+    s0 = init_train_state(init_yolov5_params(cfg, 0, batch_norm=True), opt)
+    rng = np.random.RandomState(0)
+    u8 = rng.randint(0, 256, (2, 96, 96, 3), np.uint8)
+    boxes = np.zeros((2, 3, 85), np.float32)
+    boxes[:, 0, 0:4] = [48, 48, 24, 24]
+    boxes[:, 0, 4] = 1.0
+    boxes[:, 0, 5] = 1.0
+    mask = np.zeros((2, 3), bool)
+    mask[:, 0] = True
+    _, lf = step(s0, jnp.asarray(u8.astype(np.float32) / 255.0),
+                 jnp.asarray(boxes), jnp.asarray(mask))
+    _, lu = step(s0, jnp.asarray(u8), jnp.asarray(boxes),
+                 jnp.asarray(mask))
+    np.testing.assert_allclose(float(lu), float(lf), rtol=1e-5)
