@@ -254,6 +254,17 @@ def train_arg_parser() -> argparse.ArgumentParser:
                         "behind dispatch (keeps the device queue full "
                         "through the tunnel, +7-14%% measured; 0 = "
                         "reference-style synchronous loop)")
+    p.add_argument("--chain", dest="chain_steps", default=1, type=int,
+                   help="run N consecutive optimizer steps per device "
+                        "dispatch (lax.scan over N stacked batches — "
+                        "one tunnel RPC instead of N; +21-23%% measured "
+                        "on the v5s step).  Single-chip only; both "
+                        "families")
+    p.add_argument("--s2d", dest="s2d_stem", action="store_true",
+                   help="v5 only: exact space-to-depth rewrite of the "
+                        "6x6/2 stem in the train forward (gradient-"
+                        "exact; +8%% at small batch, wash at bs>=64 — "
+                        "see PERFORMANCE.md)")
     return p
 
 
@@ -282,7 +293,9 @@ def train_cli(argv=None):
                        scan_ladders=a.scan_ladders,
                        loss_lag=a.loss_lag,
                        activation_dtype=jnp.bfloat16 if a.bf16_act
-                       else None)
+                       else None,
+                       s2d_stem=a.s2d_stem,
+                       chain_steps=a.chain_steps)
         if a.resume_preempt:
             tr.resume_preempt()
         tr.train(a.xml, a.images, dataset_type=a.dataset)
@@ -300,6 +313,7 @@ def train_cli(argv=None):
         "compute_dtype": jnp.bfloat16 if a.bf16 else jnp.float32,
         "activation_dtype": jnp.bfloat16 if a.bf16_act else None,
         "loss_lag": a.loss_lag,
+        "chain_steps": a.chain_steps,
     }
     train_params = {"annotation_dir": a.xml, "img_dir": a.images,
                     "dataset_type": a.dataset}

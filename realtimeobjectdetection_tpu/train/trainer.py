@@ -146,7 +146,8 @@ class DarknetTrainer(PreemptSupport):
                  accum_steps: int = 1,
                  skip_nonfinite: bool = False,
                  loss_lag: int = 1,
-                 activation_dtype=None):
+                 activation_dtype=None,
+                 chain_steps: int = 1):
         assert isinstance(epochs, int) and isinstance(batch_size, int)
         assert resolution % 32 == 0
         self.cfg_path = cfg_path
@@ -203,6 +204,20 @@ class DarknetTrainer(PreemptSupport):
         # behind dispatch (see _LaggedLoss) — keeps the device queue
         # non-empty through the tunnel; 0 = reference-style synchronous
         self.loss_lag = max(0, int(loss_lag))
+        # chain_steps=k: run k consecutive optimizer steps per device
+        # dispatch (train/step.make_chained_step — lax.scan over k
+        # stacked batches, one tunnel RPC instead of k).  Semantics are
+        # exactly k sequential steps; the epoch loop buffers k loader
+        # batches, flushing early (through the plain per-batch program)
+        # at scale switches, epoch tails, and preemption.  Measured
+        # +23% v5s train throughput at bs=64 (PERFORMANCE.md round-3
+        # "chained dispatch").  Single-process only: the sharded step's
+        # in_shardings are laid out for unchained inputs.
+        self.chain_steps = max(1, int(chain_steps))
+        assert self.chain_steps == 1 or (mesh is None
+                                         and tensor_parallel == 1), \
+            "chain_steps requires the unsharded single-chip step"
+
         self._step_kwargs = dict(
             class_filter=class_filter, compute_dtype=compute_dtype,
             remat=remat, augment=augment, aug_seed=seed,
@@ -288,18 +303,26 @@ class DarknetTrainer(PreemptSupport):
         else:
             self.step_jit = jax.jit(
                 self.step_fn, donate_argnums=(0,) if donate else ())
-        self._step_cache[self.resolution] = self.step_jit
+        self._step_cache[(self.resolution, 1)] = self.step_jit
         if resume:
             self.restore(os.path.join(self.out_dir, "training_output"))
         print("\nTrainer is ready!!\n")
         print(f"devices = {jax.devices()}\n")
 
-    def _get_step(self, resolution: int):
-        """Jitted train step for one target resolution (cached)."""
-        if resolution not in self._step_cache:
+    def _get_step(self, resolution: int, chain: int = 1):
+        """Jitted train step for one target resolution (cached).
+
+        ``chain>1``: the k-steps-per-dispatch program
+        (train/step.make_chained_step) — inputs gain a leading [k]
+        axis; single-chip only (asserted in __init__)."""
+        key = (resolution, chain)
+        if key not in self._step_cache:
             fn = make_train_step(self.spec, self.optimizer,
                                  resolution=resolution,
                                  **self._step_kwargs)
+            if chain > 1:
+                from .step import make_chained_step
+                fn = make_chained_step(fn, chain)
             if self.mesh is not None:
                 fn = shard_train_step(fn, self.mesh, spatial=self._spatial,
                                       donate=self._donate,
@@ -308,8 +331,8 @@ class DarknetTrainer(PreemptSupport):
             else:
                 fn = jax.jit(
                     fn, donate_argnums=(0,) if self._donate else ())
-            self._step_cache[resolution] = fn
-        return self._step_cache[resolution]
+            self._step_cache[key] = fn
+        return self._step_cache[key]
 
     # ------------------------------------------------------------------
     # checkpointing (orbax pytree + darknet .weights export)
@@ -431,6 +454,17 @@ class DarknetTrainer(PreemptSupport):
                 if self._donate else self.state
             _, loss = step(warm_state, imgs, boxes, mask)
             float(loss)  # host readback = true completion sync on axon
+            if self.chain_steps > 1:
+                k = self.chain_steps
+                cstep = self._get_step(r, k)
+                warm_state = jax.tree_util.tree_map(
+                    jnp.array, self.state) if self._donate else self.state
+                _, losses = cstep(
+                    warm_state,
+                    jnp.zeros((k,) + tuple(imgs.shape), imgs.dtype),
+                    jnp.zeros((k,) + tuple(boxes.shape), boxes.dtype),
+                    jnp.zeros((k,) + tuple(mask.shape), mask.dtype))
+                float(losses[-1])
             if verbose and len(self._scales) > 1:
                 print(f"\twarmed step @ {r}x{r} in "
                       f"{time.time() - t0:.1f}s")
@@ -480,6 +514,34 @@ class DarknetTrainer(PreemptSupport):
                                lag=self.loss_lag)
             rng = np.random.RandomState(self.seed + epoch)
             cur_res = self.resolution
+            # chain_steps buffering: collect k same-resolution batches
+            # and dispatch them as ONE chained program (losses come back
+            # as a [k] vector, pushed per batch).  Partial buffers (scale
+            # switch, epoch tail, preempt) flush through the plain
+            # per-batch program — only {k, 1} programs exist per scale.
+            buf, buf_res = [], cur_res
+
+            def _flush():
+                if not buf:
+                    return
+                if len(buf) == self.chain_steps and self.chain_steps > 1:
+                    step = self._get_step(buf_res, self.chain_steps)
+                    self.state, losses = step(
+                        self.state,
+                        jnp.asarray(np.stack([x[1] for x in buf])),
+                        jnp.asarray(np.stack([x[2] for x in buf])),
+                        jnp.asarray(np.stack([x[3] for x in buf])))
+                    for i, (bi, *_r) in enumerate(buf):
+                        acct.push(bi + 1, losses[i])
+                else:
+                    step = self._get_step(buf_res)
+                    for bi, im, bx, mk in buf:
+                        self.state, loss = step(
+                            self.state, jnp.asarray(im), jnp.asarray(bx),
+                            jnp.asarray(mk))
+                        acct.push(bi + 1, loss)
+                buf.clear()
+
             for b, (images, boxes, mask) in enumerate(padded_batches(
                     dataset, self.batch_size, self.max_boxes,
                     shuffle=True, seed=self.seed, epoch=epoch,
@@ -489,14 +551,17 @@ class DarknetTrainer(PreemptSupport):
                     cur_res = int(rng.choice(self._scales))
                 if epoch == start_epoch and b < skip:
                     continue
-                step = self._get_step(cur_res)
-                self.state, loss = step(
-                    self.state, jnp.asarray(images), jnp.asarray(boxes),
-                    jnp.asarray(mask))
-                acct.push(b + 1, loss)
+                if buf and buf_res != cur_res:
+                    _flush()
+                buf_res = cur_res
+                buf.append((b, images, boxes, mask))
+                if len(buf) == self.chain_steps:
+                    _flush()
                 if self._preempted:
+                    _flush()
                     acct.finish()
                     return self._save_preempt(epoch, b + 1, verbose)
+            _flush()
             running_loss = acct.finish()
 
             self.save(f"weight_epoch{epoch}")

@@ -423,7 +423,9 @@ class TrainerV5(PreemptSupport):
                  loss_lag: int = 1,
                  scan_ladders: bool = False,
                  scan_remat: bool = False,
-                 activation_dtype=None):
+                 activation_dtype=None,
+                 s2d_stem: bool = False,
+                 chain_steps: int = 1):
         from ..models.yolov5 import init_yolov5_params
         from ..parallel.mesh import make_mesh, shard_train_step
         assert resolution % 32 == 0
@@ -455,6 +457,14 @@ class TrainerV5(PreemptSupport):
         self.nonfinite_steps = 0
         # loss_lag: defer the per-batch loss readback (trainer._LaggedLoss)
         self.loss_lag = max(0, int(loss_lag))
+        # chain_steps=k: k optimizer steps per device dispatch (see
+        # DarknetTrainer chain_steps — same buffering, same {k, 1}
+        # program bound; single-chip only).  Measured +21% at bs=128
+        # 640² on the v5s step (PERFORMANCE.md "chained dispatch").
+        self.chain_steps = max(1, int(chain_steps))
+        assert self.chain_steps == 1 or (mesh is None
+                                         and tensor_parallel == 1), \
+            "chain_steps requires the unsharded single-chip step"
         self._step_kwargs = dict(
             compute_dtype=compute_dtype,
             ema_decay=ema_decay, augment=augment, mosaic=mosaic,
@@ -462,7 +472,8 @@ class TrainerV5(PreemptSupport):
             input_resolution=self.resolution,
             skip_nonfinite=skip_nonfinite,
             scan_ladders=scan_ladders, scan_remat=scan_remat,
-            activation_dtype=activation_dtype)
+            activation_dtype=activation_dtype,
+            s2d_stem=s2d_stem)
         self._spatial = spatial
         self._donate = donate
         # multi-scale training, same machinery as DarknetTrainer: the
@@ -521,7 +532,7 @@ class TrainerV5(PreemptSupport):
             from ..parallel.mesh import shard_params
             self.state = shard_params(self.state, self.mesh)
         self.step_jit = self._jit_step(self.step_fn)
-        self._step_cache = {self.resolution: self.step_jit}
+        self._step_cache = {(self.resolution, 1): self.step_jit}
         if resume:
             import os
             self.restore(os.path.join(self.out_dir, "training_output"))
@@ -556,18 +567,24 @@ class TrainerV5(PreemptSupport):
             **self._step_kwargs)
         self.step_jit = self._jit_step(self.step_fn)
         # the cached per-scale steps hold the old optimizer — drop them
-        self._step_cache = {self.resolution: self.step_jit}
+        self._step_cache = {(self.resolution, 1): self.step_jit}
         self._prewarmed = False
         self._lr_schedule = "resolved"
 
-    def _get_step(self, resolution: int):
-        """Jitted train step for one target resolution (cached)."""
-        if resolution not in self._step_cache:
+    def _get_step(self, resolution: int, chain: int = 1):
+        """Jitted train step for one target resolution (cached).
+        ``chain>1``: k-steps-per-dispatch (train/step.make_chained_step;
+        leading [k] input axis)."""
+        key = (resolution, chain)
+        if key not in self._step_cache:
             fn = make_train_step_v5(self.cfg, self.optimizer,
                                     resolution=resolution,
                                     **self._step_kwargs)
-            self._step_cache[resolution] = self._jit_step(fn)
-        return self._step_cache[resolution]
+            if chain > 1:
+                from .step import make_chained_step
+                fn = make_chained_step(fn, chain)
+            self._step_cache[key] = self._jit_step(fn)
+        return self._step_cache[key]
 
     def warm_step_cache(self, verbose: bool = True):
         """Compile-and-execute one dummy step per multi-scale resolution
@@ -590,6 +607,17 @@ class TrainerV5(PreemptSupport):
                 if self._donate else self.state
             _, loss = step(warm_state, imgs, boxes, mask)
             float(loss)  # host readback = true completion sync on axon
+            if self.chain_steps > 1:
+                k = self.chain_steps
+                cstep = self._get_step(r, k)
+                warm_state = jax.tree_util.tree_map(
+                    jnp.array, self.state) if self._donate else self.state
+                _, losses = cstep(
+                    warm_state,
+                    jnp.zeros((k,) + tuple(imgs.shape), imgs.dtype),
+                    jnp.zeros((k,) + tuple(boxes.shape), boxes.dtype),
+                    jnp.zeros((k,) + tuple(mask.shape), mask.dtype))
+                float(losses[-1])
             if verbose and len(self._scales) > 1:
                 print(f"\twarmed v5 step @ {r}x{r} in "
                       f"{time.time() - t0:.1f}s")
@@ -693,6 +721,30 @@ class TrainerV5(PreemptSupport):
                                lag=self.loss_lag)
             rng = np.random.RandomState(self.seed + epoch)
             cur_res = self.resolution
+            # chain_steps buffering — see DarknetTrainer._train
+            buf, buf_res = [], cur_res
+
+            def _flush():
+                if not buf:
+                    return
+                if len(buf) == self.chain_steps and self.chain_steps > 1:
+                    step = self._get_step(buf_res, self.chain_steps)
+                    self.state, losses = step(
+                        self.state,
+                        jnp.asarray(np.stack([x[1] for x in buf])),
+                        jnp.asarray(np.stack([x[2] for x in buf])),
+                        jnp.asarray(np.stack([x[3] for x in buf])))
+                    for i, (bi, *_r) in enumerate(buf):
+                        acct.push(bi + 1, losses[i])
+                else:
+                    step = self._get_step(buf_res)
+                    for bi, im, bx, mk in buf:
+                        self.state, loss = step(
+                            self.state, jnp.asarray(im), jnp.asarray(bx),
+                            jnp.asarray(mk))
+                        acct.push(bi + 1, loss)
+                buf.clear()
+
             for b, (images, boxes, mask) in enumerate(padded_batches(
                     dataset, self.batch_size, self.max_boxes,
                     shuffle=True, seed=self.seed, epoch=epoch,
@@ -702,13 +754,17 @@ class TrainerV5(PreemptSupport):
                     cur_res = int(rng.choice(self._scales))
                 if epoch == start_epoch and b < skip:
                     continue
-                self.state, loss = self._get_step(cur_res)(
-                    self.state, jnp.asarray(images), jnp.asarray(boxes),
-                    jnp.asarray(mask))
-                acct.push(b + 1, loss)
+                if buf and buf_res != cur_res:
+                    _flush()
+                buf_res = cur_res
+                buf.append((b, images, boxes, mask))
+                if len(buf) == self.chain_steps:
+                    _flush()
                 if self._preempted:
+                    _flush()
                     acct.finish()
                     return self._save_preempt(epoch, b + 1, verbose)
+            _flush()
             running = acct.finish()
             self.save(f"weight_epoch{epoch}")
             if self.best_on == "map" and dataset_type.upper() != "VOC":

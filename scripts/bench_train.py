@@ -42,6 +42,11 @@ def main():
                          "the reference-style per-batch sync) and report "
                          "wall ms/step per lag, interleaved")
     ap.add_argument("--loop_steps", type=int, default=8)
+    ap.add_argument("--chain", type=int, nargs="+", default=[],
+                    help="A/B the chained dispatch (train.step."
+                         "make_chained_step): run --loop_steps steps as "
+                         "loop_steps/k dispatches of k in-graph steps "
+                         "each (bf16act rolled step), lag-1 loop timing")
     ap.add_argument("--donate", action="store_true",
                     help="donate the state argument (the real trainer's "
                          "default) — halves train-state HBM residency, "
@@ -200,6 +205,62 @@ def main():
                 print(f"{args.model} {reso}² bs={bs} {args.dtype} "
                       f"loop[lag={lag}] x{K}: {per * 1000:.1f} ms/step = "
                       f"{bs / per:.0f} img/s", flush=True)
+        if args.chain:
+            from realtimeobjectdetection_tpu.train.step import \
+                make_chained_step
+            base_fn = make_train_step(
+                spec, opt, resolution=reso, compute_dtype=dtype,
+                activation_dtype=jnp.bfloat16)
+            K = args.loop_steps
+            for k in args.chain:
+                assert K % k == 0, (K, k)
+                cf = jax.jit(make_chained_step(base_fn, k), **donate_kw)
+                xc = jnp.broadcast_to(images, (k,) + images.shape) \
+                    if k > 1 else images
+                bc = jnp.broadcast_to(boxes, (k,) + boxes.shape) \
+                    if k > 1 else boxes
+                mc = jnp.broadcast_to(mask, (k,) + mask.shape) \
+                    if k > 1 else mask
+
+                # thread ONE state across all windows (a fresh state
+                # per window would put ~750 MB of params+Adam moments
+                # back through the tunnel inside the timed region —
+                # measured 2.7x inflation)
+                cs = fresh_state()
+
+                def run_chain():
+                    nonlocal cs
+                    prev = None
+                    t0 = time.time()
+                    for _ in range(K // k):
+                        if prev is not None:
+                            float(np.asarray(prev).ravel()[-1])
+                        cs, prev = cf(cs, xc, bc, mc)
+                    float(np.asarray(prev).ravel()[-1])
+                    float(jax.tree_util.tree_leaves(
+                        cs.params)[0].ravel()[0])
+                    return time.time() - t0
+
+                try:
+                    t0 = time.time()
+                    run_chain()
+                    print(f"bs={bs} chain{k}: compile+first "
+                          f"{time.time() - t0:.1f}s", flush=True)
+                except Exception as e:
+                    print(f"bs={bs} chain{k}: FAILED "
+                          f"{type(e).__name__}: {str(e)[:160]}",
+                          flush=True)
+                    continue
+                bt = min(run_chain() for _ in range(args.rounds))
+                del cs
+                per = bt / K
+                img_s = bs / per
+                tflops = img_s * train_gflop_per_img / 1000.0
+                print(f"{args.model} {reso}² bs={bs} {args.dtype} "
+                      f"chain[{k}] x{K}: {per * 1000:.1f} ms/step = "
+                      f"{img_s:.0f} img/s, {tflops:.1f} TFLOP/s = "
+                      f"{100 * tflops / peak_tflops:.1f}% MFU",
+                      flush=True)
     return 0
 
 
