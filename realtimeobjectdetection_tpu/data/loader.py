@@ -5,7 +5,10 @@ collate (variable-length box tuples, src/dataset.py:142-156, 320-346).
 Fixed XLA shapes need padded targets instead: every batch is
 ``(images [B,D,D,3], boxes [B,M,5+C], mask [B,M])`` with a static box
 budget M.  A background thread overlaps host decode/letterbox with
-device compute (same role as DataLoader's ``num_workers=4``).
+device compute, and ``num_workers`` threads decode the samples of each
+batch concurrently (PIL/cv2 release the GIL around decode/resize) —
+the same role as the reference DataLoader's ``num_workers=4``
+(src/dataset.py:142-176, 320-376) without worker processes.
 """
 
 from __future__ import annotations
@@ -25,7 +28,8 @@ def padded_batches(dataset, batch_size: int, max_boxes: int = 64,
                    prefetch: int = 4,
                    epoch: int = 0,
                    host_id: int = 0,
-                   num_hosts: int = 1) -> Iterator[Tuple[np.ndarray,
+                   num_hosts: int = 1,
+                   num_workers: int = 0) -> Iterator[Tuple[np.ndarray,
                                                          np.ndarray,
                                                          np.ndarray]]:
     """Yield fixed-shape (images, boxes, mask) batches.
@@ -47,6 +51,12 @@ def padded_batches(dataset, batch_size: int, max_boxes: int = 64,
     ``num_hosts - 1`` samples per epoch
     (tests/test_trainer_and_validator.py::test_loader_host_sharding).
     """
+    # num_workers=0: auto — one decode thread per core up to 4 (the
+    # reference's DataLoader default), 1 on single-core hosts where
+    # extra threads only add contention
+    if num_workers <= 0:
+        import os
+        num_workers = max(1, min(4, os.cpu_count() or 1))
     n = len(dataset)
     order = np.arange(n)
     if shuffle:

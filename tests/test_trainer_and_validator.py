@@ -913,3 +913,22 @@ def test_trainer_chain_steps_matches_plain(tmp_path):
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-3, atol=6e-2),
         params[2], params[1])
+
+
+def test_loader_thread_pool_order(tmp_path):
+    """padded_batches(num_workers=N): the decode thread pool preserves
+    sample order and produces byte-identical batches to the serial
+    loader (pool.map keeps input order)."""
+    from realtimeobjectdetection_tpu.data.loader import padded_batches
+
+    ann, imgs = make_synthetic_coco(tmp_path, n_images=7, img_size=(96, 128))
+    ds = COCODataset(ann, imgs, resolution=96, uint8=True)
+    serial = list(padded_batches(ds, 3, shuffle=True, seed=11,
+                                 num_workers=1))
+    pooled = list(padded_batches(ds, 3, shuffle=True, seed=11,
+                                 num_workers=3))
+    assert len(serial) == len(pooled) == 3
+    for (ia, ba, ma), (ib, bb, mb) in zip(serial, pooled):
+        np.testing.assert_array_equal(ia, ib)
+        np.testing.assert_array_equal(ba, bb)
+        np.testing.assert_array_equal(ma, mb)
