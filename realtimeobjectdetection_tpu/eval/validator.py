@@ -327,21 +327,35 @@ def _batched_eval(dataset, detect, params, rec, to_pred6, batch_size: int,
     Through the ~57 ms/round-trip axon tunnel the per-image dispatch was
     the whole cost of a val epoch (VERDICT r2 weak-3); bs=16 cuts the
     RPC count 16x with identical scores (bn running/fold — images are
-    independent in the graph)."""
+    independent in the graph).  Host/device overlap: while the device
+    runs batch i, the host decodes batch i+1 (thread pool over the
+    per-sample decode, same auto sizing as data/loader.padded_batches)
+    and scores batch i-1 — the readback of each dispatch is deferred one
+    batch, so decode, matcher work, and device time all pipeline.
+    Scores are order-identical to the serial loop."""
+    import os
     n = len(dataset)
     bs = max(1, int(batch_size))
-    for start in range(0, n, bs):
+    workers = max(1, min(4, os.cpu_count() or 1))
+    pool = None
+    if workers > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        pool = ThreadPoolExecutor(workers, thread_name_prefix="rodtpu-eval")
+
+    def prep(start):
         idxs = list(range(start, min(start + bs, n)))
-        samples, all_rows = [], []
-        for i in idxs:
-            _, sample, rows = dataset[i]
-            samples.append(sample)
-            all_rows.append(rows)
+        fetched = (list(pool.map(lambda i: dataset[i], idxs))
+                   if pool is not None else [dataset[i] for i in idxs])
+        samples = [f[1] for f in fetched]
+        all_rows = [f[2] for f in fetched]
         batch = np.stack(samples)
         if len(idxs) < bs:  # repeat-pad tail to the static batch shape
             batch = np.concatenate(
                 [batch, np.repeat(batch[-1:], bs - len(idxs), 0)], 0)
-        boxes, valid = detect(params, jnp.asarray(batch))
+        return idxs, batch, all_rows
+
+    def consume(pending):
+        idxs, all_rows, (boxes, valid) = pending
         boxes = np.asarray(boxes)
         valid = np.asarray(valid)
         for j, rows in enumerate(all_rows):
@@ -349,6 +363,20 @@ def _batched_eval(dataset, detect, params, rec, to_pred6, batch_size: int,
             rec.add_image(to_pred6(pred), _gt5_rows(rows))
         if verbose:
             print(f"\r{tag}: {idxs[-1] + 1}/{n}", end="", flush=True)
+
+    try:
+        pending = None
+        for start in range(0, n, bs):
+            idxs, batch, all_rows = prep(start)
+            handles = detect(params, jnp.asarray(batch))  # async dispatch
+            if pending is not None:
+                consume(pending)
+            pending = (idxs, all_rows, handles)
+        if pending is not None:
+            consume(pending)
+    finally:
+        if pool is not None:
+            pool.shutdown(wait=False, cancel_futures=True)
     if verbose:
         print()
 

@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Batched-evaluator throughput on the real TPU (VERDICT r2 next-4).
+
+The reference validates one image per forward (test.py:46-60 batch=1);
+round 3 gave validate_map/_v5 padded batches.  This measures what that
+buys through the ~57 ms/RPC tunnel: images/s of a full mAP evaluation
+over a synthetic COCO set at batch_size 1 vs N, asserting the scores
+are identical (the padded tail repeats real samples and the matcher
+sees each image once either way).
+
+Usage: python scripts/bench_eval.py [--n 64] [--bs 32] [--family both]
+"""
+import argparse
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=64, help="synthetic images")
+    ap.add_argument("--bs", type=int, default=32)
+    ap.add_argument("--reso", type=int, default=416)
+    ap.add_argument("--family", default="both",
+                    choices=["v3", "v5", "both"])
+    args = ap.parse_args()
+
+    import jax
+    if jax.default_backend() == "tpu":
+        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from realtimeobjectdetection_tpu.testing import make_synthetic_coco
+    tmp = Path(tempfile.mkdtemp(prefix="bench_eval_"))
+    ann, imgs = make_synthetic_coco(tmp, n_images=args.n,
+                                    img_size=(480, 640))
+
+    def timed(fn):
+        fn()  # warm: compiles land in the persistent cache first
+        t0 = time.time()
+        out = fn()
+        return out, time.time() - t0
+
+    if args.family in ("v3", "both"):
+        from realtimeobjectdetection_tpu.eval.validator import validate_map
+        from realtimeobjectdetection_tpu.models import get_spec
+        from realtimeobjectdetection_tpu.testing import bench_params
+        spec = get_spec("yolov3", width=args.reso, height=args.reso)
+        # dense weights: ~hundreds of candidates/img pass the NMS, so
+        # the host-side matcher does realistic work too
+        params = bench_params(spec, "yolov3")
+        for bs in (1, args.bs):
+            (scores), dt = timed(lambda b=bs: validate_map(
+                ann, imgs, spec, params, resolution=args.reso,
+                batch_size=b, verbose=False))
+            print(f"validate_map yolov3 {args.reso}² bs={bs}: "
+                  f"{args.n / dt:.1f} img/s ({dt:.1f}s for {args.n}), "
+                  f"mAP@0.5={scores['mAP@0.5']:.4f}", flush=True)
+            if bs == 1:
+                ref = scores
+        for k in ("mAP@0.5", "mAP@[.5:.95]"):
+            assert abs(ref[k] - scores[k]) < 1e-9, (k, ref[k], scores[k])
+        print("v3 scores identical across batch sizes", flush=True)
+
+    if args.family in ("v5", "both"):
+        from realtimeobjectdetection_tpu.eval.validator import \
+            validate_map_v5
+        from realtimeobjectdetection_tpu.models.yolov5 import \
+            init_yolov5_params, yolov5_config
+        params5 = init_yolov5_params(yolov5_config("s"), seed=0)
+        for bs in (1, args.bs):
+            scores, dt = timed(lambda b=bs: validate_map_v5(
+                ann, imgs, "s", params5, size=640, batch_size=b,
+                verbose=False))
+            print(f"validate_map_v5 yolov5s 640² bs={bs}: "
+                  f"{args.n / dt:.1f} img/s ({dt:.1f}s for {args.n}), "
+                  f"mAP@0.5={scores['mAP@0.5']:.4f}", flush=True)
+            if bs == 1:
+                ref = scores
+        for k in ("mAP@0.5", "mAP@[.5:.95]"):
+            assert abs(ref[k] - scores[k]) < 1e-9, (k, ref[k], scores[k])
+        print("v5 scores identical across batch sizes", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
