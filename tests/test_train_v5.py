@@ -506,7 +506,7 @@ def test_trainer_v5_multiscale(tmp_path):
                    multiscale_scales=(64, 96, 128), multiscale_every=1)
     hist = tr.train(ann, imgs, dataset_type="COCO", verbose=False)
     assert tr._prewarmed
-    assert set(tr._step_cache) == {64, 96, 128}
+    assert set(tr._step_cache) == {(64, 1), (96, 1), (128, 1)}
     assert np.isfinite(hist["train_loss"][0])
 
 

@@ -302,7 +302,8 @@ def test_multiscale_training(tmp_path):
     # service) can never stall training
     trainer.warm_step_cache(verbose=False)
     assert trainer._prewarmed
-    assert set(trainer._step_cache) == {96, 128, 160, 192}
+    assert set(trainer._step_cache) == {(96, 1), (128, 1), (160, 1),
+                                        (192, 1)}
     hist = trainer.train(ann, imgs, dataset_type="COCO", verbose=False)
     assert np.isfinite(hist["train_loss"][0])
     # more than one resolution actually compiled+ran
@@ -787,7 +788,7 @@ def test_preempt_resume_at_epoch_final_batch(tmp_path):
         if calls["n"] == 2:
             t1.request_preempt()
         return orig(*a, **k)
-    t1._step_cache = {t1.resolution: wrapped}
+    t1._step_cache = {(t1.resolution, 1): wrapped}
     t1.train(ann, imgs, dataset_type="COCO", verbose=False)
     assert int(t1.state.step) == 2
     import json as _json
