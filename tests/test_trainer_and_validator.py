@@ -933,3 +933,66 @@ def test_loader_thread_pool_order(tmp_path):
         np.testing.assert_array_equal(ia, ib)
         np.testing.assert_array_equal(ba, bb)
         np.testing.assert_array_equal(ma, mb)
+
+
+def test_preempt_mid_chain_partial_flush(tmp_path):
+    """chain_steps + preemption: a preempt arriving while the chain
+    buffer is PARTIAL flushes the buffered batches through the plain
+    per-batch program before checkpointing, so the preempt tier still
+    lands on an exact batch boundary and resume completes the run.
+    The resumed chain re-partitions the remaining batches (different
+    scan groupings -> fusion-ULP drift vs an uninterrupted run), so
+    params are compared at the Adam-amplified tolerance while the batch
+    accounting is exact."""
+    from realtimeobjectdetection_tpu.train.trainer import DarknetTrainer
+
+    ann, imgs = make_synthetic_coco(tmp_path, n_images=8,
+                                    img_size=(96, 128))
+    kw = dict(cfg_path="yolov3-tiny", epochs=2, batch_size=2,
+              resolution=96, best_on="loss", max_boxes=8)
+
+    ref = DarknetTrainer(out_dir=str(tmp_path / "ref"), chain_steps=2,
+                         **kw)
+    ref.train(ann, imgs, dataset_type="COCO", verbose=False)
+    assert int(ref.state.step) == 8          # 2 epochs x 4 batches
+
+    out = str(tmp_path / "w")
+    t1 = DarknetTrainer(out_dir=out, chain_steps=2, **kw)
+    t1.request_preempt()                     # fires at batch 1: buffer
+    t1.train(ann, imgs, dataset_type="COCO", verbose=False)
+    assert int(t1.state.step) == 1           # partial (1-deep) flush
+    import json as _json
+    meta = _json.load(open(os.path.join(out, "preempt.json")))
+    assert meta["epoch"] == 1 and meta["batch"] == 1
+
+    t2 = DarknetTrainer(out_dir=out, chain_steps=2, **kw)
+    t2.resume_preempt()
+    t2.train(ann, imgs, dataset_type="COCO", verbose=False)
+    assert int(t2.state.step) == 8
+    import jax
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-1),
+        t2.state.params, ref.state.params)
+
+
+def test_multiscale_chain_flushes_on_scale_switch(tmp_path):
+    """multiscale + chain_steps: a scale switch mid-buffer flushes the
+    partial chain, so every chained dispatch is single-resolution and
+    the loss history equals the unchained multiscale run (same rng, same
+    per-batch resolutions) within fusion ULPs."""
+    from realtimeobjectdetection_tpu.train.trainer import DarknetTrainer
+
+    ann, imgs = make_synthetic_coco(tmp_path, n_images=8,
+                                    img_size=(96, 128))
+    hist = {}
+    for chain in (1, 3):
+        t = DarknetTrainer("yolov3-tiny", epochs=1, batch_size=2,
+                           resolution=96, out_dir=str(tmp_path / f"m{chain}"),
+                           max_boxes=8, multiscale=True,
+                           multiscale_scales=(96, 128),
+                           multiscale_every=2, prewarm=False,
+                           chain_steps=chain)
+        t.train(ann, imgs, dataset_type="COCO", verbose=False)
+        hist[chain] = t.history["train_loss"]
+    np.testing.assert_allclose(hist[3], hist[1], rtol=1e-4)
