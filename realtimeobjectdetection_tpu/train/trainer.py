@@ -345,12 +345,21 @@ class DarknetTrainer(PreemptSupport):
 
     def save(self, name: str):
         import orbax.checkpoint as ocp
+        from ..utils.transfer import parallel_device_get
         path = os.path.abspath(os.path.join(self.out_dir, name))
         ckptr = ocp.PyTreeCheckpointer()
-        ckptr.save(path, jax.device_get(self.state), force=True)
+        # parallel_device_get: the tunnel throttles single streams to
+        # ~7.5 MB/s — a monolithic device_get of the ~744 MB train
+        # state took 95 s PER SAVE; chunked/threaded pulls run ~6x
+        # faster (utils/transfer.py)
+        host_state = parallel_device_get(self.state)
+        ckptr.save(path, host_state, force=True)
         # interop: raw Darknet weights next to the pytree (EMA weights
-        # when enabled — the deploy artifact)
-        params = jax.device_get(self.eval_params)
+        # when enabled — the deploy artifact).  eval_params is a view
+        # into the state, so reuse the host copy — no second pull.
+        params = (host_state.ema_params
+                  if isinstance(host_state, EmaTrainState)
+                  else host_state.params)
         blob = export_darknet_weights(self.spec, params,
                                       seen=int(self.state.step))
         with open(path + ".weights", "wb") as f:
@@ -366,9 +375,12 @@ class DarknetTrainer(PreemptSupport):
             self.state = restore_sharded(path, self.state, self.mesh)
             return
         import orbax.checkpoint as ocp
+        from ..utils.transfer import parallel_device_get
         path = os.path.abspath(path)
         ckptr = ocp.PyTreeCheckpointer()
-        template = jax.device_get(self.state)
+        # chunked/threaded template pull (utils/transfer.py) — the
+        # monolithic device_get here cost ~95 s through the tunnel
+        template = parallel_device_get(self.state)
         restored = ckptr.restore(path, item=template)
         self.state = jax.device_put(type(self.state)(*restored))
 

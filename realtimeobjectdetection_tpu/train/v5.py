@@ -633,11 +633,20 @@ class TrainerV5(PreemptSupport):
         import os
         import orbax.checkpoint as ocp
         from ..models.yolov5 import fold_v5_batchnorm
+        from ..utils.transfer import parallel_device_get
         path = os.path.abspath(os.path.join(self.out_dir, name))
-        ocp.PyTreeCheckpointer().save(path, jax.device_get(self.state),
-                                      force=True)
-        # deploy artifact: folded inference params, flat npz
-        folded = jax.device_get(fold_v5_batchnorm(self.eval_params))
+        # parallel_device_get: ~6x faster than a monolithic device_get
+        # through the tunnel (utils/transfer.py; measured in trainer.py
+        # save)
+        host_state = parallel_device_get(self.state)
+        ocp.PyTreeCheckpointer().save(path, host_state, force=True)
+        # deploy artifact: folded inference params, flat npz.
+        # eval_params is a view into the state — fold the HOST copy
+        # (pure numpy math) instead of pulling a second time.
+        host_eval = (host_state.ema_params
+                     if isinstance(host_state, EmaTrainState)
+                     else host_state.params)
+        folded = jax.device_get(fold_v5_batchnorm(host_eval))
         flat = {}
 
         def _dump(node, prefix):
@@ -665,8 +674,10 @@ class TrainerV5(PreemptSupport):
             return
         import os
         import orbax.checkpoint as ocp
+        from ..utils.transfer import parallel_device_get
         path = os.path.abspath(path)
-        template = jax.device_get(self.state)
+        # chunked/threaded template pull — see utils/transfer.py
+        template = parallel_device_get(self.state)
         restored = ocp.PyTreeCheckpointer().restore(path, item=template)
         self.state = jax.device_put(type(self.state)(*restored))
 

@@ -62,3 +62,31 @@ def test_conv_flops_v5_matches_published():
     # scales quadratically with resolution
     cfg = YoloV5Config("s")
     assert conv_flops_v5(cfg, 320) * 4 == conv_flops_v5(cfg, 640)
+
+
+def test_parallel_device_get_identity():
+    """utils/transfer.parallel_device_get == jax.device_get bit-for-bit:
+    big leaves split into row chunks and reassembled, small leaves and
+    non-array leaves passed through, nested pytrees preserved."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from realtimeobjectdetection_tpu.utils.transfer import \
+        parallel_device_get
+
+    rng = np.random.RandomState(0)
+    tree = {
+        "big": jnp.asarray(rng.rand(4096, 600), jnp.float32),   # ~9.8 MB
+        "small": jnp.asarray(rng.rand(7, 3), jnp.float32),
+        "scalar": jnp.asarray(3.5),
+        "nested": [jnp.asarray(rng.rand(5), jnp.bfloat16),
+                   {"n": 7, "x": jnp.arange(11)}],
+    }
+    got = parallel_device_get(tree, workers=3, split_bytes=1 << 20)
+    ref = jax.device_get(tree)
+    assert got["nested"][1]["n"] == 7
+    ga, _ = jax.tree_util.tree_flatten(got)
+    ra, _ = jax.tree_util.tree_flatten(ref)
+    for g, r in zip(ga, ra):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
+        assert np.asarray(g).dtype == np.asarray(r).dtype
