@@ -555,8 +555,11 @@ class _GPipeTrain:
         re-slicing) plus the step count."""
         import os
         import orbax.checkpoint as ocp
-        state = {"params": [jax.device_get(p) for p in self._params],
-                 "opt": [jax.device_get(o) for o in self._opt],
+        from ..utils.transfer import parallel_device_get
+        # chunked/threaded pulls: the tunnel throttles single streams
+        # (utils/transfer.py — 95 s for a monolithic 744 MB pull)
+        state = {"params": [parallel_device_get(p) for p in self._params],
+                 "opt": [parallel_device_get(o) for o in self._opt],
                  "step": self.step_count}
         ocp.PyTreeCheckpointer().save(os.path.abspath(path), state,
                                       force=True)
@@ -567,8 +570,10 @@ class _GPipeTrain:
         stage's slice lands back on its own device."""
         import os
         import orbax.checkpoint as ocp
-        template = {"params": [jax.device_get(p) for p in self._params],
-                    "opt": [jax.device_get(o) for o in self._opt],
+        from ..utils.transfer import parallel_device_get
+        template = {"params": [parallel_device_get(p)
+                               for p in self._params],
+                    "opt": [parallel_device_get(o) for o in self._opt],
                     "step": self.step_count}
         state = ocp.PyTreeCheckpointer().restore(os.path.abspath(path),
                                                  item=template)
