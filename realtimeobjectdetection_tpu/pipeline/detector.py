@@ -300,20 +300,35 @@ class DetectorV3:
             "No file or directory with the name {}".format(d))
 
     def _loader_thread(self, names: List[str], q: "queue.Queue"):
+        # per-image decode+letterbox fans out over a small thread pool
+        # (cv2 releases the GIL): at the 1900 fps device rate a single
+        # decode thread cannot keep the chip fed on a multi-core host —
+        # same auto sizing as data/loader.padded_batches
+        import os as _os
+        workers = max(1, min(4, _os.cpu_count() or 1))
+        pool = None
+        if workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            pool = ThreadPoolExecutor(workers,
+                                      thread_name_prefix="rodtpu-det")
+
+        def _load_one(n):
+            img = cv2.imread(os.path.join(self.images, n))
+            if img is None:
+                raise FileNotFoundError(os.path.join(self.images, n))
+            prep = (prep_image_host_u8(img, self.resolution)
+                    if self.host_prep != "native" else None)
+            return img, (img.shape[1], img.shape[0]), prep
+
         try:
             bs = self.batch_size
             for start in range(0, len(names), bs):
                 chunk = names[start:start + bs]
-                imgs, dims, prepped = [], [], []
-                for n in chunk:
-                    img = cv2.imread(os.path.join(self.images, n))
-                    if img is None:
-                        raise FileNotFoundError(os.path.join(self.images, n))
-                    imgs.append(img)
-                    dims.append((img.shape[1], img.shape[0]))  # (w, h)
-                    if self.host_prep != "native":
-                        prepped.append(
-                            prep_image_host_u8(img, self.resolution))
+                loaded = (list(pool.map(_load_one, chunk)) if pool
+                          else [_load_one(n) for n in chunk])
+                imgs = [l[0] for l in loaded]
+                dims = [l[1] for l in loaded]
+                prepped = [l[2] for l in loaded if l[2] is not None]
                 if self.host_prep == "native":
                     from ..native import letterbox_batch_native
                     batch = letterbox_batch_native(imgs, self.resolution)
@@ -330,6 +345,9 @@ class DetectorV3:
             q.put(None)
         except BaseException as e:  # surface loader errors to the consumer
             q.put(e)
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=False, cancel_futures=True)
 
     # ------------------------------------------------------------------
     def __call__(self, verbose: bool = True) -> Dict[str, object]:

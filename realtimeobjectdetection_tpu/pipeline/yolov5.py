@@ -136,6 +136,15 @@ class DetectorV5:
         self.rect = rect
         self.rect_bucket = rect_bucket
         self.batch_size = batch_size
+        # decode/letterbox thread pool (auto: one per core up to 4)
+        import os as _os
+        _w = max(1, min(4, _os.cpu_count() or 1))
+        if _w > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            self._pool = ThreadPoolExecutor(
+                _w, thread_name_prefix="rodtpu-v5det")
+        else:
+            self._pool = None
         self.classes = COCO80
         self.metrics: Dict[str, object] = {}
 
@@ -207,23 +216,28 @@ class DetectorV5:
             groups.setdefault(key, []).append(p)
         return list(groups.values())
 
+    def _prep_one(self, path):
+        img = cv2.imread(path)
+        if img is None:
+            raise FileNotFoundError(path)
+        if self.rect:
+            th, tw = rect_shape(img.shape[1], img.shape[0], self.size,
+                                bucket=self.rect_bucket)
+            canvas, r, left, top = letterbox_v5_rect(img, th, tw)
+            return img, canvas[:, :, ::-1], (r, left, top)
+        return img, letterbox_v5(img, self.size)[:, :, ::-1], None
+
     def _prep_batch(self, chunk):
-        imgs, dims, canvases, geoms = [], [], [], []
-        for path in chunk:
-            img = cv2.imread(path)
-            if img is None:
-                raise FileNotFoundError(path)
-            imgs.append(img)
-            dims.append((img.shape[1], img.shape[0]))
-            if self.rect:
-                th, tw = rect_shape(img.shape[1], img.shape[0], self.size,
-                                    bucket=self.rect_bucket)
-                canvas, r, left, top = letterbox_v5_rect(img, th, tw)
-                canvases.append(canvas[:, :, ::-1])
-                geoms.append((r, left, top))
-            else:
-                canvases.append(letterbox_v5(img, self.size)[:, :, ::-1])
-                geoms.append(None)
+        # per-image decode+letterbox over a small thread pool (cv2
+        # releases the GIL) — same rationale as DetectorV3._loader_thread
+        if self._pool is not None:
+            loaded = list(self._pool.map(self._prep_one, chunk))
+        else:
+            loaded = [self._prep_one(p) for p in chunk]
+        imgs = [l[0] for l in loaded]
+        dims = [(im.shape[1], im.shape[0]) for im in imgs]
+        canvases = [l[1] for l in loaded]
+        geoms = [l[2] for l in loaded]
         batch = np.stack(canvases)  # uint8; normalized on device
         if len(chunk) < self.batch_size:  # pad tail to the static shape
             batch = np.concatenate(
