@@ -79,10 +79,12 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def batch_sharding(mesh: Mesh, spatial_axis: Optional[int] = None,
-                   ndim: int = 4) -> NamedSharding:
-    """Shard axis 0 over 'data' (and optionally one axis over 'space')."""
+                   ndim: int = 4, batch_axis: int = 0) -> NamedSharding:
+    """Shard ``batch_axis`` over 'data' (and optionally one axis over
+    'space').  ``batch_axis=1`` serves chained-dispatch inputs, whose
+    leading axis is the in-graph step index and stays replicated."""
     spec = [None] * ndim
-    spec[0] = "data"
+    spec[batch_axis] = "data"
     if spatial_axis is not None and "space" in mesh.axis_names \
             and mesh.shape["space"] > 1:
         spec[spatial_axis] = "space"
@@ -131,7 +133,7 @@ def shard_params(params, mesh: Mesh, min_channels: int = 64):
 
 
 def shard_train_step(step_fn, mesh: Mesh, spatial: bool = True,
-                     donate: bool = False, state=None):
+                     donate: bool = False, state=None, chain: int = 1):
     """jit a train step with DP(+SP[+TP]) shardings over the mesh.
 
     Images are sharded [B->data, H->space]; boxes/box_mask are
@@ -147,11 +149,38 @@ def shard_train_step(step_fn, mesh: Mesh, spatial: bool = True,
     over 'model' in and out, giving tensor-parallel compute plus
     ZeRO-style sharded optimizer state.  Without a 'model' axis the
     state is replicated as before.
+
+    ``chain=k`` (k>1): ``step_fn`` is a chained program
+    (train/step.make_chained_step) whose inputs carry a leading [k]
+    step axis — that axis stays replicated (every device walks the k
+    in-graph steps in order) and the batch axis moves to 1.  Per-chain
+    losses come back as a replicated [k] vector.  This composes
+    dispatch amortization with DP and TP: one RPC runs k sharded
+    optimizer steps, gradient all-reduces riding ICI inside the scan
+    (equality vs k sequential sharded steps pinned in
+    tests/test_train_targets.py + test_parallel_tp.py).  SPATIAL
+    sharding is rejected with chain>1: on the 8-device CPU emulation
+    the SPMD partitioner mis-reduces the BN batch means of
+    odd-small-grid layers (13², 3²…) inside the scan body — they come
+    back multiplied by exactly the 'data' axis size (sum of per-shard
+    means instead of the global mean) while the same program unchained
+    is exact.  DP/TP meshes are unaffected (measured, same harness).
     """
     rep = replicated(mesh)
-    img_sh = batch_sharding(mesh, spatial_axis=1 if spatial else None)
-    box_sh = batch_sharding(mesh, ndim=3)
-    mask_sh = batch_sharding(mesh, ndim=2)
+    lead = 1 if chain > 1 else 0
+    if (chain > 1 and spatial and "space" in mesh.axis_names
+            and mesh.shape["space"] > 1):
+        raise ValueError(
+            "chained dispatch (chain>1) cannot combine with spatial "
+            "sharding: the XLA SPMD partitioner mis-reduces BN batch "
+            "statistics of unevenly H-sharded layers inside lax.scan "
+            "(see shard_train_step docstring); use a data[*model] mesh "
+            "or chain=1")
+    img_sh = batch_sharding(mesh,
+                            spatial_axis=(1 + lead) if spatial else None,
+                            ndim=4 + lead, batch_axis=lead)
+    box_sh = batch_sharding(mesh, ndim=3 + lead, batch_axis=lead)
+    mask_sh = batch_sharding(mesh, ndim=2 + lead, batch_axis=lead)
     if "model" in mesh.axis_names and mesh.shape["model"] > 1:
         assert state is not None, \
             "TP mesh needs the state example to build its sharding tree"

@@ -211,12 +211,11 @@ class DarknetTrainer(PreemptSupport):
         # batches, flushing early (through the plain per-batch program)
         # at scale switches, epoch tails, and preemption.  Measured
         # +23% v5s train throughput at bs=64 (PERFORMANCE.md round-3
-        # "chained dispatch").  Single-process only: the sharded step's
-        # in_shardings are laid out for unchained inputs.
+        # "chained dispatch").  Composes with the DP/SP/TP mesh: the
+        # chained program's leading [k] step axis stays replicated and
+        # the batch axis shards as usual (shard_train_step(chain=k);
+        # equality pinned in tests/test_train_targets.py + test_parallel_tp.py).
         self.chain_steps = max(1, int(chain_steps))
-        assert self.chain_steps == 1 or (mesh is None
-                                         and tensor_parallel == 1), \
-            "chain_steps requires the unsharded single-chip step"
 
         self._step_kwargs = dict(
             class_filter=class_filter, compute_dtype=compute_dtype,
@@ -281,6 +280,15 @@ class DarknetTrainer(PreemptSupport):
         else:
             self.mesh = mesh or None
         self._spatial = spatial
+        if (self.chain_steps > 1 and self.mesh is not None and spatial
+                and "space" in self.mesh.axis_names
+                and self.mesh.shape["space"] > 1):
+            # fail at init, not at the first chained dispatch mid-epoch
+            # (shard_train_step(chain=k) rejects spatial meshes — SPMD
+            # BN-stat miscompile, see parallel/mesh.shard_train_step)
+            raise ValueError(
+                "chain_steps>1 cannot combine with a spatial-sharded "
+                "mesh; use a data[*model] mesh or chain_steps=1")
         # donate: the TrainState argument's buffers are updated in place
         # by XLA (no params/opt-state copy per step, halves the state
         # HBM footprint).  The epoch loop immediately rebinds
@@ -314,7 +322,7 @@ class DarknetTrainer(PreemptSupport):
 
         ``chain>1``: the k-steps-per-dispatch program
         (train/step.make_chained_step) — inputs gain a leading [k]
-        axis; single-chip only (asserted in __init__)."""
+        axis (replicated on a mesh; batch axis moves to 1)."""
         key = (resolution, chain)
         if key not in self._step_cache:
             fn = make_train_step(self.spec, self.optimizer,
@@ -327,7 +335,7 @@ class DarknetTrainer(PreemptSupport):
                 fn = shard_train_step(fn, self.mesh, spatial=self._spatial,
                                       donate=self._donate,
                                       state=self.state if self._tp
-                                      else None)
+                                      else None, chain=chain)
             else:
                 fn = jax.jit(
                     fn, donate_argnums=(0,) if self._donate else ())

@@ -459,12 +459,11 @@ class TrainerV5(PreemptSupport):
         self.loss_lag = max(0, int(loss_lag))
         # chain_steps=k: k optimizer steps per device dispatch (see
         # DarknetTrainer chain_steps — same buffering, same {k, 1}
-        # program bound; single-chip only).  Measured +21% at bs=128
-        # 640² on the v5s step (PERFORMANCE.md "chained dispatch").
+        # program bound).  Measured +21% at bs=128 640² on the v5s step
+        # (PERFORMANCE.md "chained dispatch").  Composes with the mesh
+        # (shard_train_step(chain=k): leading [k] axis replicated,
+        # batch axis sharded; equality in tests/test_train_targets.py + test_parallel_tp.py).
         self.chain_steps = max(1, int(chain_steps))
-        assert self.chain_steps == 1 or (mesh is None
-                                         and tensor_parallel == 1), \
-            "chain_steps requires the unsharded single-chip step"
         self._step_kwargs = dict(
             compute_dtype=compute_dtype,
             ema_decay=ema_decay, augment=augment, mosaic=mosaic,
@@ -523,6 +522,15 @@ class TrainerV5(PreemptSupport):
                                             batch_size % n == 0) else None
         else:
             self.mesh = mesh or None
+        if (self.chain_steps > 1 and self.mesh is not None and spatial
+                and "space" in self.mesh.axis_names
+                and self.mesh.shape["space"] > 1):
+            # fail at init, not at the first chained dispatch mid-epoch
+            # (shard_train_step(chain=k) rejects spatial meshes — SPMD
+            # BN-stat miscompile, see parallel/mesh.shard_train_step)
+            raise ValueError(
+                "chain_steps>1 cannot combine with a spatial-sharded "
+                "mesh; use a data[*model] mesh or chain_steps=1")
         self._tp = (self.mesh is not None
                     and "model" in self.mesh.axis_names
                     and self.mesh.shape["model"] > 1)
@@ -537,7 +545,7 @@ class TrainerV5(PreemptSupport):
             import os
             self.restore(os.path.join(self.out_dir, "training_output"))
 
-    def _jit_step(self, step_fn):
+    def _jit_step(self, step_fn, chain: int = 1):
         # donate: in-place state update (see DarknetTrainer); the epoch
         # loop rebinds self.state every step, never reusing the input
         from ..parallel.mesh import shard_train_step
@@ -546,7 +554,7 @@ class TrainerV5(PreemptSupport):
                                     spatial=self._spatial,
                                     donate=self._donate,
                                     state=self.state if self._tp
-                                    else None)
+                                    else None, chain=chain)
         return jax.jit(step_fn,
                        donate_argnums=(0,) if self._donate else ())
 
@@ -574,7 +582,7 @@ class TrainerV5(PreemptSupport):
     def _get_step(self, resolution: int, chain: int = 1):
         """Jitted train step for one target resolution (cached).
         ``chain>1``: k-steps-per-dispatch (train/step.make_chained_step;
-        leading [k] input axis)."""
+        leading [k] input axis, replicated on a mesh)."""
         key = (resolution, chain)
         if key not in self._step_cache:
             fn = make_train_step_v5(self.cfg, self.optimizer,
@@ -583,7 +591,7 @@ class TrainerV5(PreemptSupport):
             if chain > 1:
                 from .step import make_chained_step
                 fn = make_chained_step(fn, chain)
-            self._step_cache[key] = self._jit_step(fn)
+            self._step_cache[key] = self._jit_step(fn, chain=chain)
         return self._step_cache[key]
 
     def warm_step_cache(self, verbose: bool = True):

@@ -203,3 +203,56 @@ def test_trainer_tp_indivisible_batch_raises(tmp_path, cpu_devices):
         DarknetTrainer("yolov3-tiny", epochs=1, batch_size=6,
                        resolution=64, out_dir=str(tmp_path / "w"),
                        tensor_parallel=2, prewarm=False)
+
+
+def test_tp_chained_step_equals_sequential(cpu_devices):
+    """Chained dispatch composes with the DP+TP mesh: k in-graph
+    optimizer steps in ONE sharded program (shard_train_step(chain=k),
+    leading [k] axis replicated, conv kernels/Adam state channel-
+    sharded) == k sequential TP-sharded steps — per-step losses and BN
+    running statistics exact to fusion ULPs."""
+    reso = 96
+    spec, params = _tiny(reso)
+    opt = optax.adam(1e-3)
+    step = make_train_step(spec, opt, resolution=reso)
+    from realtimeobjectdetection_tpu.train.step import make_chained_step
+
+    mesh = make_mesh(8, data=4, space=1, model=2)
+    k, B = 2, 8
+    rng = np.random.RandomState(11)
+    images = jnp.asarray(rng.rand(k, B, reso, reso, 3), jnp.float32)
+    boxes = np.zeros((k, B, 3, 85), np.float32)
+    boxes[..., 0, 0:2] = rng.uniform(30, 66, (k, B, 2))
+    boxes[..., 0, 2:4] = rng.uniform(30, 50, (k, B, 2))
+    boxes[..., 0, 4] = 1.0
+    boxes[..., 0, 5] = 1.0
+    mask = np.zeros((k, B, 3), bool)
+    mask[..., 0] = True
+    boxes, mask = jnp.asarray(boxes), jnp.asarray(mask)
+
+    s0 = init_train_state(params, opt)
+    s0 = jax.device_put(s0, param_shardings(mesh, s0))
+    chained = shard_train_step(make_chained_step(step, k), mesh,
+                               spatial=False, state=s0, chain=k)
+    seq = shard_train_step(step, mesh, spatial=False, state=s0)
+    with mesh:
+        sc, losses = chained(s0, images, boxes, mask)
+        ss = s0
+        ref = []
+        for i in range(k):
+            ss, l = seq(ss, images[i], boxes[i], mask[i])
+            ref.append(float(l))
+    np.testing.assert_allclose(np.asarray(losses), ref, rtol=1e-4)
+    # the chained state keeps the TP shardings (resumable in place)
+    assert sc.params["node_10"]["w"].sharding.spec[-1] == "model"
+    # BN running stats are the stat-reduction canary (the spatial-mesh
+    # miscompile this lever guards against broke exactly these)
+    for node in ("node_10", "node_12"):
+        np.testing.assert_allclose(
+            np.asarray(sc.params[node]["bn_mean"]),
+            np.asarray(ss.params[node]["bn_mean"]), rtol=1e-4,
+            atol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=3e-3),
+        sc.params, ss.params)

@@ -409,3 +409,63 @@ def test_chained_step_equals_sequential():
         sc.params, ss.params)
     # k=1 passthrough returns the step itself
     assert make_chained_step(step, 1) is step
+
+
+def test_chained_step_sharded_equals_sequential(cpu_devices):
+    """Chained dispatch composes with the DP mesh
+    (shard_train_step(chain=k)): one sharded program running k in-graph
+    optimizer steps over the 8-device mesh equals k sequential sharded
+    steps — leading [k] step axis replicated, batch axis sharded, the
+    gradient all-reduces riding inside the scan.  Semantics gate for
+    the multi-chip dispatch-amortization lever.  Spatial meshes are
+    REJECTED with chain>1 (SPMD BN-stat miscompile — the batch means of
+    odd-small-grid layers come back ×data-axis-size; measured on this
+    harness, see shard_train_step docstring)."""
+    from realtimeobjectdetection_tpu.parallel.mesh import (make_mesh,
+                                                           shard_train_step)
+    from realtimeobjectdetection_tpu.train.step import (init_train_state,
+                                                        make_chained_step,
+                                                        make_train_step)
+    spec = get_spec("yolov3-tiny", width=96, height=96)
+    opt = optax.adam(1e-3)
+    step = make_train_step(spec, opt, resolution=96)
+    with pytest.raises(ValueError, match="spatial"):
+        shard_train_step(make_chained_step(step, 2),
+                         make_mesh(8, data=4, space=2),
+                         spatial=True, chain=2)
+    mesh = make_mesh(8, data=8, space=1)
+    k, B = 2, 8
+    rng = np.random.RandomState(11)
+    images = jnp.asarray(rng.rand(k, B, 96, 96, 3), jnp.float32)
+    boxes = np.zeros((k, B, 3, 85), np.float32)
+    boxes[..., 0, 0:2] = rng.uniform(30, 66, (k, B, 2))
+    boxes[..., 0, 2:4] = rng.uniform(30, 50, (k, B, 2))
+    boxes[..., 0, 4] = 1.0
+    boxes[..., 0, 5] = 1.0
+    mask = np.zeros((k, B, 3), bool)
+    mask[..., 0] = True
+    boxes = jnp.asarray(boxes)
+    mask = jnp.asarray(mask)
+
+    chained = shard_train_step(make_chained_step(step, k), mesh,
+                               spatial=True, chain=k)
+    seq = shard_train_step(step, mesh, spatial=True)
+    s0 = init_train_state(init_params(spec, 0), opt)
+    with mesh:
+        sc, losses = chained(s0, images, boxes, mask)
+        ss = s0
+        ref = []
+        for i in range(k):
+            ss, l = seq(ss, images[i], boxes[i], mask[i])
+            ref.append(float(l))
+    # step 1 matches to fusion ULPs; step 2's loss sees step-1 params
+    # already perturbed by Adam's sign-like amplification of those ULPs
+    # (measured 3e-5 rel on the 8-device mesh), hence 1e-4 not 1e-5
+    np.testing.assert_allclose(np.asarray(losses), ref, rtol=1e-4)
+    # same atol rationale as the single-device chain test: Adam's
+    # sign-like update amplifies fusion-ULP grad noise to ~lr per step
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=2e-3),
+        sc.params, ss.params)
+    assert int(sc.step) == k
