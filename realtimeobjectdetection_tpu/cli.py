@@ -95,6 +95,8 @@ def main(argv=None):
         export_cli(rest)
     elif command == "anchors":
         anchors_cli(rest)
+    elif command == "warmup":
+        warmup_cli(rest)
     else:
         raise Exception("Unknown Command Error !!")
     return 0
@@ -165,6 +167,8 @@ def detect_arg_parser() -> argparse.ArgumentParser:
 
 
 def detect_cli(argv=None):
+    from .utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()   # no-op off-TPU
     a = detect_arg_parser().parse_args(argv)
     params = {
         "images": a.images, "destination": a.det,
@@ -269,6 +273,8 @@ def train_arg_parser() -> argparse.ArgumentParser:
 
 
 def train_cli(argv=None):
+    from .utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()   # no-op off-TPU
     a = train_arg_parser().parse_args(argv)
     if a.cfg_file.lower().startswith("yolov5"):
         # native v5 training (beyond the reference, which can only
@@ -352,6 +358,8 @@ def validate_arg_parser() -> argparse.ArgumentParser:
 
 
 def validate_cli(argv=None):
+    from .utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()   # no-op off-TPU
     a = validate_arg_parser().parse_args(argv)
     from .eval.validator import DarknetValidator, roc_sweep
     from .models.zoo import resolve_spec
@@ -438,6 +446,8 @@ def stream_arg_parser() -> argparse.ArgumentParser:
 
 
 def stream_cli(argv=None):
+    from .utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()   # no-op off-TPU
     a = stream_arg_parser().parse_args(argv)
     from .models.zoo import resolve_spec
     from .weights import init_params, load_darknet_weights
@@ -527,6 +537,8 @@ def serve_arg_parser() -> argparse.ArgumentParser:
 
 
 def serve_cli(argv=None):
+    from .utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()   # no-op off-TPU
     a = serve_arg_parser().parse_args(argv)
     from .pipeline.server import DetectionService, DetectionServiceV5, serve
 
@@ -734,6 +746,99 @@ def anchors_cli(argv=None):
     print(f"anchors = {flat}")
     print(f"avg IoU = {avg:.4f}")
     return anchors, avg
+
+
+def warmup_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="Pre-compile standard programs into the persistent "
+                    "XLA cache (cold-start amortization: fresh compiles "
+                    "through the remote compile service take minutes, "
+                    "cache hits seconds)")
+    p.add_argument("--cfg", dest="cfg_file", default="yolov3", type=str,
+                   help="comma list of zoo names / .cfg paths / "
+                        "yolov5{n,s,m,l,x}")
+    p.add_argument("--reso", default=None, type=int,
+                   help="input resolution (family default when omitted)")
+    p.add_argument("--batch_size", dest="batch_size", default=8, type=int,
+                   help="serving batch size to compile for")
+    p.add_argument("--weights", dest="weights_file", default=None, type=str,
+                   help="optional checkpoint; cache keys depend only on "
+                        "shapes/dtypes, so random init compiles the same "
+                        "programs")
+    p.add_argument("--approx_topk", action="store_true",
+                   help="compile the approx_max_k candidate selection "
+                        "variant instead of the exact sort")
+    p.add_argument("--train", action="store_true",
+                   help="also compile the train step(s)")
+    p.add_argument("--train_bs", default=16, type=int,
+                   help="train-step batch size (with --train)")
+    return p
+
+
+def warmup_cli(argv=None):
+    """Compile the serving (and optionally training) programs for the
+    requested configs, then exit — the persistent cache keeps the
+    executables, so the next `serve`/`train` on this host starts in
+    seconds instead of minutes (ROADMAP 'Compile-time on the axon
+    service').  No HTTP server is started and nothing is written except
+    the cache."""
+    import tempfile
+    import time
+
+    a = warmup_arg_parser().parse_args(argv)
+    from .utils.compile_cache import enable_persistent_cache
+    enabled = enable_persistent_cache()
+    print(f"persistent cache {'ENABLED' if enabled else 'off (non-TPU backend)'}")
+
+    def timed(label, fn):
+        t0 = time.time()
+        fn()
+        print(f"  {label}: {time.time() - t0:.1f}s")
+
+    for cfg in [c.strip() for c in a.cfg_file.split(",") if c.strip()]:
+        print(f"warmup {cfg}:")
+        if cfg.lower().startswith("yolov5"):
+            from .pipeline.server import DetectionServiceV5
+            svc = DetectionServiceV5(
+                model_size=cfg[6:] or "s", weights_path=a.weights_file,
+                size=a.reso or 640, batch_size=a.batch_size,
+                approx_topk=a.approx_topk)
+            timed(f"serve bs={a.batch_size}", svc.warmup)
+            svc.close()
+            if a.train:
+                from .train.v5 import TrainerV5
+                with tempfile.TemporaryDirectory() as td:
+                    tr = TrainerV5(cfg[6:] or "s", epochs=1,
+                                   batch_size=a.train_bs,
+                                   resolution=a.reso or 640,
+                                   out_dir=td, prewarm=False)
+                    timed(f"train bs={a.train_bs}",
+                          lambda: tr.warm_step_cache(verbose=False))
+        else:
+            from .models.zoo import resolve_spec
+            from .pipeline.server import DetectionService
+            from .weights import init_params, load_darknet_weights
+            spec = resolve_spec(cfg)
+            if a.weights_file:
+                params, _ = load_darknet_weights(spec, a.weights_file)
+            else:
+                params = init_params(spec)
+            svc = DetectionService(spec, params, resolution=a.reso or 416,
+                                   batch_size=a.batch_size,
+                                   approx_topk=a.approx_topk)
+            timed(f"serve bs={a.batch_size}", svc.warmup)
+            svc.close()
+            if a.train:
+                from .train.trainer import DarknetTrainer
+                with tempfile.TemporaryDirectory() as td:
+                    tr = DarknetTrainer(cfg, epochs=1,
+                                        batch_size=a.train_bs,
+                                        resolution=a.reso or 416,
+                                        out_dir=td, prewarm=False)
+                    timed(f"train bs={a.train_bs}",
+                          lambda: tr.warm_step_cache(verbose=False))
+    print("warmup done")
+    return 0
 
 
 # NOTE: this block must stay the LAST statement in the module.  `python -m

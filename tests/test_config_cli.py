@@ -67,7 +67,7 @@ def test_module_entrypoint_every_subcommand():
     import sys
 
     cmds = ["detect", "train", "validate", "stream", "serve",
-            "convert", "export", "anchors"]
+            "convert", "export", "anchors", "warmup"]
     env = dict(os.environ, JAX_PLATFORM_NAME="cpu")
     procs = {
         cmd: subprocess.Popen(
@@ -82,3 +82,26 @@ def test_module_entrypoint_every_subcommand():
             f"`python -m ...cli {cmd} --help` exited "
             f"{proc.returncode}:\n{err.decode()}")
         assert b"usage" in out.lower() or b"usage" in err.lower(), cmd
+
+
+def test_warmup_cli_compiles_programs(capsys):
+    """`rodtpu warmup` pre-compiles the serving program for each listed
+    config and exits cleanly (off-TPU the persistent cache stays off but
+    the compile exercise is identical)."""
+    from realtimeobjectdetection_tpu.cli import warmup_cli
+    rc = warmup_cli(["--cfg", "yolov3-tiny", "--reso", "96",
+                     "--batch_size", "1"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "warmup yolov3-tiny" in out
+    assert "serve bs=1" in out
+    assert "warmup done" in out
+
+
+def test_enable_persistent_cache_off_tpu():
+    """TPU-only guard: on the CPU test backend the cache must stay
+    disabled (XLA:CPU AOT entries poison cross-host — see
+    utils/compile_cache.py)."""
+    from realtimeobjectdetection_tpu.utils.compile_cache import \
+        enable_persistent_cache
+    assert enable_persistent_cache() is False
