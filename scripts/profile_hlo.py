@@ -38,7 +38,8 @@ def _enable_compile_cache():
         pass
 
 
-def build_target(name: str, bs: int, reso: int, dtype: str = None):
+def build_target(name: str, bs: int, reso: int, dtype: str = None,
+                 act: str = None):
     """Return (fn, args, sync) for a pinned program."""
     import jax
     import jax.numpy as jnp
@@ -104,6 +105,7 @@ def build_target(name: str, bs: int, reso: int, dtype: str = None):
     if name in ("v3_train", "v5_train"):
         import optax
         cd = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+        ad = jnp.bfloat16 if act == "bfloat16" else None
         if name == "v5_train":
             from realtimeobjectdetection_tpu.train.v5 import \
                 make_train_step_v5
@@ -116,7 +118,8 @@ def build_target(name: str, bs: int, reso: int, dtype: str = None):
             params = init_yolov5_params(cfg, seed=0, batch_norm=True)
             opt = optax.adam(1e-3)
             step = make_train_step_v5(cfg, opt, resolution=reso,
-                                      compute_dtype=cd)
+                                      compute_dtype=cd,
+                                      activation_dtype=ad)
             state = init_train_state(params, opt)
         else:
             from realtimeobjectdetection_tpu.models import get_spec
@@ -128,7 +131,8 @@ def build_target(name: str, bs: int, reso: int, dtype: str = None):
             params = init_params(spec, 0)
             opt = optax.adam(1e-3)
             step = make_train_step(spec, opt, resolution=reso,
-                                   compute_dtype=cd)
+                                   compute_dtype=cd,
+                                   activation_dtype=ad)
             state = init_train_state(params, opt)
         m = 16
         images = jnp.asarray(rng.rand(bs, reso, reso, 3), np.float32)
@@ -234,6 +238,9 @@ def main():
     ap.add_argument("--reso", type=int, default=None)
     ap.add_argument("--dtype", default=None, choices=["float32", "bfloat16"],
                     help="train targets: step compute dtype")
+    ap.add_argument("--act", default=None, choices=["float32", "bfloat16"],
+                    help="train targets: activation residency dtype "
+                         "(--act bfloat16 = the bf16act record config)")
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--trace_dir", default=None)
     ap.add_argument("--parse", default=None,
@@ -248,7 +255,7 @@ def main():
     trace_dir = args.trace_dir or \
         f"/tmp/trace_{args.target}_bs{args.bs}"
     fn, fargs, sync = build_target(args.target, args.bs, args.reso,
-                               dtype=args.dtype)
+                                   dtype=args.dtype, act=args.act)
     capture(fn, fargs, sync, trace_dir, args.iters)
     parse(trace_dir, args.top, args.iters)
     return 0
