@@ -1,0 +1,115 @@
+"""Fences for the pre-seedable bench program (benchprog.py).
+
+The scored bench run must never pay a fresh compile (VERDICT r3 weak-1):
+``rodtpu warmup --bench`` compiles ``benchprog.BENCH_DEFAULTS`` and the
+persistent-cache hit only happens if those defaults stay byte-identical
+to what ``bench.py`` actually builds.  These tests pin that contract.
+"""
+
+import importlib.util
+import os
+
+import numpy as np
+import pytest
+
+from realtimeobjectdetection_tpu.benchprog import (BENCH_DEFAULTS,
+                                                   build_detect_program)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load_bench_module():
+    path = os.path.join(REPO, "bench.py")
+    spec = importlib.util.spec_from_file_location("bench_root", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_bench_defaults_match_argparse():
+    """bench.py's argparse defaults and BENCH_DEFAULTS must agree, or
+    `warmup --bench` seeds the wrong HLO and the scored run compiles
+    fresh anyway."""
+    bench = _load_bench_module()
+    ap = bench.main.__globals__["argparse"].ArgumentParser()
+    # Re-derive the defaults the same way main() does: parse no args.
+    import sys
+    argv = sys.argv
+    sys.argv = ["bench.py"]
+    try:
+        # main() would run the bench; instead reconstruct its parser by
+        # scanning the source for defaults we care about.
+        import ast
+        with open(os.path.join(REPO, "bench.py")) as f:
+            tree = ast.parse(f.read())
+        defaults = {}
+        for node in ast.walk(tree):
+            if (isinstance(node, ast.Call)
+                    and isinstance(node.func, ast.Attribute)
+                    and node.func.attr == "add_argument"):
+                name = node.args[0].value.lstrip("-").replace("-", "_")
+                for kw in node.keywords:
+                    if kw.arg == "default" and isinstance(kw.value,
+                                                          ast.Constant):
+                        defaults[name] = kw.value.value
+    finally:
+        sys.argv = argv
+    assert defaults["model"] == BENCH_DEFAULTS["model"]
+    assert defaults["reso"] == BENCH_DEFAULTS["reso"]
+    assert defaults["batch"] == BENCH_DEFAULTS["batch"]
+    assert defaults["dtype"] == BENCH_DEFAULTS["dtype_name"]
+    assert defaults["conf"] == BENCH_DEFAULTS["conf"]
+    assert defaults["top_k"] == BENCH_DEFAULTS["top_k"]
+    assert defaults["quantize"] == BENCH_DEFAULTS["quantize"]
+    # store_true/store_false flags: fused/act_bf16 default True,
+    # pallas_nms/s2d/approx_topk default False — these have no
+    # `default=` kwarg in bench.py, so assert the BENCH_DEFAULTS side.
+    assert BENCH_DEFAULTS["fused"] is True
+    assert BENCH_DEFAULTS["act_bf16"] is True
+    assert BENCH_DEFAULTS["pallas_nms"] is False
+    assert BENCH_DEFAULTS["s2d"] is False
+    assert BENCH_DEFAULTS["approx_topk"] is False
+
+
+def test_build_detect_program_runs_tiny():
+    """The builder produces a runnable jitted program (tiny config on
+    CPU; the full default config is exercised on the real chip by
+    bench.py / `warmup --bench`)."""
+    prog = build_detect_program(model="yolov3-tiny", reso=224, batch=2,
+                                top_k=32)
+    boxes, valid, n_cand = prog.detect(prog.params, prog.x)
+    boxes = np.asarray(boxes)
+    assert boxes.shape[0] == 2
+    assert np.isfinite(boxes).all()
+    assert np.asarray(n_cand).shape == (2,)
+
+
+def test_adaptive_windows_never_score_a_rising_sequence():
+    """The bench's adaptive-window rule: while the best window keeps
+    improving, timing continues (up to the cap) — a monotonically
+    rising fps triple can never be the final result (BENCH_r03 failure
+    mode).  Simulated with a deterministic window source."""
+    bench = _load_bench_module()
+    del bench  # the logic is inline in bench_tpu; simulate it here
+
+    def run(seq, windows=3, max_windows=8):
+        dts, best, stale, i = [], float("inf"), 0, 0
+        while len(dts) < max_windows:
+            dts.append(seq[min(i, len(seq) - 1)])
+            i += 1
+            if dts[-1] < best * 0.99:
+                best, stale = dts[-1], 0
+            else:
+                stale += 1
+            if len(dts) >= windows and stale >= 2:
+                break
+        return dts
+
+    # BENCH_r03's shape: monotonically improving (dt falling) — must
+    # keep timing past 3 windows until it flattens.
+    dts = run([3.0, 1.8, 1.4, 1.2, 1.1, 1.1, 1.1, 1.1])
+    assert len(dts) > 3
+    assert min(dts) == 1.1
+    # Already-steady run: stops at the minimum window count + stale tail.
+    dts = run([1.0, 1.0, 1.0, 1.0])
+    assert len(dts) <= 4
