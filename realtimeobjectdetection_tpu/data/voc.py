@@ -22,8 +22,7 @@ from xml.etree import ElementTree as ET
 import numpy as np
 from PIL import Image
 
-from ..ops.letterbox import (letterbox_params, prep_image_host,
-                             prep_image_host_u8)
+from .cache import decode_canvas_u8 as _decode_canvas_u8
 
 __all__ = ["VOCDataset"]
 
@@ -31,11 +30,21 @@ __all__ = ["VOCDataset"]
 class VOCDataset:
     def __init__(self, xml_directory: str, img_directory: str,
                  resolution: int = 416, fformat: str = ".jpg",
-                 uint8: bool = False):
+                 uint8: bool = False, cache_dir: Optional[str] = None,
+                 host_prep: str = "cv2"):
         # uint8=True: return the RGB uint8 letterbox canvas (see
         # COCODataset) — bit-identical after on-device /255, 4x less
         # host->device upload.
+        # cache_dir / host_prep: letterboxed-canvas memoization + native
+        # C++ prep — same contract as COCODataset (data/cache.py).
+        assert host_prep in ("cv2", "native")
         self.uint8 = uint8
+        self.host_prep = host_prep
+        if host_prep == "native":
+            from ..native import available
+            if not available():
+                raise ValueError("host_prep='native' but the native "
+                                 "letterbox engine is unavailable")
         self.resolution = int(resolution)
         self.xml_paths = sorted(glob.glob(os.path.join(xml_directory,
                                                        "*.xml")))
@@ -47,6 +56,12 @@ class VOCDataset:
                          os.path.basename(p)[:-4] + fformat)
             for p in self.xml_paths
         ]
+        self._cache = None
+        if cache_dir is not None:
+            from .cache import CanvasCache
+            self._cache = CanvasCache(cache_dir, self.img_paths,
+                                      self.resolution,
+                                      prep_tag=host_prep)
 
     def __len__(self) -> int:
         return len(self.xml_paths)
@@ -67,12 +82,14 @@ class VOCDataset:
 
     def __getitem__(self, i: int) -> Tuple[np.ndarray, Optional[np.ndarray]]:
         """-> (image [D, D, 3] float32 NHWC-RGB, boxes [n, 85] or None)."""
-        img = Image.open(self.img_paths[i]).convert("RGB")
-        w, h = img.size
-        scale, _, _, off_x, off_y = letterbox_params(w, h, self.resolution)
-        arr = np.asarray(img)
-        prep = prep_image_host_u8 if self.uint8 else prep_image_host
-        sample = prep(arr, self.resolution, mode="RGB")[0]
+        with Image.open(self.img_paths[i]) as im:  # header read only
+            w, h = im.size
+        canvas = _decode_canvas_u8(self.img_paths[i], self.resolution,
+                                   self.host_prep, self._cache, i)
+        # u8 -> /255 float is bit-identical to prep_image_host (integral
+        # canvas values, see ops/letterbox.prep_image_host_u8)
+        sample = canvas if self.uint8 \
+            else canvas.astype(np.float32) / np.float32(255.0)
 
         xyxy = self.read_boxes(self.xml_paths[i])
         if xyxy is None:

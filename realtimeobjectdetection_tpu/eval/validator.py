@@ -74,7 +74,9 @@ class DarknetValidator:
                  resolution: int = 416, top_k: int = 256,
                  permitted_classes: Sequence[int] = (0,),
                  min_box_size: float = 24.0,
-                 batch_size: int = 1):
+                 batch_size: int = 1,
+                 cache_dir: Optional[str] = None,
+                 host_prep: str = "cv2"):
         assert resolution % 32 == 0
         assert 0 <= confidence <= 1 and 0 <= nms_thresh <= 1
         self.confidence = confidence
@@ -86,8 +88,13 @@ class DarknetValidator:
         self.permitted = tuple(permitted_classes)
         self.min_box_size = min_box_size
         self.batch_size = int(batch_size)
+        # cache_dir / host_prep: letterboxed-canvas memoization + native
+        # C++ prep (data/cache.py) — repeated validation passes (per-epoch
+        # val, ROC sweeps) decode each image once, not once per pass
         self.dataset = COCODataset(annotation_dir, img_dir, resolution,
-                                   keep_img_name=True)
+                                   keep_img_name=True,
+                                   cache_dir=cache_dir,
+                                   host_prep=host_prep)
         self._detect_cache = {}
         self.reset_scores()
 
@@ -385,7 +392,9 @@ def validate_map(annotation_dir: str, img_dir: str, spec_or_name, params,
                  confidence: float = 0.25, nms_thresh: float = 0.45,
                  resolution: int = 416, num_classes: int = 80,
                  top_k: int = 256, bn_mode: str = "running",
-                 batch_size: int = 16, verbose: bool = True):
+                 batch_size: int = 16, verbose: bool = True,
+                 cache_dir: Optional[str] = None,
+                 host_prep: str = "cv2"):
     """All-class COCO-style mAP over a COCO-format validation set.
 
     Goes beyond the reference's single-class P/R/F (test.py:272-280):
@@ -400,7 +409,8 @@ def validate_map(annotation_dir: str, img_dir: str, spec_or_name, params,
                          num_classes=num_classes, nms_thresh=nms_thresh,
                          resolution=resolution, top_k=top_k,
                          permitted_classes=tuple(range(num_classes)),
-                         batch_size=1)
+                         batch_size=1, cache_dir=cache_dir,
+                         host_prep=host_prep)
     spec = spec_or_name if not isinstance(spec_or_name, str) else (
         load_graph_spec(spec_or_name) if os.path.isfile(spec_or_name)
         else get_spec(spec_or_name))
@@ -428,7 +438,9 @@ def validate_map_v5(annotation_dir: str, img_dir: str, model_size: str,
                     params, size: int = 640, confidence: float = 0.25,
                     iou_thresh: float = 0.45, num_classes: int = 80,
                     top_k: int = 512, max_det: int = 300,
-                    batch_size: int = 16, verbose: bool = True):
+                    batch_size: int = 16, verbose: bool = True,
+                    cache_dir: Optional[str] = None,
+                    host_prep: str = "cv2"):
     """All-class COCO-style mAP for the native YOLOv5 graph.
 
     Closes the v5 train->eval loop (the reference has no v5 evaluation
@@ -457,7 +469,8 @@ def validate_map_v5(annotation_dir: str, img_dir: str, model_size: str,
     detect = jax.jit(detect)
     params = jax.device_put(params)
     dataset = COCODataset(annotation_dir, img_dir, resolution=size,
-                          keep_img_name=True)
+                          keep_img_name=True, cache_dir=cache_dir,
+                          host_prep=host_prep)
     rec = DetectionRecord(num_classes=num_classes)
     _batched_eval(dataset, detect, params, rec,
                   lambda pred: pred if len(pred) else None,

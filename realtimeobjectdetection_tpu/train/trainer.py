@@ -147,9 +147,16 @@ class DarknetTrainer(PreemptSupport):
                  skip_nonfinite: bool = False,
                  loss_lag: int = 1,
                  activation_dtype=None,
-                 chain_steps: int = 1):
+                 chain_steps: int = 1,
+                 cache_dir: Optional[str] = None,
+                 host_prep: str = "cv2"):
         assert isinstance(epochs, int) and isinstance(batch_size, int)
         assert resolution % 32 == 0
+        # cache_dir / host_prep: letterboxed-canvas memoization + native
+        # C++ prep for the real data loader (data/cache.py) — epochs 2+
+        # skip the per-image PIL/cv2 decode entirely
+        self.cache_dir = cache_dir
+        self.host_prep = host_prep
         self.cfg_path = cfg_path
         self.epochs = epochs
         self.batch_size = batch_size
@@ -439,9 +446,11 @@ class DarknetTrainer(PreemptSupport):
         # 4x less host->device upload per batch (train/step.py).
         if dataset_type.upper() == "VOC":
             return VOCDataset(annotation_dir, img_dir, self.resolution,
-                              uint8=True)
+                              uint8=True, cache_dir=self.cache_dir,
+                              host_prep=self.host_prep)
         return COCODataset(annotation_dir, img_dir, self.resolution,
-                           uint8=True)
+                           uint8=True, cache_dir=self.cache_dir,
+                           host_prep=self.host_prep)
 
     def warm_step_cache(self, verbose: bool = True):
         """Compile-and-execute one dummy step per multi-scale resolution.

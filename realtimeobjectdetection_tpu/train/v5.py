@@ -425,12 +425,17 @@ class TrainerV5(PreemptSupport):
                  scan_remat: bool = False,
                  activation_dtype=None,
                  s2d_stem: bool = False,
-                 chain_steps: int = 1):
+                 chain_steps: int = 1,
+                 cache_dir: Optional[str] = None,
+                 host_prep: str = "cv2"):
         from ..models.yolov5 import init_yolov5_params
         from ..parallel.mesh import make_mesh, shard_train_step
         assert resolution % 32 == 0
         assert best_on in ("loss", "map")
         assert lr_schedule in ("constant", "cosine")
+        # canvas cache + native prep for the real loader (data/cache.py)
+        self.cache_dir = cache_dir
+        self.host_prep = host_prep
         self.cfg = YoloV5Config(model_size.lower(), num_classes)
         self.model_size = model_size.lower()
         self.num_classes = num_classes
@@ -711,10 +716,12 @@ class TrainerV5(PreemptSupport):
         # upload (see DarknetTrainer._make_dataset).
         if dataset_type.upper() == "VOC":
             dataset = VOCDataset(annotation_dir, img_dir, self.resolution,
-                                 uint8=True)
+                                 uint8=True, cache_dir=self.cache_dir,
+                                 host_prep=self.host_prep)
         else:
             dataset = COCODataset(annotation_dir, img_dir, self.resolution,
-                                  uint8=True)
+                                  uint8=True, cache_dir=self.cache_dir,
+                                  host_prep=self.host_prep)
         # per-host epoch length under multi-host data sharding (see
         # DarknetTrainer._train / data/loader.padded_batches)
         data_num = (len(dataset) if jax.process_count() == 1
