@@ -34,9 +34,11 @@ def main():
     ap.add_argument("--reso", type=int, default=640)
     ap.add_argument("--variants", nargs="+", default=["act"],
                     help="any of: act act+s2d accum2 accum4 fp32res "
-                         "chain2 chain4 chain8 (k steps per dispatch "
-                         "via train.step.make_chained_step; composes "
-                         "s2d: chain4+s2d)")
+                         "chain2 chain4 chain8 ladders (k steps per "
+                         "dispatch via train.step.make_chained_step; "
+                         "parts compose with '+': chain4+s2d, "
+                         "act+chain4+accum2+ladders — the compile-wall "
+                         "ladder for bs>=256 / v5l)")
     ap.add_argument("--steps", type=int, default=8,
                     help="steps per timed lag-loop window")
     ap.add_argument("--rounds", type=int, default=3,
@@ -77,6 +79,8 @@ def main():
                 kw["accum_steps"] = int(part[5:])
             elif part.startswith("chain"):
                 chain = int(part[5:])
+            elif part == "ladders":
+                kw["scan_ladders"] = True
             else:
                 raise SystemExit(f"unknown variant part {part}")
         return kw, chain

@@ -39,21 +39,25 @@ def _enable_compile_cache():
 
 
 def build_target(name: str, bs: int, reso: int, dtype: str = None,
-                 act: str = None):
+                 act: str = None, scan_ladders: bool = False):
     """Return (fn, args, sync) for a pinned program."""
     import jax
     import jax.numpy as jnp
     import numpy as np
     rng = np.random.RandomState(0)
 
-    if name.startswith("v5") and name != "v5_train":
+    if name.startswith("v5") and not name.endswith("_train"):
         # v5<size>_<fast|full>, e.g. v5s_fast
         from realtimeobjectdetection_tpu.models.yolov5 import (
             decode_v5, decode_v5_topk, init_yolov5_params,
             make_yolov5_forward, yolov5_config)
         from realtimeobjectdetection_tpu.ops.nms import nms_batch_v5
         size, mode = name[2:].split("_")
-        fast = mode == "fast"
+        # fast = bf16 residency + fused exact top-k decode; ship = the
+        # canonical shipping config on top of fast (approx_max_k +
+        # per-head gather — scripts/bench_v5.py's `fast` rows)
+        fast = mode in ("fast", "ship")
+        ship = mode == "ship"
         reso = reso or 640
         cfg = yolov5_config(size)
         params = jax.device_put(init_yolov5_params(cfg, seed=0))
@@ -66,7 +70,8 @@ def build_target(name: str, bs: int, reso: int, dtype: str = None,
             x = x.astype(jnp.float32) / 255.0
             heads = fwd(p, x)
             if fast:
-                pred = decode_v5_topk(heads, 80, 512, 0.25)
+                pred = decode_v5_topk(heads, 80, 512, 0.25,
+                                      approx=ship, per_head_gather=ship)
                 return nms_batch_v5(pred, 80, 0.25, 0.45, top_k=512,
                                     max_det=300)
             pred = decode_v5([h.astype(jnp.float32) for h in heads], 80)
@@ -102,11 +107,12 @@ def build_target(name: str, bs: int, reso: int, dtype: str = None,
             rng.randint(0, 256, (bs, reso, reso, 3), np.uint8)))
         return jax.jit(detect), (params, x), lambda r: np.asarray(r[0])
 
-    if name in ("v3_train", "v5_train"):
+    if name == "v3_train" or name.endswith("_train"):
         import optax
         cd = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
         ad = jnp.bfloat16 if act == "bfloat16" else None
-        if name == "v5_train":
+        if name != "v3_train":
+            # v5_train (= v5s) or v5<size>_train, e.g. v5l_train
             from realtimeobjectdetection_tpu.train.v5 import \
                 make_train_step_v5
             from realtimeobjectdetection_tpu.models.yolov5 import (
@@ -114,12 +120,14 @@ def build_target(name: str, bs: int, reso: int, dtype: str = None,
             from realtimeobjectdetection_tpu.train.step import \
                 init_train_state
             reso = reso or 640
-            cfg = yolov5_config("s")
+            size = "s" if name == "v5_train" else name[2:-6]
+            cfg = yolov5_config(size)
             params = init_yolov5_params(cfg, seed=0, batch_norm=True)
             opt = optax.adam(1e-3)
             step = make_train_step_v5(cfg, opt, resolution=reso,
                                       compute_dtype=cd,
-                                      activation_dtype=ad)
+                                      activation_dtype=ad,
+                                      scan_ladders=scan_ladders)
             state = init_train_state(params, opt)
         else:
             from realtimeobjectdetection_tpu.models import get_spec
@@ -233,7 +241,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--target", default=None,
                     help="v5{n,s,m,l,x}_{fast,full} | yolov3 | v3_train | "
-                         "v5_train")
+                         "v5_train | v5{n,s,m,l,x}_train")
     ap.add_argument("--bs", type=int, default=64)
     ap.add_argument("--reso", type=int, default=None)
     ap.add_argument("--dtype", default=None, choices=["float32", "bfloat16"],
@@ -241,6 +249,9 @@ def main():
     ap.add_argument("--act", default=None, choices=["float32", "bfloat16"],
                     help="train targets: activation residency dtype "
                          "(--act bfloat16 = the bf16act record config)")
+    ap.add_argument("--scan_ladders", action="store_true",
+                    help="v5 train targets: roll the C3 ladders into "
+                         "lax.scan (the v5l/x compile-robustness lever)")
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--trace_dir", default=None)
     ap.add_argument("--parse", default=None,
@@ -255,7 +266,8 @@ def main():
     trace_dir = args.trace_dir or \
         f"/tmp/trace_{args.target}_bs{args.bs}"
     fn, fargs, sync = build_target(args.target, args.bs, args.reso,
-                                   dtype=args.dtype, act=args.act)
+                                   dtype=args.dtype, act=args.act,
+                                   scan_ladders=args.scan_ladders)
     capture(fn, fargs, sync, trace_dir, args.iters)
     parse(trace_dir, args.top, args.iters)
     return 0

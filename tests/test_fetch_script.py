@@ -110,3 +110,11 @@ def test_fetch_and_verify_against_stub(tmp_path):
     assert "ALL GATES PASSED" in r.stdout
     # the converter really ran: the npz exists and reloads
     assert (tmp_path / "work" / "yolov5s_native.npz").exists()
+    # ...and the v5 ingestion branch ran END-TO-END: the converted
+    # checkpoint flowed through `detect --version 5` and produced
+    # rendered det_yolov5_* outputs (VERDICT r3 next-7: both egress
+    # gates execution-tested, not just written)
+    det_v5 = tmp_path / "work" / "det_v5"
+    rendered = [f for f in os.listdir(det_v5)
+                if f.startswith("det_yolov5_")]
+    assert len(rendered) == 2, sorted(os.listdir(det_v5))
