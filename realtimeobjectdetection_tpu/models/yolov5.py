@@ -39,7 +39,8 @@ __all__ = ["YoloV5Config", "yolov5_config", "init_yolov5_params",
            "make_yolov5_forward", "decode_v5", "decode_v5_topk",
            "params_from_ultralytics", "fold_v5_batchnorm",
            "load_v5_checkpoint", "V5_ANCHORS", "V5_STRIDES",
-           "BN_MOMENTUM_V5"]
+           "BN_MOMENTUM_V5", "v5_conv_inventory",
+           "decode_v5_topk_compact", "decode_v5_topk_split"]
 
 V5_ANCHORS = (
     ((10, 13), (16, 30), (33, 23)),      # P3/8
@@ -382,7 +383,23 @@ def _v5_steps():
 
     def head(i):
         def f(p, ctx, x):
-            return _conv(x, p["m24"][str(i)], 1, ctx["dt"], act=False,
+            pr = p["m24"][str(i)]
+            if ctx.get("split_heads"):
+                # one conv per anchor (channel-sliced weights): output
+                # channels of the detect conv are independent dot
+                # products, so three [.., 85] convs are bit-identical to
+                # one [.., 255] conv — but give the decode heads whose
+                # minor dim IS the 5+C row, killing the (a, 5+C) channel
+                # split that forces full-candidate relayout copies in
+                # the fused decode (round-4 drill-down; the padded MXU
+                # cost is unchanged: 255 and 3x85 both pad to 384 lanes)
+                c = pr["w"].shape[-1] // 3
+                return tuple(
+                    _conv(x, {"w": pr["w"][..., ai * c:(ai + 1) * c],
+                              "b": pr["b"][ai * c:(ai + 1) * c]},
+                          1, ctx["dt"], act=False, out_dtype=ctx["hdt"])
+                    for ai in range(3))
+            return _conv(x, pr, 1, ctx["dt"], act=False,
                          out_dtype=ctx["hdt"])
         return f
 
@@ -459,6 +476,60 @@ def v5_step_flops(cfg: YoloV5Config, resolution: int = 640) -> List[int]:
     ]
 
 
+def v5_conv_inventory(cfg: YoloV5Config, resolution: int = 640):
+    """Every individual conv in the forward as a dict
+    ``{name, s_in, s_out, k, cin, cout}`` (stride = s_in // s_out).
+
+    The analytic side of the per-conv roofline closure
+    (scripts/roofline_v5.py): per conv, the device floor is
+    ``max(2*s_out²k²·cin·cout / peak_flops,
+    2B*(s_in²·cin + s_out²·cout + k²·cin·cout) / hbm_bw)`` — the same
+    accounting the v5l floor proof in PERFORMANCE.md did by hand.
+    FLOP totals are pinned to :func:`v5_step_flops`
+    (tests/test_yolov5.py::test_conv_inventory_matches_step_flops).
+    """
+    ch, d, hd, no = cfg.ch, cfg.depths, cfg.head_depth, cfg.no
+    rows = []
+
+    def conv(name, s_in, s_out, k, cin, cout):
+        rows.append(dict(name=name, s_in=s_in, s_out=s_out, k=k,
+                         cin=cin, cout=cout))
+
+    def c3(m, s, c1, c2, n, e=0.5):
+        c_ = int(c2 * e)
+        conv(f"{m}.cv1", s, s, 1, c1, c_)
+        conv(f"{m}.cv2", s, s, 1, c1, c_)
+        for i in range(n):
+            conv(f"{m}.b{i}.cv1", s, s, 1, c_, c_)
+            conv(f"{m}.b{i}.cv2", s, s, 3, c_, c_)
+        conv(f"{m}.cv3", s, s, 1, 2 * c_, c2)
+
+    r = resolution
+    conv("m0", r, r // 2, 6, 3, ch[0])
+    conv("m1", r // 2, r // 4, 3, ch[0], ch[1])
+    c3("m2", r // 4, ch[1], ch[1], d[0])
+    conv("m3", r // 4, r // 8, 3, ch[1], ch[2])
+    c3("m4", r // 8, ch[2], ch[2], d[1])
+    conv("m5", r // 8, r // 16, 3, ch[2], ch[3])
+    c3("m6", r // 16, ch[3], ch[3], d[2])
+    conv("m7", r // 16, r // 32, 3, ch[3], ch[4])
+    c3("m8", r // 32, ch[4], ch[4], d[3])
+    conv("m9.cv1", r // 32, r // 32, 1, ch[4], ch[4] // 2)
+    conv("m9.cv2", r // 32, r // 32, 1, (ch[4] // 2) * 4, ch[4])
+    conv("m10", r // 32, r // 32, 1, ch[4], ch[3])
+    c3("m13", r // 16, ch[3] * 2, ch[3], hd)
+    conv("m14", r // 16, r // 16, 1, ch[3], ch[2])
+    c3("m17", r // 8, ch[2] * 2, ch[2], hd)
+    conv("m24.0", r // 8, r // 8, 1, ch[2], no)
+    conv("m18", r // 8, r // 16, 3, ch[2], ch[2])
+    c3("m20", r // 16, ch[2] * 2, ch[3], hd)
+    conv("m24.1", r // 16, r // 16, 1, ch[3], no)
+    conv("m21", r // 16, r // 32, 3, ch[3], ch[3])
+    c3("m23", r // 32, ch[3] * 2, ch[4], hd)
+    conv("m24.2", r // 32, r // 32, 1, ch[4], no)
+    return rows
+
+
 def make_yolov5_forward(cfg: YoloV5Config, compute_dtype=jnp.bfloat16,
                         activation_dtype=None, head_dtype=None,
                         bn_mode: str = "fold",
@@ -466,7 +537,8 @@ def make_yolov5_forward(cfg: YoloV5Config, compute_dtype=jnp.bfloat16,
                         stage_range=None,
                         s2d_stem: bool = False,
                         scan_ladders: bool = False,
-                        scan_remat: bool = False):
+                        scan_remat: bool = False,
+                        split_heads: bool = False):
     """Build ``forward(params, x) -> [p3, p4, p5]`` raw heads (NHWC).
 
     ``activation_dtype``: dtype of the materialized inter-layer
@@ -500,6 +572,13 @@ def make_yolov5_forward(cfg: YoloV5Config, compute_dtype=jnp.bfloat16,
     additionally checkpoints the scan body (training memory lever).
     Numerics equal the unrolled forward up to XLA fusion ULPs
     (tests/test_yolov5.py::test_scan_ladders_*).
+
+    ``split_heads=True``: each detect conv is run as three channel-
+    sliced per-anchor convs, so every returned head is a TUPLE of three
+    ``[B, H, W, 5+C]`` tensors (bit-identical values — tested).  Feed
+    into :func:`decode_v5_topk_split`: with the 5+C row as the minor
+    dim, the fused decode never pays the (anchors, 5+C) channel-split
+    relayout (round-4 serving lever, PERFORMANCE.md).
     """
     assert bn_mode in ("fold", "batch", "running")
     odt = activation_dtype or jnp.float32
@@ -520,7 +599,8 @@ def make_yolov5_forward(cfg: YoloV5Config, compute_dtype=jnp.bfloat16,
         stats = {} if return_stats and bn_mode == "batch" else None
         ctx = {"dt": compute_dtype, "odt": odt, "hdt": hdt,
                "bn": bn_mode, "stats": stats, "s2d": s2d_stem,
-               "scan": scan_ladders, "scan_remat": scan_remat}
+               "scan": scan_ladders, "scan_remat": scan_remat,
+               "split_heads": split_heads}
         env = dict(carry) if carry else {}
         if lo == 0:
             env["in"] = x
@@ -571,7 +651,8 @@ def decode_v5(heads: List[jnp.ndarray], num_classes: int,
 def decode_v5_topk(heads: List[jnp.ndarray], num_classes: int,
                    top_k: int, conf_thresh: float,
                    anchors=V5_ANCHORS, strides=V5_STRIDES,
-                   approx: bool = False, per_head_gather: bool = False):
+                   approx: bool = False, per_head_gather: bool = False,
+                   nhwc_select: bool = False):
     """Fused v5 selection: score every row by ultralytics confidence
     (``sigmoid(obj) * max(sigmoid(cls))`` — the max is taken on logits,
     sigmoid is monotonic) without materializing the [B, N, 5+C] decode,
@@ -591,6 +672,13 @@ def decode_v5_topk(heads: List[jnp.ndarray], num_classes: int,
       [512, 25200]) with the TPU-native ``lax.approx_max_k`` PartialReduce
       (recall ≥ 0.95 of true top-k among >threshold rows).  Opt-in for
       serving; parity paths keep the exact sort.
+    * ``nhwc_select=True`` (round 4) scores AND gathers straight off the
+      conv-layout heads: the ``[B, N, 5+C]`` flatten is never
+      materialized (at bs=512 that flatten is a full-candidate-tensor
+      relayout — 11.9 ms of reshape+copy for the 80² head alone in the
+      round-4 drill-down) and the winning rows are fetched with one
+      multi-dim gather per head from ``[B, H, W, a, 5+C]`` views.
+      Bit-identical outputs (tested); selection semantics unchanged.
     """
     b = heads[0].shape[0]
     c = 5 + num_classes
@@ -600,14 +688,22 @@ def decode_v5_topk(heads: List[jnp.ndarray], num_classes: int,
     for head, anc, stride in zip(heads, anchors, strides):
         _, h, w, _ = head.shape
         a = len(anc)
-        p = head.reshape(b, h * w * a, c)
+        if nhwc_select:
+            # minor-dim split only — same bytes, no relayout; row order
+            # (h, w, a) matches the flat reshape below exactly
+            p = head.reshape(b, h, w, a, c)
+            flat = (b, h * w * a)
+        else:
+            p = head.reshape(b, h * w * a, c)
+            flat = None
         raw_parts.append(p)
         obj = jax.nn.sigmoid(p[..., 4].astype(jnp.float32))
         cls_best = jax.nn.sigmoid(
             jnp.max(p[..., 5:].astype(jnp.float32), axis=-1))
         conf = obj * cls_best
         valid = (obj > conf_thresh) & (conf > conf_thresh)
-        score_parts.append(jnp.where(valid, conf, -1.0))
+        score = jnp.where(valid, conf, -1.0)
+        score_parts.append(score.reshape(flat) if flat else score)
         gx, gy = np.meshgrid(np.arange(w), np.arange(h))
         gxs.append(np.repeat(gx.reshape(-1), a))
         gys.append(np.repeat(gy.reshape(-1), a))
@@ -616,7 +712,7 @@ def decode_v5_topk(heads: List[jnp.ndarray], num_classes: int,
         ahs.append(np.tile(anc_np[:, 1], h * w))
         sts.append(np.full(h * w * a, float(stride), np.float32))
 
-    n = sum(p.shape[1] for p in raw_parts)
+    n = sum(s.shape[1] for s in score_parts)
     scores = jnp.concatenate(score_parts, axis=1)
     consts = jnp.asarray(np.stack(
         [np.concatenate(gxs).astype(np.float32),
@@ -629,7 +725,20 @@ def decode_v5_topk(heads: List[jnp.ndarray], num_classes: int,
         _, idx = jax.lax.approx_max_k(scores, k)
     else:
         _, idx = jax.lax.top_k(scores, k)
-    if per_head_gather:
+    if nhwc_select:
+        rows = jnp.zeros((b, k, c), jnp.float32)
+        off = 0
+        bidx = jnp.arange(b)[:, None]
+        for part in raw_parts:
+            _, h, w, a, _ = part.shape
+            nh = h * w * a
+            local = jnp.clip(idx - off, 0, nh - 1)
+            hw, ai = local // a, local % a
+            r = part[bidx, hw // w, hw % w, ai]  # one gather, k rows
+            sel = (idx >= off) & (idx < off + nh)
+            rows = jnp.where(sel[..., None], r.astype(jnp.float32), rows)
+            off += nh
+    elif per_head_gather:
         rows = jnp.zeros((b, k, c), jnp.float32)
         off = 0
         for part in raw_parts:
@@ -648,6 +757,157 @@ def decode_v5_topk(heads: List[jnp.ndarray], num_classes: int,
     xy = (p[..., 0:2] * 2.0 - 0.5 + cst[..., 0:2]) * cst[..., 4:5]
     wh = jnp.square(p[..., 2:4] * 2.0) * cst[..., 2:4]
     return jnp.concatenate([xy, wh, p[..., 4:]], axis=-1)
+
+
+def decode_v5_topk_compact(heads: List[jnp.ndarray], num_classes: int,
+                           top_k: int, conf_thresh: float,
+                           anchors=V5_ANCHORS, strides=V5_STRIDES,
+                           approx: bool = False):
+    """Round-4 serving decode: fully decode every candidate IN THE CONV
+    LAYOUT, then gather 7-column compact rows — the wide gather is gone.
+
+    The round-4 bs=512 drill-down showed the fused-decode tail costing
+    ~61 ms device: flattening [B, H, W, a·(5+C)] to [B, N, 5+C] and
+    gathering 85-column rows both force full-candidate-tensor relayout
+    copies (XLA retiles so the 85-element minor dim is contiguous).  But
+    ultralytics NMS (ops/nms.nms_image_v5) only consumes box, obj and
+    the best class — so this path computes xywh / obj / best-class
+    score+id for ALL candidates as one elementwise pass over the heads
+    in their native layout (reads each head once — the same bytes the
+    score pass already had to read) and gathers [B, K, 7] compact rows:
+    ``cx, cy, w, h, obj, cls_best, cls_id``.
+
+    Feed into ``nms_batch_v5(..., compact=True)``.  Survivors, order and
+    values are bit-identical to ``decode_v5_topk`` + plain
+    ``nms_batch_v5`` (tested): sigmoid is monotone, so best-class value,
+    argmax tie-breaks, scores and the top-k selection all agree exactly.
+    """
+    b = heads[0].shape[0]
+    c = 5 + num_classes
+    score_parts, compact_parts = [], []
+    for head, anc, stride in zip(heads, anchors, strides):
+        _, h, w, _ = head.shape
+        a = len(anc)
+        v = head.reshape(b, h, w, a, c)  # minor split, no data move
+        p = jax.nn.sigmoid(v.astype(jnp.float32))
+        obj = p[..., 4]
+        cls_best = jnp.max(p[..., 5:], axis=-1)
+        cls_id = jnp.argmax(p[..., 5:], axis=-1)
+        conf = obj * cls_best
+        valid = (obj > conf_thresh) & (conf > conf_thresh)
+        score = jnp.where(valid, conf, -1.0)
+        # grid / anchor constants, broadcast over [b, h, w, a]
+        gx = np.broadcast_to(np.arange(w, dtype=np.float32)
+                             [None, :, None], (h, w, a))
+        gy = np.broadcast_to(np.arange(h, dtype=np.float32)
+                             [:, None, None], (h, w, a))
+        anc_np = np.asarray(anc, np.float32)
+        aw = np.broadcast_to(anc_np[None, None, :, 0], (h, w, a))
+        ah = np.broadcast_to(anc_np[None, None, :, 1], (h, w, a))
+        g = jnp.asarray(np.stack([gx, gy], -1))
+        awh = jnp.asarray(np.stack([aw, ah], -1))
+        xy = (p[..., 0:2] * 2.0 - 0.5 + g) * float(stride)
+        wh = jnp.square(p[..., 2:4] * 2.0) * awh
+        compact = jnp.concatenate(
+            [xy, wh, obj[..., None], cls_best[..., None],
+             cls_id.astype(jnp.float32)[..., None]], axis=-1)
+        compact_parts.append(compact.reshape(b, h * w * a, 7))
+        score_parts.append(score.reshape(b, h * w * a))
+
+    n = sum(s.shape[1] for s in score_parts)
+    scores = jnp.concatenate(score_parts, axis=1)
+    k = min(top_k, n)
+    if approx:
+        _, idx = jax.lax.approx_max_k(scores, k)
+    else:
+        _, idx = jax.lax.top_k(scores, k)
+    rows = jnp.zeros((b, k, 7), jnp.float32)
+    off = 0
+    for part in compact_parts:
+        nh = part.shape[1]
+        local = jnp.clip(idx - off, 0, nh - 1)
+        r = jnp.take_along_axis(part, local[..., None], axis=1)
+        sel = (idx >= off) & (idx < off + nh)
+        rows = jnp.where(sel[..., None], r, rows)
+        off += nh
+    return rows
+
+
+def decode_v5_topk_split(heads, num_classes: int, top_k: int,
+                         conf_thresh: float, anchors=V5_ANCHORS,
+                         strides=V5_STRIDES, approx: bool = False):
+    """Fused v5 selection over SPLIT heads (round-4 serving decode).
+
+    ``heads``: ``make_yolov5_forward(split_heads=True)`` output — per
+    scale a tuple of three per-anchor ``[B, H, W, 5+C]`` tensors whose
+    minor dim is already the candidate row.  Scoring, box decode and
+    the class reduction all run elementwise in the convs' native layout
+    (no (anchors, 5+C) channel split, so none of the full-candidate
+    relayout copies the single-head decode pays — 23 ms of data
+    formatting at bs=512 in the round-4 drill-down), and the top-k
+    winners are fetched as 7-column compact rows with nine tiny
+    per-(scale, anchor) gathers.
+
+    Returns ``[B, K, 7]`` rows ``cx, cy, w, h, obj, cls_best, cls_id``
+    for ``nms_batch_v5(..., compact=True)``.  Survivors, order and
+    values are bit-identical to the ``decode_v5_topk`` +
+    ``nms_batch_v5`` pair (tested): candidate order is the same
+    ``(h, w, anchor)`` flattening, sigmoid monotonicity keeps scores,
+    argmax tie-breaks and top-k selection exactly aligned.
+    """
+    b = heads[0][0].shape[0]
+    score_parts, scale_meta = [], []
+    for head3, anc, stride in zip(heads, anchors, strides):
+        _, h, w, _ = head3[0].shape
+        a = len(anc)
+        gx = np.broadcast_to(np.arange(w, dtype=np.float32)[None, :],
+                             (h, w))
+        gy = np.broadcast_to(np.arange(h, dtype=np.float32)[:, None],
+                             (h, w))
+        g = jnp.asarray(np.stack([gx, gy], -1))  # [h, w, 2]
+        anchor_scores, anchor_compact = [], []
+        for ai, hm in enumerate(head3):
+            p = jax.nn.sigmoid(hm.astype(jnp.float32))  # [b, h, w, 5+C]
+            obj = p[..., 4]
+            cls_best = jnp.max(p[..., 5:], axis=-1)
+            cls_id = jnp.argmax(p[..., 5:], axis=-1)
+            conf = obj * cls_best
+            valid = (obj > conf_thresh) & (conf > conf_thresh)
+            score = jnp.where(valid, conf, -1.0)
+            xy = (p[..., 0:2] * 2.0 - 0.5 + g) * float(stride)
+            wh = jnp.square(p[..., 2:4] * 2.0) * \
+                jnp.asarray(anc[ai], jnp.float32)
+            compact = jnp.concatenate(
+                [xy, wh, obj[..., None], cls_best[..., None],
+                 cls_id.astype(jnp.float32)[..., None]], axis=-1)
+            anchor_scores.append(score.reshape(b, h * w))
+            anchor_compact.append(compact.reshape(b, h * w, 7))
+        # interleave anchors minor: flat order (h, w, anchor), matching
+        # head.reshape(b, h*w*a, 5+C) in the single-head paths
+        score_parts.append(
+            jnp.stack(anchor_scores, -1).reshape(b, h * w * a))
+        scale_meta.append((h * w, a, anchor_compact))
+
+    n = sum(s.shape[1] for s in score_parts)
+    scores = jnp.concatenate(score_parts, axis=1)
+    k = min(top_k, n)
+    if approx:
+        _, idx = jax.lax.approx_max_k(scores, k)
+    else:
+        _, idx = jax.lax.top_k(scores, k)
+    rows = jnp.zeros((b, k, 7), jnp.float32)
+    off = 0
+    for hw, a, anchor_compact in scale_meta:
+        nh = hw * a
+        local = jnp.clip(idx - off, 0, nh - 1)
+        hw_idx, ai_idx = local // a, local % a
+        in_scale = (idx >= off) & (idx < off + nh)
+        for ai, part in enumerate(anchor_compact):
+            r = jnp.take_along_axis(part, hw_idx[..., None], axis=1)
+            sel = in_scale & (ai_idx == ai)
+            rows = jnp.where(sel[..., None], r, rows)
+        off += nh
+    return rows
 
 
 # ---------------------------------------------------------------------------

@@ -236,21 +236,32 @@ def nms_batch(pred: jnp.ndarray, num_classes: int, confidence: float,
 def nms_image_v5(pred: jnp.ndarray, num_classes: int, conf_thresh: float,
                  iou_thresh: float, top_k: int = 512,
                  max_det: int = 300, use_pallas: bool = False,
-                 interpret: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                 interpret: bool = False,
+                 compact: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Ultralytics-semantics NMS (the v5 hub pipeline the reference uses).
 
     Differences from the Darknet path: candidate score is
     ``objectness * best class score`` (both thresholded at conf_thresh),
     standard IoU (no +1), rows ordered by confidence descending (not
     class-grouped), output ``[max_det, 6]`` rows ``[x1,y1,x2,y2,conf,cls]``.
+
+    ``compact=True``: ``pred`` is the [K, 7] output of
+    ``models.yolov5.decode_v5_topk_compact`` (cx,cy,w,h,obj,cls_best,
+    cls_id) — the class reduction already happened in the decode's
+    conv-layout pass, so only the 2 precomputed columns are read here.
+    Bit-identical results (tested in tests/test_yolov5.py).
     """
     n = pred.shape[0]
     k = min(top_k, n)
 
     obj = pred[:, 4]
-    cls_scores = pred[:, 5:5 + num_classes]
-    cls_best = jnp.max(cls_scores, axis=-1)
-    cls_id = jnp.argmax(cls_scores, axis=-1)
+    if compact:
+        cls_best = pred[:, 5]
+        cls_id = pred[:, 6].astype(jnp.int32)
+    else:
+        cls_scores = pred[:, 5:5 + num_classes]
+        cls_best = jnp.max(cls_scores, axis=-1)
+        cls_id = jnp.argmax(cls_scores, axis=-1)
     conf = obj * cls_best
     valid = (obj > conf_thresh) & (conf > conf_thresh)
 
@@ -279,9 +290,11 @@ def nms_image_v5(pred: jnp.ndarray, num_classes: int, conf_thresh: float,
 
 def nms_batch_v5(pred, num_classes, conf_thresh, iou_thresh,
                  top_k: int = 512, max_det: int = 300,
-                 use_pallas: bool = False, interpret: bool = False):
+                 use_pallas: bool = False, interpret: bool = False,
+                 compact: bool = False):
     fn = functools.partial(nms_image_v5, num_classes=num_classes,
                            conf_thresh=conf_thresh, iou_thresh=iou_thresh,
                            top_k=top_k, max_det=max_det,
-                           use_pallas=use_pallas, interpret=interpret)
+                           use_pallas=use_pallas, interpret=interpret,
+                           compact=compact)
     return jax.vmap(fn)(pred)

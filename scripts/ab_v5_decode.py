@@ -6,7 +6,9 @@ the PERFORMANCE.md protocol for the ±15% tunnel variance):
   base      — decode_v5_topk(exact sort, raw concat)  [round-2b shipping]
   perhead   — per_head_gather=True (no [B,N,85] concat)
   approx    — approx_max_k instead of sort
-  both      — per_head_gather + approx
+  both      — per_head_gather + approx                [round-3 shipping]
+  nhwc      — nhwc_select=True (conv-layout score+gather, round 4)
+  shipn     — nhwc + approx                           [round-4 candidate]
 
 Usage: python scripts/ab_v5_decode.py [--size s --bs 512 --rounds 3]
 """
@@ -41,12 +43,13 @@ def main():
                               activation_dtype=jnp.bfloat16,
                               head_dtype=jnp.bfloat16)
 
-    def make(approx, per_head):
+    def make(approx, per_head, nhwc=False):
         def detect(p, x):
             x = x.astype(jnp.float32) / 255.0
             heads = fwd(p, x)
             pred = decode_v5_topk(heads, 80, 512, 0.25, approx=approx,
-                                  per_head_gather=per_head)
+                                  per_head_gather=per_head,
+                                  nhwc_select=nhwc)
             return nms_batch_v5(pred, 80, 0.25, 0.45, top_k=512,
                                 max_det=300)
         return jax.jit(detect)
@@ -56,6 +59,9 @@ def main():
         "perhead": make(False, True),
         "approx": make(True, False),
         "both": make(True, True),
+        # round 4: conv-layout score+gather (no [B,N,85] relayout)
+        "nhwc": make(False, False, nhwc=True),
+        "shipn": make(True, False, nhwc=True),
     }
     rng = np.random.RandomState(0)
     x = jax.device_put(jnp.asarray(

@@ -55,23 +55,44 @@ def build_target(name: str, bs: int, reso: int, dtype: str = None,
         size, mode = name[2:].split("_")
         # fast = bf16 residency + fused exact top-k decode; ship = the
         # canonical shipping config on top of fast (approx_max_k +
-        # per-head gather — scripts/bench_v5.py's `fast` rows)
-        fast = mode in ("fast", "ship")
+        # per-head gather — scripts/bench_v5.py's `fast` rows); shipn =
+        # approx + nhwc_select (conv-layout score+gather, round 4)
+        fast = mode in ("fast", "ship", "shipn", "shipc", "ships")
         ship = mode == "ship"
+        shipn = mode == "shipn"
+        shipc = mode == "shipc"
+        ships = mode == "ships"  # split per-anchor heads + split decode
         reso = reso or 640
         cfg = yolov5_config(size)
         params = jax.device_put(init_yolov5_params(cfg, seed=0))
         fwd = make_yolov5_forward(
             cfg, compute_dtype=jnp.bfloat16,
             activation_dtype=jnp.bfloat16 if fast else None,
-            head_dtype=jnp.bfloat16 if fast else None)
+            head_dtype=jnp.bfloat16 if fast else None,
+            split_heads=ships)
 
         def detect(p, x):
             x = x.astype(jnp.float32) / 255.0
             heads = fwd(p, x)
             if fast:
+                if ships:
+                    from realtimeobjectdetection_tpu.models.yolov5 \
+                        import decode_v5_topk_split
+                    pred = decode_v5_topk_split(heads, 80, 512, 0.25,
+                                                approx=True)
+                    return nms_batch_v5(pred, 80, 0.25, 0.45, top_k=512,
+                                        max_det=300, compact=True)
+                if shipc:
+                    from realtimeobjectdetection_tpu.models.yolov5 \
+                        import decode_v5_topk_compact
+                    pred = decode_v5_topk_compact(heads, 80, 512, 0.25,
+                                                  approx=True)
+                    return nms_batch_v5(pred, 80, 0.25, 0.45, top_k=512,
+                                        max_det=300, compact=True)
                 pred = decode_v5_topk(heads, 80, 512, 0.25,
-                                      approx=ship, per_head_gather=ship)
+                                      approx=ship or shipn,
+                                      per_head_gather=ship,
+                                      nhwc_select=shipn)
                 return nms_batch_v5(pred, 80, 0.25, 0.45, top_k=512,
                                     max_det=300)
             pred = decode_v5([h.astype(jnp.float32) for h in heads], 80)

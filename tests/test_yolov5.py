@@ -575,3 +575,127 @@ def test_scan_ladders_batch_stats_rekey():
         np.testing.assert_allclose(np.asarray(sb[k][1]),
                                    np.asarray(sr[k][1]),
                                    rtol=1e-4, atol=1e-5, err_msg=k)
+
+
+@pytest.mark.parametrize("size", ["n", "s", "m", "l", "x"])
+def test_conv_inventory_matches_step_flops(size):
+    """v5_conv_inventory (the analytic roofline's conv list) must count
+    exactly the FLOPs of v5_step_flops (which test_yolov5 pins to the
+    published ultralytics totals) — one source of truth, two walks."""
+    from realtimeobjectdetection_tpu.models.yolov5 import (
+        v5_conv_inventory, v5_step_flops, yolov5_config)
+    cfg = yolov5_config(size)
+    inv = sum(2 * r["s_out"] ** 2 * r["k"] ** 2 * r["cin"] * r["cout"]
+              for r in v5_conv_inventory(cfg, 640))
+    assert inv == sum(v5_step_flops(cfg, 640))
+    # strides are only ever 1 or 2, and spatial dims stay consistent
+    for r in v5_conv_inventory(cfg, 640):
+        assert r["s_in"] // r["s_out"] in (1, 2), r
+
+
+def test_decode_v5_topk_nhwc_select_bit_identical():
+    """nhwc_select (score+gather off the conv layout, round-4 serving
+    lever) must return EXACTLY the per_head_gather path's rows — same
+    selection, same order, same values."""
+    import jax, jax.numpy as jnp
+    from realtimeobjectdetection_tpu.models.yolov5 import (
+        YoloV5Config, decode_v5_topk, init_yolov5_params,
+        make_yolov5_forward)
+    cfg = YoloV5Config("n")
+    params = init_yolov5_params(cfg, seed=0)
+    fwd = jax.jit(make_yolov5_forward(cfg, compute_dtype=jnp.float32))
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.rand(2, 320, 320, 3).astype(np.float32))
+    heads = fwd(params, x)
+    for approx in (False, True):
+        base = decode_v5_topk(heads, 80, 256, 0.25, approx=approx,
+                              per_head_gather=True)
+        new = decode_v5_topk(heads, 80, 256, 0.25, approx=approx,
+                             nhwc_select=True)
+        np.testing.assert_array_equal(np.asarray(base), np.asarray(new))
+
+
+def test_decode_v5_topk_compact_bit_identical():
+    """Compact conv-layout decode (decode_v5_topk_compact +
+    nms_batch_v5(compact=True)) must produce bit-identical NMS outputs
+    to the round-3 shipping pair (decode_v5_topk + nms_batch_v5) — same
+    survivors, same row order, same values, exact and approx top-k."""
+    import jax, jax.numpy as jnp
+    from realtimeobjectdetection_tpu.models.yolov5 import (
+        YoloV5Config, decode_v5_topk, decode_v5_topk_compact,
+        init_yolov5_params, make_yolov5_forward)
+    from realtimeobjectdetection_tpu.ops.nms import nms_batch_v5
+    cfg = YoloV5Config("n")
+    params = init_yolov5_params(cfg, seed=0)
+    fwd = jax.jit(make_yolov5_forward(cfg, compute_dtype=jnp.float32))
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.rand(2, 320, 320, 3).astype(np.float32))
+    heads = fwd(params, x)
+    for approx in (False, True):
+        pred_a = decode_v5_topk(heads, 80, 256, 0.25, approx=approx,
+                                per_head_gather=True)
+        out_a, keep_a = nms_batch_v5(pred_a, 80, 0.25, 0.45, top_k=256,
+                                     max_det=50)
+        pred_b = decode_v5_topk_compact(heads, 80, 256, 0.25,
+                                        approx=approx)
+        out_b, keep_b = nms_batch_v5(pred_b, 80, 0.25, 0.45, top_k=256,
+                                     max_det=50, compact=True)
+        np.testing.assert_array_equal(np.asarray(keep_a),
+                                      np.asarray(keep_b))
+        np.testing.assert_array_equal(np.asarray(out_a),
+                                      np.asarray(out_b))
+
+
+def test_split_heads_and_split_decode_match():
+    """split_heads forward (3 channel-sliced per-anchor convs per
+    detect head) emits the single conv's values up to XLA conv-tiling
+    ULPs (cout=85 vs 255 accumulate in different tile orders — the same
+    caveat as scan_ladders), and decode_v5_topk_split +
+    nms_batch_v5(compact=True) must keep the decode_v5_topk +
+    nms_batch_v5 survivors/rows within that tolerance."""
+    import jax, jax.numpy as jnp
+    from realtimeobjectdetection_tpu.models.yolov5 import (
+        YoloV5Config, decode_v5_topk, decode_v5_topk_split,
+        init_yolov5_params, make_yolov5_forward)
+    from realtimeobjectdetection_tpu.ops.nms import nms_batch_v5
+    cfg = YoloV5Config("n")
+    params = init_yolov5_params(cfg, seed=0)
+    fwd = jax.jit(make_yolov5_forward(cfg, compute_dtype=jnp.float32))
+    fwd_s = jax.jit(make_yolov5_forward(cfg, compute_dtype=jnp.float32,
+                                        split_heads=True))
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.rand(2, 320, 320, 3).astype(np.float32))
+    heads = fwd(params, x)
+    heads_s = fwd_s(params, x)
+    c = 85
+    for hm, h3 in zip(heads, heads_s):
+        assert isinstance(h3, tuple) and len(h3) == 3
+        for ai in range(3):
+            np.testing.assert_allclose(
+                np.asarray(hm[..., ai * c:(ai + 1) * c]),
+                np.asarray(h3[ai]), rtol=2e-6, atol=2e-7)
+    for approx in (False, True):
+        pred_a = decode_v5_topk(heads, 80, 256, 0.25, approx=approx)
+        out_a, keep_a = nms_batch_v5(pred_a, 80, 0.25, 0.45, top_k=256,
+                                     max_det=50)
+        pred_b = decode_v5_topk_split(heads_s, 80, 256, 0.25,
+                                      approx=approx)
+        out_b, keep_b = nms_batch_v5(pred_b, 80, 0.25, 0.45, top_k=256,
+                                     max_det=50, compact=True)
+        np.testing.assert_array_equal(np.asarray(keep_a),
+                                      np.asarray(keep_b))
+        np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_a),
+                                   rtol=1e-5, atol=1e-5)
+
+    # the split DECODE itself (given identical head values) is exact:
+    # feed the single-conv heads re-sliced as tuples
+    heads_sliced = [tuple(hm[..., ai * c:(ai + 1) * c]
+                          for ai in range(3)) for hm in heads]
+    pred_c = decode_v5_topk_split(heads_sliced, 80, 256, 0.25)
+    pred_a = decode_v5_topk(heads, 80, 256, 0.25)
+    out_a, keep_a = nms_batch_v5(pred_a, 80, 0.25, 0.45, top_k=256,
+                                 max_det=50)
+    out_c, keep_c = nms_batch_v5(pred_c, 80, 0.25, 0.45, top_k=256,
+                                 max_det=50, compact=True)
+    np.testing.assert_array_equal(np.asarray(keep_a), np.asarray(keep_c))
+    np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_c))
