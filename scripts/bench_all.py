@@ -13,7 +13,7 @@ documents:
 * ``yolov3_416_serve``  — the judged bench.py default (bs=256 K=512)
 * ``yolov3_608_serve``  — the reference's --reso 608 surface, dense
                           K=1024 (the blocked-NMS auto-path)
-* ``yolov5s_serve``     — v5s bs=512 fast path, depth-2 pipelined
+* ``yolov5s_serve``     — v5s bs=512 fast path, depth-4 pipelined
 * ``yolov5l_serve``     — v5l bs=64 fast path, depth-2 pipelined
 * ``yolov3_train``      — 416² bs=128 bf16+act chain4, donated state,
                           lag-1 loop (the trainer's actual hot loop)
@@ -68,9 +68,9 @@ def _serve_v3(reso, batch, top_k):
             "ms_per_batch": round(r["ms_per_batch"], 1)}
 
 
-def _serve_v5(size, bs):
+def _serve_v5(size, bs, depth=2):
     bv5 = _load(os.path.join(HERE, "bench_v5.py"), "bench_v5")
-    r = bv5.run(size, bs, fast=True, depth=2)
+    r = bv5.run(size, bs, fast=True, depth=depth)
     return {"value": round(r["fps"], 1), "unit": "img/s",
             "mfu_pct": round(r["mfu"], 1)}
 
@@ -191,8 +191,8 @@ CONFIGS = {
                          {"reso": 416, "bs": 256, "top_k": 512}),
     "yolov3_608_serve": (lambda: _serve_v3(608, 256, 1024),
                          {"reso": 608, "bs": 256, "top_k": 1024}),
-    "yolov5s_serve": (lambda: _serve_v5("s", 512),
-                      {"reso": 640, "bs": 512, "mode": "fast+pipe2"}),
+    "yolov5s_serve": (lambda: _serve_v5("s", 512, depth=4),
+                      {"reso": 640, "bs": 512, "mode": "fast+pipe4"}),
     "yolov5l_serve": (lambda: _serve_v5("l", 64),
                       {"reso": 640, "bs": 64, "mode": "fast+pipe2"}),
     "yolov3_train": (lambda: _train_v3(),
