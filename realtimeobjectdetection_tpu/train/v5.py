@@ -157,21 +157,56 @@ def build_targets_v5(boxes: jnp.ndarray, box_mask: jnp.ndarray,
 def yolo_loss_v5(heads: List[jnp.ndarray], boxes: jnp.ndarray,
                  box_mask: jnp.ndarray, num_classes: int,
                  resolution: int, anchors=V5_ANCHORS,
-                 strides=V5_STRIDES) -> Tuple[jnp.ndarray, Dict]:
-    """Total ultralytics-semantics loss over the three detect layers."""
+                 strides=V5_STRIDES,
+                 grid_native: bool = True) -> Tuple[jnp.ndarray, Dict]:
+    """Total ultralytics-semantics loss over the three detect layers.
+
+    ``grid_native=True`` (default): consume each head in its native
+    NHWC layout — obj logits via one strided channel slice, the ~K
+    matched rows via two small gathers, the f32 cast AFTER the gather.
+    The legacy path (``False``) reshaped+cast the FULL head to
+    f32 [B, G*G*A, 85] first, which at bs=128 640² cost ~22 ms/step of
+    pure layout copies plus a 4.3 ms f32[85, B*N] materialization
+    (13%+ of device time — the round-4 v5 train per-HLO drill-down in
+    PERFORMANCE.md).  Both paths see identical logits (bf16→f32
+    widening is exact, so gather-then-cast == cast-then-gather); only
+    fp reduction order differs.  Equality pinned in
+    tests/test_train_v5.py.
+    """
     b = heads[0].shape[0]
     c = 5 + num_classes
     lbox = lobj = lcls = 0.0
     for li, (head, anc, stride) in enumerate(zip(heads, anchors, strides)):
         g = head.shape[1]
         a = len(anc)
-        p = head.reshape(b, g * g * a, c).astype(jnp.float32)
         t = build_targets_v5(boxes, box_mask, g, stride, anc)
         valid = t["valid"].reshape(b, -1)                 # [B, K]
         flat = t["flat"].reshape(b, -1)
         k = flat.shape[1]
 
-        rows = jnp.take_along_axis(p, flat[..., None], axis=1)  # [B,K,c]
+        if grid_native:
+            # head stays [B, g, g, a*c]; flat = (y*g + x)*a + anchor.
+            cell = flat // a                              # [B, K]
+            aidx = flat % a
+            p2 = head.reshape(b, g * g, a * c)            # layout-free
+            rows_full = jnp.take_along_axis(
+                p2, cell[..., None], axis=1)              # [B, K, a*c]
+            # Select the anchor's 85-col window by gathering along a
+            # separate anchor AXIS (window gather, cheap scatter-window
+            # backward).  A per-element column gather here is a trap:
+            # its backward is a 2.6M-update scatter-add that XLA:TPU
+            # lowers via sort — measured 58 ms/layer at bs=128 (round-4
+            # profile) vs ~0 for this form.
+            rows4 = rows_full.reshape(b, k, a, c)
+            rows = jnp.take_along_axis(
+                rows4, aidx[:, :, None, None], axis=2)[:, :, 0, :]
+            rows = rows.astype(jnp.float32)
+            obj_logits = head[..., 4::c].astype(jnp.float32)  # [B,g,g,a]
+        else:
+            p = head.reshape(b, g * g * a, c).astype(jnp.float32)
+            rows = jnp.take_along_axis(p, flat[..., None], axis=1)
+            obj_logits = p[..., 4]                        # [B, G*G*A]
+
         pxy = jax.nn.sigmoid(rows[..., 0:2]) * 2.0 - 0.5
         pwh = jnp.square(jax.nn.sigmoid(rows[..., 2:4]) * 2.0) \
             * t["anc"].reshape(b, k, 2)
@@ -183,9 +218,15 @@ def yolo_loss_v5(heads: List[jnp.ndarray], boxes: jnp.ndarray,
         # obj targets: detached CIoU (gr=1), max at collisions
         tobj_upd = jnp.where(
             valid, jnp.clip(jax.lax.stop_gradient(iou), 0.0), -1.0)
-        tobj = jnp.zeros((b, g * g * a), jnp.float32)
-        tobj = tobj.at[jnp.arange(b)[:, None], flat].max(tobj_upd)
-        lobj = lobj + _bce_logits(p[..., 4], tobj, "mean") * BALANCE[li]
+        if grid_native:
+            gy, gx = cell // g, cell % g
+            tobj = jnp.zeros((b, g, g, a), jnp.float32)
+            tobj = tobj.at[jnp.arange(b)[:, None], gy, gx, aidx].max(
+                tobj_upd)
+        else:
+            tobj = jnp.zeros((b, g * g * a), jnp.float32)
+            tobj = tobj.at[jnp.arange(b)[:, None], flat].max(tobj_upd)
+        lobj = lobj + _bce_logits(obj_logits, tobj, "mean") * BALANCE[li]
 
         if num_classes > 1:
             onehot = jax.nn.one_hot(t["cls"].reshape(b, k), num_classes)
@@ -248,7 +289,8 @@ def make_train_step_v5(cfg: YoloV5Config, optimizer,
                        scan_ladders: bool = False,
                        scan_remat: bool = False,
                        activation_dtype=None,
-                       s2d_stem: bool = False):
+                       s2d_stem: bool = False,
+                       grid_native_loss: bool = True):
     """Build ``step(state, images, boxes, box_mask) -> (state, loss)``
     for the native v5 graph — same contract as train/step.py's darknet
     step, so ``parallel.mesh.shard_train_step`` shards it unchanged.
@@ -280,6 +322,12 @@ def make_train_step_v5(cfg: YoloV5Config, optimizer,
     ``lax.scan`` (smaller HLO for the deep sizes; optional body remat) —
     see make_yolov5_forward; the batch statistics re-key to the unrolled
     names so the running-stat update below is layout-agnostic.
+    ``grid_native_loss``: consume the heads in NHWC layout inside the
+    loss (yolo_loss_v5 ``grid_native`` — kills the full-head flatten
+    relayouts the round-4 per-HLO drill-down measured at 13%+ of
+    device time); ``False`` restores the legacy full-flatten loss
+    (same values to fp reduction order — equality test in
+    tests/test_train_v5.py).
     ``s2d_stem``: exact space-to-depth rewrite of the 6x6/2 stem in the
     train forward (gradient-exact — the rewrite is a reshape of the
     same parameter; see the comment at the ``make_yolov5_forward``
@@ -333,7 +381,8 @@ def make_train_step_v5(cfg: YoloV5Config, optimizer,
         def loss_fn(params, images_, boxes_, mask_):
             heads, stats = fwd(params, images_)
             loss, _parts = yolo_loss_v5(heads, boxes_, mask_, nc,
-                                        resolution)
+                                        resolution,
+                                        grid_native=grid_native_loss)
             return loss, stats
 
         bsz, h, w = images.shape[0], images.shape[1], images.shape[2]

@@ -75,6 +75,10 @@ def main():
             elif part in ("s2d", "act+s2d", "act"):
                 if part != "act":
                     kw["s2d_stem"] = True
+            elif part == "flatloss":
+                # legacy full-flatten loss path (round-4 A/B control;
+                # grid_native is the shipping default)
+                kw["grid_native_loss"] = False
             elif part.startswith("accum"):
                 kw["accum_steps"] = int(part[5:])
             elif part.startswith("chain"):

@@ -17,9 +17,26 @@ proof: concat/add/pool bytes are real but small beside the conv
 traffic, and the non-conv tail (decode/top-k/NMS) is measured
 separately by profile_hlo.
 
+``--train`` switches to the train-step cost model (the VERDICT r3
+next-3 closure): per conv the backward adds a dgrad and a wgrad pass,
+so compute is 3x forward, and the minimal HBM traffic is
+
+* activations: X read (fwd), Y written (fwd), dY read (dgrad+wgrad,
+  counted once — a floor, not a schedule), dX written, X re-read
+  (wgrad) — 2 bytes each (bf16 residency, the shipping step)
+* weights: fp32 master weights read twice (fwd + dgrad; the bf16 cast
+  is fused) + one fp32 weight-grad write
+
+BN batch-stat reduction passes, remat recompute, Adam, and the loss
+are NOT in this floor — the profiled "convolution fusion" category
+includes the fused BN-stat reduces, so the measured/floor ratio
+absorbs them (called out in PERFORMANCE.md's v5 train drill-down).
+
 Usage:
   python scripts/roofline_v5.py --size s --bs 512
   python scripts/roofline_v5.py --size s --bs 512 --measured_conv_ms 97.6
+  python scripts/roofline_v5.py --size s --bs 128 --train \
+      --measured_conv_ms 95.3
 """
 import argparse
 
@@ -27,17 +44,25 @@ PEAK_FLOPS = 197e12   # v5e bf16
 HBM_BW = 819e9        # v5e HBM bytes/s
 
 
-def roofline(size: str, bs: int, reso: int = 640, top: int = 12):
+def roofline(size: str, bs: int, reso: int = 640, top: int = 12,
+             train: bool = False):
     from realtimeobjectdetection_tpu.models.yolov5 import (
         v5_conv_inventory, yolov5_config)
     cfg = yolov5_config(size)
     rows = []
     for r in v5_conv_inventory(cfg, reso):
         flops = 2 * r["s_out"] ** 2 * r["k"] ** 2 * r["cin"] * r["cout"]
-        comp_ms = flops * bs / PEAK_FLOPS * 1e3
-        bytes_ = (2 * bs * (r["s_in"] ** 2 * r["cin"]
-                            + r["s_out"] ** 2 * r["cout"])
-                  + 2 * r["k"] ** 2 * r["cin"] * r["cout"])
+        w_elems = r["k"] ** 2 * r["cin"] * r["cout"]
+        if train:
+            comp_ms = 3 * flops * bs / PEAK_FLOPS * 1e3
+            act_elems = bs * (3 * r["s_in"] ** 2 * r["cin"]
+                              + 2 * r["s_out"] ** 2 * r["cout"])
+            bytes_ = 2 * act_elems + 2 * 4 * w_elems + 4 * w_elems
+        else:
+            comp_ms = flops * bs / PEAK_FLOPS * 1e3
+            bytes_ = (2 * bs * (r["s_in"] ** 2 * r["cin"]
+                                + r["s_out"] ** 2 * r["cout"])
+                      + 2 * w_elems)
         mem_ms = bytes_ / HBM_BW * 1e3
         rows.append({**r, "comp_ms": comp_ms, "mem_ms": mem_ms,
                      "floor_ms": max(comp_ms, mem_ms),
@@ -54,8 +79,11 @@ def main():
     ap.add_argument("--measured_conv_ms", type=float, default=None,
                     help="profiled conv total (profile_hlo conv "
                          "category) to close the loop against")
+    ap.add_argument("--train", action="store_true",
+                    help="train-step cost model (3x compute, "
+                         "fwd+dgrad+wgrad traffic) — see docstring")
     a = ap.parse_args()
-    rows = roofline(a.size, a.bs, a.reso)
+    rows = roofline(a.size, a.bs, a.reso, train=a.train)
     tot_c = sum(r["comp_ms"] for r in rows)
     tot_m = sum(r["mem_ms"] for r in rows)
     tot_f = sum(r["floor_ms"] for r in rows)

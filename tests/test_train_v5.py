@@ -93,6 +93,39 @@ def test_padded_rows_do_not_contribute():
     assert float(l_with) != pytest.approx(float(l_dup))
 
 
+def test_grid_native_loss_matches_legacy():
+    """grid_native=True (NHWC slice/gather loss) vs the legacy
+    full-flatten path: same logits reach every term, so loss AND
+    head-gradients must agree to fp reduction order — in both f32 and
+    bf16 head dtypes (the bf16->f32 widening is exact either side of
+    the gather)."""
+    rng = np.random.RandomState(3)
+    b, m = 3, 5
+    boxes, mask = _gt(batch=b, m=m)
+    for i in range(b):
+        for j in range(3):
+            boxes[i, j, 0:2] = rng.uniform(8, 88, 2)
+            boxes[i, j, 2:4] = rng.uniform(6, 40, 2)
+            boxes[i, j, 4] = 1.0
+            boxes[i, j, 5 + rng.randint(80)] = 1.0
+            mask[i, j] = True
+    for dtype in (jnp.float32, jnp.bfloat16):
+        heads = [jnp.asarray(rng.randn(b, g, g, 255), np.float32
+                             ).astype(dtype) for g in (12, 6, 3)]
+
+        def loss_of(hs, gn):
+            return yolo_loss_v5(hs, jnp.asarray(boxes), jnp.asarray(mask),
+                                80, 96, grid_native=gn)[0]
+
+        l_new, g_new = jax.value_and_grad(loss_of)(heads, True)
+        l_old, g_old = jax.value_and_grad(loss_of)(heads, False)
+        assert float(l_new) == pytest.approx(float(l_old), rel=1e-5)
+        for gn, go in zip(g_new, g_old):
+            np.testing.assert_allclose(np.asarray(gn, np.float32),
+                                       np.asarray(go, np.float32),
+                                       rtol=1e-4, atol=1e-5)
+
+
 def test_v5_step_learns_and_updates_bn():
     """Full step: loss decreases over a few iterations on a fixed batch,
     BN running stats move (momentum 0.03), step counter increments."""
