@@ -188,9 +188,11 @@ def _train_v5(bs=128, reso=640, chain=4, size="s"):
 # rows embed them so a drifted harness is visible in the diff.
 CONFIGS = {
     "yolov3_416_serve": (lambda: _serve_v3(416, 256, 512),
-                         {"reso": 416, "bs": 256, "top_k": 512}),
+                         {"reso": 416, "bs": 256, "top_k": 512,
+                          "bench_metric": "yolov3_detect_fps_416"}),
     "yolov3_608_serve": (lambda: _serve_v3(608, 256, 1024),
-                         {"reso": 608, "bs": 256, "top_k": 1024}),
+                         {"reso": 608, "bs": 256, "top_k": 1024,
+                          "bench_metric": "yolov3_detect_fps_608"}),
     "yolov5s_serve": (lambda: _serve_v5("s", 512, depth=4),
                       {"reso": 640, "bs": 512, "mode": "fast+pipe4"}),
     "yolov5l_serve": (lambda: _serve_v5("l", 64),
