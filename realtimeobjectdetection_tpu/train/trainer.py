@@ -592,6 +592,7 @@ class DarknetTrainer(PreemptSupport):
                     return self._save_preempt(epoch, b + 1, verbose)
             _flush()
             running_loss = acct.finish()
+            t_loop = time.time()
 
             self.save(f"weight_epoch{epoch}")
             # the loss metric is the PER-BATCH AVERAGE, not the epoch
@@ -635,8 +636,12 @@ class DarknetTrainer(PreemptSupport):
                     self.save("checkpoint")
 
             self.history["train_loss"].append(running_loss / n_batches)
+            # loop_s = the data+step loop alone; wall_s additionally
+            # pays the checkpoint tiers (device->host pulls) and any
+            # per-epoch validation — scripts/bench_epoch.py reports both
             rec = {"epoch": epoch, "loss": running_loss / n_batches,
-                   "wall_s": round(time.time() - t_start, 2)}
+                   "wall_s": round(time.time() - t_start, 2),
+                   "loop_s": round(t_loop - t_start, 2)}
             if self.validator is not None:
                 rec.update(precision=self.validator.precision,
                            recall=self.validator.recall,

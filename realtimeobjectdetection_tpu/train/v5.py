@@ -841,6 +841,7 @@ class TrainerV5(PreemptSupport):
                     return self._save_preempt(epoch, b + 1, verbose)
             _flush()
             running = acct.finish()
+            t_loop = time.time()
             self.save(f"weight_epoch{epoch}")
             if self.best_on == "map" and dataset_type.upper() != "VOC":
                 from ..eval.validator import validate_map_v5
@@ -863,8 +864,12 @@ class TrainerV5(PreemptSupport):
                 self.save("checkpoint")
             self.history["train_loss"].append(running / n_batches)
             from .trainer import append_history_jsonl
+            # loop_s = the data+step loop alone; wall_s additionally
+            # pays the checkpoint tiers (device->host pulls) and any
+            # per-epoch validation — scripts/bench_epoch.py reports both
             rec = {"epoch": epoch, "loss": running / n_batches,
-                   "wall_s": round(time.time() - t0, 2)}
+                   "wall_s": round(time.time() - t0, 2),
+                   "loop_s": round(t_loop - t0, 2)}
             if self.history.get("train_map50"):
                 rec["map50"] = self.history["train_map50"][-1]
             append_history_jsonl(self.out_dir, rec)

@@ -116,13 +116,19 @@ def main():
     rows = [json.loads(line)
             for line in open(os.path.join(out_dir, "history.jsonl"))]
     for r in rows:
-        print(json.dumps({
+        rec = {
             "metric": f"{a.family}_real_epoch",
             "epoch": r["epoch"], "wall_s": r["wall_s"],
             "value": round(a.n / r["wall_s"], 2), "unit": "img/s",
             "n_images": a.n, "bs": a.bs, "chain": a.chain,
             "cache": bool(a.cache), "host_prep": a.host_prep,
-        }), flush=True)
+        }
+        if r.get("loop_s"):
+            # the data+step loop alone; wall_s additionally pays the
+            # per-epoch checkpoint tiers (device->host pulls)
+            rec["loop_s"] = r["loop_s"]
+            rec["loop_img_s"] = round(a.n / r["loop_s"], 2)
+        print(json.dumps(rec), flush=True)
     print(f"[total] {total_s:.1f}s incl. compile/checkpoints; "
           f"out={out_dir} cache={cache_dir}", file=sys.stderr)
     return 0
