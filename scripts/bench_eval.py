@@ -24,6 +24,19 @@ def main():
     ap.add_argument("--reso", type=int, default=416)
     ap.add_argument("--family", default="both",
                     choices=["v3", "v5", "both"])
+    ap.add_argument("--host_prep", default="cv2",
+                    choices=["cv2", "native"],
+                    help="letterbox engine for the eval datasets "
+                         "(native = the C++ fixed-point bicubic)")
+    ap.add_argument("--cache", action="store_true",
+                    help="letterboxed-canvas cache (data/cache.py); the "
+                         "warmup pass fills it, so the timed pass "
+                         "measures the memmap-served steady state")
+    ap.add_argument("--skip_bs1", action="store_true",
+                    help="measure only the batched point (bs=1 vs bs=N "
+                         "score identity is pinned by tests/test_map.py; "
+                         "skipping bs=1 saves a fresh compile per family "
+                         "on a cold cache)")
     args = ap.parse_args()
 
     import jax
@@ -35,6 +48,9 @@ def main():
     tmp = Path(tempfile.mkdtemp(prefix="bench_eval_"))
     ann, imgs = make_synthetic_coco(tmp, n_images=args.n,
                                     img_size=(480, 640))
+    cache_dir = str(tmp / "canvas_cache") if args.cache else None
+    prep_tag = (f" prep={args.host_prep}"
+                f"{' +cache' if args.cache else ''}")
 
     def timed(fn):
         fn()  # warm: compiles land in the persistent cache first
@@ -50,18 +66,20 @@ def main():
         # dense weights: ~hundreds of candidates/img pass the NMS, so
         # the host-side matcher does realistic work too
         params = bench_params(spec, "yolov3")
-        for bs in (1, args.bs):
+        for bs in ((args.bs,) if args.skip_bs1 else (1, args.bs)):
             (scores), dt = timed(lambda b=bs: validate_map(
                 ann, imgs, spec, params, resolution=args.reso,
-                batch_size=b, verbose=False))
-            print(f"validate_map yolov3 {args.reso}² bs={bs}: "
+                batch_size=b, verbose=False, cache_dir=cache_dir,
+                host_prep=args.host_prep))
+            print(f"validate_map yolov3 {args.reso}² bs={bs}{prep_tag}: "
                   f"{args.n / dt:.1f} img/s ({dt:.1f}s for {args.n}), "
                   f"mAP@0.5={scores['mAP@0.5']:.4f}", flush=True)
             if bs == 1:
                 ref = scores
-        for k in ("mAP@0.5", "mAP@[.5:.95]"):
-            assert abs(ref[k] - scores[k]) < 1e-9, (k, ref[k], scores[k])
-        print("v3 scores identical across batch sizes", flush=True)
+        if not args.skip_bs1:
+            for k in ("mAP@0.5", "mAP@[.5:.95]"):
+                assert abs(ref[k] - scores[k]) < 1e-9, (k, ref[k], scores[k])
+            print("v3 scores identical across batch sizes", flush=True)
 
     if args.family in ("v5", "both"):
         from realtimeobjectdetection_tpu.eval.validator import \
@@ -69,18 +87,20 @@ def main():
         from realtimeobjectdetection_tpu.models.yolov5 import \
             init_yolov5_params, yolov5_config
         params5 = init_yolov5_params(yolov5_config("s"), seed=0)
-        for bs in (1, args.bs):
+        for bs in ((args.bs,) if args.skip_bs1 else (1, args.bs)):
             scores, dt = timed(lambda b=bs: validate_map_v5(
                 ann, imgs, "s", params5, size=640, batch_size=b,
-                verbose=False))
-            print(f"validate_map_v5 yolov5s 640² bs={bs}: "
+                verbose=False, cache_dir=cache_dir,
+                host_prep=args.host_prep))
+            print(f"validate_map_v5 yolov5s 640² bs={bs}{prep_tag}: "
                   f"{args.n / dt:.1f} img/s ({dt:.1f}s for {args.n}), "
                   f"mAP@0.5={scores['mAP@0.5']:.4f}", flush=True)
             if bs == 1:
                 ref = scores
-        for k in ("mAP@0.5", "mAP@[.5:.95]"):
-            assert abs(ref[k] - scores[k]) < 1e-9, (k, ref[k], scores[k])
-        print("v5 scores identical across batch sizes", flush=True)
+        if not args.skip_bs1:
+            for k in ("mAP@0.5", "mAP@[.5:.95]"):
+                assert abs(ref[k] - scores[k]) < 1e-9, (k, ref[k], scores[k])
+            print("v5 scores identical across batch sizes", flush=True)
     return 0
 
 
