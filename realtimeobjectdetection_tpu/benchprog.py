@@ -35,6 +35,7 @@ BENCH_DEFAULTS = dict(
     pallas_nms=False,
     s2d=False,
     approx_topk=False,
+    scan_ladders=True,
 )
 
 
@@ -49,7 +50,8 @@ def build_detect_program(model="yolov3", reso=416, batch=256,
                          dtype_name="bfloat16", conf=0.6, top_k=512,
                          fused=True, act_bf16=True, quantize=None,
                          pallas_nms=False, s2d=False,
-                         approx_topk=False) -> BenchProgram:
+                         approx_topk=False,
+                         scan_ladders=True) -> BenchProgram:
     """Build the jitted detect program bench.py times.
 
     The program is: uint8 NHWC batch -> /255 normalize -> folded-BN
@@ -81,7 +83,7 @@ def build_detect_program(model="yolov3", reso=416, batch=256,
     act = jnp.bfloat16 if (act_bf16 and dtype == jnp.bfloat16
                            and not quantize) else None
     fwd = make_forward(spec, bn_mode="fold", compute_dtype=dtype,
-                       scan_ladders=True, quantize=quantize,
+                       scan_ladders=scan_ladders, quantize=quantize,
                        activation_dtype=act, head_dtype=act,
                        s2d_stem=s2d and not quantize)
 

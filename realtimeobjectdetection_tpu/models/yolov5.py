@@ -213,11 +213,26 @@ def _conv(x, p, stride=1, compute_dtype=jnp.bfloat16, act=True,
     if "bn_gamma" in p:  # training layout: BatchNorm2d(eps=1e-3)
         gamma = jnp.asarray(p["bn_gamma"])
         beta = jnp.asarray(p["bn_beta"])
-        if bn == "batch":
+        if bn in ("batch", "batch1p"):
             yf = y.astype(jnp.float32)
-            mean = jnp.mean(yf, axis=(0, 1, 2))
-            var = jnp.mean(jnp.square(yf - mean[None, None, None, :]),
-                           axis=(0, 1, 2))
+            if bn == "batch1p":
+                # one-pass stats: E[x²]−E[x]² lets XLA emit BOTH
+                # reductions in one multi-output fusion reading the conv
+                # output once; the two-pass form below re-reads it for
+                # the deviation pass (the round-4 profile priced the
+                # fused batch-stat re-reads at ~18 ms/step at v5s 640²
+                # bs=128 — this is the "stat-reduce" lever VERDICT r4
+                # item 7 asked to measure).  fp32 accumulators; the
+                # classic cancellation risk (mean² ≫ var) is why this is
+                # an opt-in A/B mode, not the parity default — torch's
+                # batch_norm uses the deviation form this replaces.
+                mean = jnp.mean(yf, axis=(0, 1, 2))
+                var = jnp.mean(jnp.square(yf), axis=(0, 1, 2)) \
+                    - jnp.square(mean)
+            else:
+                mean = jnp.mean(yf, axis=(0, 1, 2))
+                var = jnp.mean(jnp.square(yf - mean[None, None, None, :]),
+                               axis=(0, 1, 2))
             if stats is not None:
                 stats[name] = (mean, var)
         else:  # "running"
@@ -549,7 +564,9 @@ def make_yolov5_forward(cfg: YoloV5Config, compute_dtype=jnp.bfloat16,
     ``head_dtype``: dtype of the returned raw heads (None = float32).
 
     ``bn_mode``: "fold" consumes the inference ``{"w","b"}`` layout;
-    "batch"/"running" consume the training layout (see
+    "batch"/"running" consume the training layout ("batch1p" = batch
+    stats via one-pass E[x²]−E[x]² — one fused read of each conv output
+    instead of two; A/B lever, see the note in :func:`_conv`) (see
     ``init_yolov5_params(batch_norm=True)``) with batch-stats or
     running-stats BatchNorm.  With ``return_stats=True`` (training) the
     forward returns ``(heads, {name: (mean, var)})`` for the running-
@@ -580,7 +597,7 @@ def make_yolov5_forward(cfg: YoloV5Config, compute_dtype=jnp.bfloat16,
     dim, the fused decode never pays the (anchors, 5+C) channel-split
     relayout (round-4 serving lever, PERFORMANCE.md).
     """
-    assert bn_mode in ("fold", "batch", "running")
+    assert bn_mode in ("fold", "batch", "batch1p", "running")
     odt = activation_dtype or jnp.float32
     hdt = head_dtype or jnp.float32
     steps = _v5_steps()
@@ -596,7 +613,8 @@ def make_yolov5_forward(cfg: YoloV5Config, compute_dtype=jnp.bfloat16,
 
     def forward(p, x, carry=None):
         lo, hi = stage_range if stage_range is not None else (0, len(steps))
-        stats = {} if return_stats and bn_mode == "batch" else None
+        stats = ({} if return_stats and bn_mode in ("batch", "batch1p")
+                 else None)
         ctx = {"dt": compute_dtype, "odt": odt, "hdt": hdt,
                "bn": bn_mode, "stats": stats, "s2d": s2d_stem,
                "scan": scan_ladders, "scan_remat": scan_remat,

@@ -290,7 +290,8 @@ def make_train_step_v5(cfg: YoloV5Config, optimizer,
                        scan_remat: bool = False,
                        activation_dtype=None,
                        s2d_stem: bool = False,
-                       grid_native_loss: bool = True):
+                       grid_native_loss: bool = True,
+                       onepass_stats: bool = False):
     """Build ``step(state, images, boxes, box_mask) -> (state, loss)``
     for the native v5 graph — same contract as train/step.py's darknet
     step, so ``parallel.mesh.shard_train_step`` shards it unchanged.
@@ -344,8 +345,14 @@ def make_train_step_v5(cfg: YoloV5Config, optimizer,
     # plain stem up to fp summation order.  Measured because the stem
     # BACKWARD is the train profile's single largest HLO (6% of device
     # time at bs=16; PERFORMANCE.md round-3 v5 train drill-down).
+    # onepass_stats: BN batch stats via one-pass E[x²]−E[x]² (bn_mode
+    # "batch1p") — halves the per-conv stat-read traffic the round-4
+    # floor proof priced at ~18 ms/step; opt-in A/B lever (values differ
+    # from the torch deviation form only by fp cancellation, but they DO
+    # differ, so the parity default stays two-pass).
     fwd = make_yolov5_forward(cfg, compute_dtype=compute_dtype,
-                              bn_mode="batch", return_stats=True,
+                              bn_mode="batch1p" if onepass_stats
+                              else "batch", return_stats=True,
                               activation_dtype=activation_dtype,
                               scan_ladders=scan_ladders,
                               scan_remat=scan_remat,

@@ -23,6 +23,13 @@ Usage:
   python scripts/bench_all.py                 # run all, diff vs canon
   python scripts/bench_all.py --only yolov3_416_serve,yolov5s_train
   python scripts/bench_all.py --update        # rewrite BENCH_CANON.json
+  python scripts/bench_all.py --check         # exit 1 if any row <90%
+                                              # of canon (the ratchet:
+                                              # run after `rodtpu warmup`
+                                              # at round end so a capture
+                                              # regression is caught
+                                              # BEFORE the driver's
+                                              # scored bench.py run)
 
 Every row reads back its outputs on the host (axon block_until_ready is
 not a true sync) and reports best-of-N windows (tunnel RPC variance is
@@ -212,6 +219,11 @@ def main():
                     help="comma-separated subset of config names")
     ap.add_argument("--update", action="store_true",
                     help="rewrite BENCH_CANON.json with this run")
+    ap.add_argument("--check", action="store_true",
+                    help="ratchet mode: exit 1 when any measured row "
+                         "lands below --check_frac of its canon record "
+                         "(or errors)")
+    ap.add_argument("--check_frac", type=float, default=0.90)
     a = ap.parse_args()
     _enable_compile_cache()
 
@@ -227,6 +239,7 @@ def main():
         canon = {r["metric"]: r for r in json.load(open(CANON_PATH))["rows"]}
 
     rows = []
+    failures = []
     for name in names:
         thunk, cfg = CONFIGS[name]
         try:
@@ -235,11 +248,16 @@ def main():
             print(json.dumps({"metric": name, "error":
                               f"{type(e).__name__}: {str(e)[:160]}"}),
                   flush=True)
+            failures.append(f"{name}: errored")
             continue
         row = {"metric": name, **r, "config": cfg}
         prev = canon.get(name)
         if prev and prev.get("value"):
             row["vs_canon"] = round(r["value"] / prev["value"], 3)
+            if row["vs_canon"] < a.check_frac:
+                failures.append(f"{name}: {r['value']} = "
+                                f"{row['vs_canon']:.0%} of canon "
+                                f"{prev['value']}")
         rows.append(row)
         print(json.dumps(row), flush=True)
 
@@ -256,6 +274,14 @@ def main():
                                "(real TPU)",
                        "rows": kept}, f, indent=1)
         print(f"updated {CANON_PATH} ({len(kept)} rows)", flush=True)
+    if a.check and failures:
+        print("bench_all --check FAILED:", flush=True)
+        for f_ in failures:
+            print(f"  {f_}", flush=True)
+        return 1
+    if a.check:
+        print(f"bench_all --check OK: all rows >= "
+              f"{a.check_frac:.0%} of canon", flush=True)
     return 0
 
 

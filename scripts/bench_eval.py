@@ -4,11 +4,20 @@
 The reference validates one image per forward (test.py:46-60 batch=1);
 round 3 gave validate_map/_v5 padded batches.  This measures what that
 buys through the ~57 ms/RPC tunnel: images/s of a full mAP evaluation
-over a synthetic COCO set at batch_size 1 vs N, asserting the scores
-are identical (the padded tail repeats real samples and the matcher
-sees each image once either way).
+over a synthetic COCO set at batch_size 1 vs N.  Without --skip_bs1 the
+bs=1 point is also run and the scores are asserted identical (the
+padded tail repeats real samples and the matcher sees each image once
+either way); with --skip_bs1 only the batched point is measured and the
+identity check is delegated to tests/test_map.py.
+
+Data-path knobs: --host_prep {cv2,native} picks the letterbox engine,
+--cache routes decode through the on-disk canvas cache (data/cache.py;
+the warmup pass fills it so the timed pass measures the memmap-served
+steady state).  All temp data (synthetic COCO + any cache) lives in one
+TemporaryDirectory removed on exit.
 
 Usage: python scripts/bench_eval.py [--n 64] [--bs 32] [--family both]
+           [--host_prep native] [--cache] [--skip_bs1]
 """
 import argparse
 import sys
@@ -45,7 +54,10 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from realtimeobjectdetection_tpu.testing import make_synthetic_coco
-    tmp = Path(tempfile.mkdtemp(prefix="bench_eval_"))
+    # TemporaryDirectory: --cache writes ~110 MB of canvas memmaps; a
+    # bare mkdtemp leaked that into /tmp on every bench run (ADVICE r4)
+    tmp_ctx = tempfile.TemporaryDirectory(prefix="bench_eval_")
+    tmp = Path(tmp_ctx.name)
     ann, imgs = make_synthetic_coco(tmp, n_images=args.n,
                                     img_size=(480, 640))
     cache_dir = str(tmp / "canvas_cache") if args.cache else None

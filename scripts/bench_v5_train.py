@@ -34,7 +34,8 @@ def main():
     ap.add_argument("--reso", type=int, default=640)
     ap.add_argument("--variants", nargs="+", default=["act"],
                     help="any of: act act+s2d accum2 accum4 fp32res "
-                         "chain2 chain4 chain8 ladders (k steps per "
+                         "chain2 chain4 chain8 ladders onepass (k steps "
+                         "per "
                          "dispatch via train.step.make_chained_step; "
                          "parts compose with '+': chain4+s2d, "
                          "act+chain4+accum2+ladders — the compile-wall "
@@ -85,6 +86,10 @@ def main():
                 chain = int(part[5:])
             elif part == "ladders":
                 kw["scan_ladders"] = True
+            elif part == "onepass":
+                # one-pass BN batch stats (E[x²]−E[x]², bn_mode
+                # "batch1p") — the round-5 stat-reduce lever
+                kw["onepass_stats"] = True
             else:
                 raise SystemExit(f"unknown variant part {part}")
         return kw, chain

@@ -69,6 +69,10 @@ def test_bench_defaults_match_argparse():
     assert BENCH_DEFAULTS["pallas_nms"] is False
     assert BENCH_DEFAULTS["s2d"] is False
     assert BENCH_DEFAULTS["approx_topk"] is False
+    # scan_ladders defaults True (bench.py exposes --no-scan-ladders);
+    # if a round flips the scored default after an A/B, flip BOTH sides
+    # and this fence together or `warmup --bench` seeds the wrong HLO.
+    assert BENCH_DEFAULTS["scan_ladders"] is True
 
 
 def test_build_detect_program_runs_tiny():

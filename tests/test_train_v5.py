@@ -693,3 +693,45 @@ def test_v5_step_s2d_stem_gradient_exact():
                                                 np.asarray(b), rtol=2e-3,
                                                 atol=2.5e-3),
         sp.params, ss.params)
+
+
+def test_v5_step_onepass_stats_close():
+    """make_train_step_v5(onepass_stats=True): BN batch stats via the
+    one-pass E[x²]−E[x]² form (models/yolov5 bn_mode="batch1p" — one
+    fused read of each conv output instead of two).  Same-fp32-input
+    values differ from the torch-matching deviation form only by
+    cancellation, so the full step (loss, params, running stats) must
+    land within fp32 tolerance of the two-pass step — the round-5
+    stat-reduce A/B lever (VERDICT r4 item 7)."""
+    cfg = YoloV5Config("n")
+    params = init_yolov5_params(cfg, 0, batch_norm=True)
+    opt = optax.adam(1e-3)
+    s0 = init_train_state(params, opt)
+    rng = np.random.RandomState(3)
+    images = rng.rand(2, 96, 96, 3).astype(np.float32)
+    boxes, mask = _gt(batch=2, m=4)
+    boxes[:, 0, 0:4] = [48, 48, 24, 24]
+    boxes[:, 0, 4] = 1.0
+    boxes[:, 0, 5] = 1.0
+    mask[:, 0] = True
+    outs = []
+    for onepass in (False, True):
+        step = jax.jit(make_train_step_v5(cfg, opt, resolution=96,
+                                          onepass_stats=onepass))
+        s1, loss = step(s0, jnp.asarray(images), jnp.asarray(boxes),
+                        jnp.asarray(mask))
+        outs.append((s1, float(loss)))
+    (s2p, l2p), (s1p, l1p) = outs
+    np.testing.assert_allclose(l1p, l2p, rtol=1e-4)
+    # running BN variances moved and stayed positive (one-pass
+    # cancellation must not produce negative variances at these scales)
+    for name, p in s1p.params.items():
+        if isinstance(p, dict) and "bn_var" in p:
+            assert (np.asarray(p["bn_var"]) > 0).all(), name
+    # Adam's sign-like near-zero updates: same atol rationale as the
+    # s2d gradient-exactness test above
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a),
+                                                np.asarray(b), rtol=2e-3,
+                                                atol=2.5e-3),
+        s2p.params, s1p.params)
