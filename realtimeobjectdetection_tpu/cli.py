@@ -269,6 +269,13 @@ def train_arg_parser() -> argparse.ArgumentParser:
                         "6x6/2 stem in the train forward (gradient-"
                         "exact; +8%% at small batch, wash at bs>=64 — "
                         "see PERFORMANCE.md)")
+    p.add_argument("--onepass_stats", action="store_true",
+                   help="v5 only: one-pass E[x2]-E[x]2 BN batch stats "
+                        "(one fused read of each conv output instead "
+                        "of two; +8.5%% step throughput measured at "
+                        "v5s 640 bs=128 — PERFORMANCE.md round 5). "
+                        "Stats differ from the torch deviation form "
+                        "by fp cancellation only; off = parity default")
     p.add_argument("--cache_dir", default=None, type=str,
                    help="on-disk letterboxed-canvas cache (data/cache.py)"
                         ": decode each image ONCE per (path, resolution);"
@@ -314,7 +321,8 @@ def train_cli(argv=None):
                        s2d_stem=a.s2d_stem,
                        chain_steps=a.chain_steps,
                        cache_dir=a.cache_dir,
-                       host_prep=a.host_prep)
+                       host_prep=a.host_prep,
+                       onepass_stats=a.onepass_stats)
         if a.resume_preempt:
             tr.resume_preempt()
         tr.train(a.xml, a.images, dataset_type=a.dataset)

@@ -483,7 +483,8 @@ class TrainerV5(PreemptSupport):
                  s2d_stem: bool = False,
                  chain_steps: int = 1,
                  cache_dir: Optional[str] = None,
-                 host_prep: str = "cv2"):
+                 host_prep: str = "cv2",
+                 onepass_stats: bool = False):
         from ..models.yolov5 import init_yolov5_params
         from ..parallel.mesh import make_mesh, shard_train_step
         assert resolution % 32 == 0
@@ -533,7 +534,12 @@ class TrainerV5(PreemptSupport):
             skip_nonfinite=skip_nonfinite,
             scan_ladders=scan_ladders, scan_remat=scan_remat,
             activation_dtype=activation_dtype,
-            s2d_stem=s2d_stem)
+            s2d_stem=s2d_stem,
+            # one-pass E[x²]−E[x]² BN batch stats (bn_mode "batch1p"):
+            # measured +8.5% step throughput at the record config (r5
+            # A/B, PERFORMANCE.md); opt-in — stats differ from the
+            # torch deviation form by fp cancellation only
+            onepass_stats=onepass_stats)
         self._spatial = spatial
         self._donate = donate
         # multi-scale training, same machinery as DarknetTrainer: the
